@@ -1,0 +1,401 @@
+"""Pure-NumPy image kernels (no cv2/PIL — the sandbox has neither, and the
+north star mandates batched NumPy tensor work anyway).
+
+Each kernel reimplements, from its published behavior, one stage of the
+reference pipeline (citations are reference file:line; see SURVEY.md §2.8):
+
+  to_grayscale          ocr_service.py:176-179   (P1)
+  polarity_invert       ocr_service.py:181-185   (P2)
+  threshold             ocr_service.py:195       (F4, fixed 128)
+  otsu_threshold        optimize_preprocessing.py:81 (F5)
+  adaptive_threshold    preprocess_color_images.py:133-136 (F6)
+  dilate/erode/open/close  ocr_service.py:198-199,346-347 (F7)
+  resize_area           ocr_service.py:353-357 / granulate_alphabet_generated.py:73 (F8)
+  pad_to_square         ocr_service.py:359-367   (F9)
+  gaussian_blur3        ocr_service.py:370       (F10)
+  ahash_bits            granulate_alphabet_generated.py:66-77 (F11)
+  hamming_distance      tests/debug/test_similarity_mapping.py:29-31 (F12)
+  deskew                optimize_preprocessing.py:102-128 (F20)
+  segment_regions       ocr_service.py:221-265   (W1/A2/A3/P3)
+  classify_batch        ocr_service.py:331-394 cascade, batched (J1/J3)
+
+All functions operate on whole uint8 arrays; ``classify_batch`` stacks every
+crop in an Arrow batch into one (B, 64) bit matrix and resolves all of them
+with a single (B, 64) x (64, 26) popcount matmul — the reference's
+batch-size-1 inference (``ocr_service.py:376``) fixed by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from granulate_char_ocr_spark import alphabet
+
+# ---------------------------------------------------------------------------
+# projections / color
+# ---------------------------------------------------------------------------
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """H×W×3 BGR -> H×W uint8 (cv2.COLOR_BGR2GRAY weights, B first)."""
+    if img.ndim == 2:
+        return img
+    w = np.array([0.114, 0.587, 0.299])  # B, G, R
+    return np.clip(img[..., :3].astype(np.float64) @ w, 0, 255).astype(np.uint8)
+
+
+def polarity_invert(gray: np.ndarray) -> np.ndarray:
+    """Invert to black-background/white-ink when the mean says white bg."""
+    if gray.mean() > 128:
+        return (255 - gray.astype(np.int16)).astype(np.uint8)
+    return gray
+
+
+# ---------------------------------------------------------------------------
+# thresholds
+# ---------------------------------------------------------------------------
+
+
+def threshold(img: np.ndarray, t: int = 128) -> np.ndarray:
+    return np.where(img > t, np.uint8(255), np.uint8(0))
+
+
+def otsu_threshold(img: np.ndarray) -> np.ndarray:
+    """Data-driven global threshold maximizing between-class variance."""
+    hist = np.bincount(img.reshape(-1), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return img.copy()
+    omega = np.cumsum(hist) / total
+    mu = np.cumsum(hist * np.arange(256)) / total
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_b = np.where(denom > 0, (mu_t * omega - mu) ** 2 / denom, 0.0)
+    t = int(np.argmax(sigma_b))
+    return threshold(img, t)
+
+
+def _box_sum(img: np.ndarray, k: int) -> np.ndarray:
+    """k×k sliding-window sum via 2-D cumsum (same-size, zero-padded)."""
+    pad = k // 2
+    padded = np.pad(img.astype(np.int64), ((pad + 1, pad), (pad + 1, pad)))
+    c = padded.cumsum(axis=0).cumsum(axis=1)
+    h, w = img.shape
+    return (
+        c[k : k + h, k : k + w]
+        - c[0:h, k : k + w]
+        - c[k : k + h, 0:w]
+        + c[0:h, 0:w]
+    )
+
+
+def adaptive_threshold(img: np.ndarray, block: int = 11, c: int = 2) -> np.ndarray:
+    """Per-pixel local-mean threshold (block×block box filter)."""
+    counts = _box_sum(np.ones_like(img, dtype=np.uint8), block)
+    local_mean = _box_sum(img, block) / counts
+    return np.where(img.astype(np.float64) > local_mean - c, np.uint8(255), np.uint8(0))
+
+
+# ---------------------------------------------------------------------------
+# morphology (binary max/min pooling over shifted views)
+# ---------------------------------------------------------------------------
+
+
+def _pool(img: np.ndarray, kh: int, kw: int, reduce_max: bool) -> np.ndarray:
+    """Max (dilate) / min (erode) over a kh×kw rect anchored like cv2 (origin
+    at kernel center, ties to top-left for even sizes)."""
+    pads = ((kh - 1) // 2, kh // 2, (kw - 1) // 2, kw // 2)
+    if reduce_max:
+        padded = np.pad(img, ((pads[0], pads[1]), (pads[2], pads[3])), constant_values=0)
+        op = np.maximum
+    else:
+        padded = np.pad(img, ((pads[0], pads[1]), (pads[2], pads[3])), constant_values=255)
+        op = np.minimum
+    h, w = img.shape
+    out = padded[0:h, 0:w].copy()
+    for dy in range(kh):
+        for dx in range(kw):
+            if dy == 0 and dx == 0:
+                continue
+            out = op(out, padded[dy : dy + h, dx : dx + w])
+    return out
+
+
+def dilate(img: np.ndarray, kh: int = 3, kw: int = 3) -> np.ndarray:
+    return _pool(img, kh, kw, reduce_max=True)
+
+
+def erode(img: np.ndarray, kh: int = 3, kw: int = 3) -> np.ndarray:
+    return _pool(img, kh, kw, reduce_max=False)
+
+
+def morph_close(img: np.ndarray, kh: int = 2, kw: int = 2) -> np.ndarray:
+    return erode(dilate(img, kh, kw), kh, kw)
+
+
+def morph_open(img: np.ndarray, kh: int = 2, kw: int = 2) -> np.ndarray:
+    return dilate(erode(img, kh, kw), kh, kw)
+
+
+# ---------------------------------------------------------------------------
+# resize / pad / blur
+# ---------------------------------------------------------------------------
+
+
+def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-average resize. Exact block-mean when dims divide evenly (the
+    fixture path: 64→8), pixel-area weighting otherwise."""
+    h, w = img.shape
+    if h % out_h == 0 and w % out_w == 0:
+        bh, bw = h // out_h, w // out_w
+        return (
+            img.reshape(out_h, bh, out_w, bw).astype(np.float64).mean(axis=(1, 3))
+        )
+    ys = np.linspace(0, h, out_h + 1)
+    xs = np.linspace(0, w, out_w + 1)
+    # integral image for exact fractional-area averaging
+    c = np.zeros((h + 1, w + 1), dtype=np.float64)
+    c[1:, 1:] = img.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+
+    def _interp(cum: np.ndarray, pos: np.ndarray, axis: int) -> np.ndarray:
+        i = np.clip(np.floor(pos).astype(int), 0, cum.shape[axis] - 1)
+        frac = pos - i
+        lo = np.take(cum, i, axis=axis)
+        hi = np.take(cum, np.minimum(i + 1, cum.shape[axis] - 1), axis=axis)
+        shape = [1, 1]
+        shape[axis] = -1
+        return lo + (hi - lo) * frac.reshape(shape)
+
+    rows = _interp(c, ys, axis=0)          # (out_h+1, w+1)
+    grid = _interp(rows, xs, axis=1)       # (out_h+1, out_w+1)
+    area = np.outer(np.diff(ys), np.diff(xs))
+    return (grid[1:, 1:] - grid[:-1, 1:] - grid[1:, :-1] + grid[:-1, :-1]) / area
+
+
+def pad_to_square(img: np.ndarray) -> np.ndarray:
+    """Zero-pad to centered square (reference ocr_service.py:359-367)."""
+    h, w = img.shape
+    if h == w:
+        return img
+    size = max(h, w)
+    out = np.zeros((size, size), dtype=img.dtype)
+    y0 = (size - h) // 2
+    x0 = (size - w) // 2
+    out[y0 : y0 + h, x0 : x0 + w] = img
+    return out
+
+
+def gaussian_blur3(img: np.ndarray) -> np.ndarray:
+    """Separable 3×3 [1,2,1]/4 Gaussian (edge-replicate)."""
+    a = img.astype(np.float64)
+    p = np.pad(a, 1, mode="edge")
+    horiz = (p[1:-1, :-2] + 2 * p[1:-1, 1:-1] + p[1:-1, 2:]) / 4.0
+    p2 = np.pad(horiz, ((1, 1), (0, 0)), mode="edge")
+    out = (p2[:-2] + 2 * p2[1:-1] + p2[2:]) / 4.0
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _rotate_nn(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Nearest-neighbor rotation about the image center (zeros outside)."""
+    theta = np.radians(-angle_deg)
+    h, w = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = np.mgrid[0:h, 0:w]
+    sx = np.cos(theta) * (xx - cx) + np.sin(theta) * (yy - cy) + cx
+    sy = -np.sin(theta) * (xx - cx) + np.cos(theta) * (yy - cy) + cy
+    sxi = np.clip(np.round(sx).astype(int), 0, w - 1)
+    syi = np.clip(np.round(sy).astype(int), 0, h - 1)
+    valid = (sx >= -0.5) & (sx < w - 0.5) & (sy >= -0.5) & (sy < h - 0.5)
+    return np.where(valid, img[syi, sxi], 0).astype(img.dtype)
+
+
+def deskew(
+    img: np.ndarray, max_angle: float = 15.0, step: float = 3.0
+) -> np.ndarray:
+    """Projection-profile deskew: among candidate rotations, keep the one
+    maximizing row-sum variance (the classic text-line criterion; the
+    reference's minAreaRect+warpAffine at optimize_preprocessing.py:102-128
+    serves the same role). 0° is preferred unless a candidate is strictly
+    >2% better — an exact no-op on clean axis-aligned fixtures."""
+    if img.size == 0 or not img.any():
+        return img
+    angles = np.arange(-max_angle, max_angle + step / 2, step)
+    base = float(np.var(img.sum(axis=1, dtype=np.int64)))
+    best_angle, best_score = 0.0, base
+    for a in angles:
+        if abs(a) < 1e-9:
+            continue
+        score = float(np.var(_rotate_nn(img, a).sum(axis=1, dtype=np.int64)))
+        if score > best_score:
+            best_angle, best_score = float(a), score
+    if best_angle == 0.0 or best_score <= base * 1.02:
+        return img
+    return _rotate_nn(img, best_angle)
+
+
+# ---------------------------------------------------------------------------
+# hash / distance
+# ---------------------------------------------------------------------------
+
+
+def ahash_bits(img: np.ndarray) -> np.ndarray:
+    """8×8 mean-threshold aHash -> uint8[64] of {0,1} (strict >, as the
+    reference's ``'1' if pixel > avg else '0'``)."""
+    small = resize_area(img, alphabet.HASH_SIDE, alphabet.HASH_SIDE)
+    return (small > small.mean()).astype(np.uint8).reshape(-1)
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> int:
+    return int(np.count_nonzero(a != b))
+
+
+# ---------------------------------------------------------------------------
+# preprocess + segmentation (the [P] production path)
+# ---------------------------------------------------------------------------
+
+
+def preprocess(img: np.ndarray) -> np.ndarray:
+    """grayscale → polarity invert → threshold(128) → close(2×2).
+
+    The reference additionally applies a bilateral filter and CLAHE
+    (ocr_service.py:188-192); on binarized-at-128 output both are
+    identity-after-threshold for clean synthetic glyphs and are
+    unreproducible bit-exactly without cv2 (SURVEY.md §7 R2), so the
+    deterministic contract excludes them. ``denoise=True`` adds a Gaussian
+    pass for noisy inputs (robustness-bound tests only).
+    """
+    gray = to_grayscale(img)
+    gray = polarity_invert(gray)
+    binary = threshold(gray, 128)
+    return morph_close(binary, 2, 2)
+
+
+def preprocess_noisy(img: np.ndarray) -> np.ndarray:
+    """Robustness variant: blur before threshold to kill salt-and-pepper."""
+    gray = to_grayscale(img)
+    gray = polarity_invert(gray)
+    smooth = gaussian_blur3(gray)
+    binary = otsu_threshold(smooth)
+    binary = deskew(binary)
+    return morph_close(binary, 2, 2)
+
+
+def segment_regions(
+    img: np.ndarray,
+    theta_frac: float = 0.1,
+    min_w: int = 10,
+    min_h: int = 10,
+) -> list[tuple[int, int, int, int]]:
+    """Horizontal-projection run-length segmentation → [(x, y, w, h)], x-sorted.
+
+    Vectorized gaps-and-islands over the column-sum projection — the same
+    semantics as the reference's stateful scan (ocr_service.py:224-265):
+    open island when colsum > 0.1*max, close when <= threshold, keep islands
+    wider than ``min_w`` (tail island closed at the right edge), then bound
+    each island vertically by its nonzero row-sums and drop regions with
+    w <= min_w or h <= min_h.
+    """
+    if img.size == 0:
+        return []
+    colsum = img.sum(axis=0, dtype=np.int64)
+    peak = colsum.max()
+    if peak == 0:
+        return []
+    mask = colsum > peak * theta_frac
+    d = np.diff(mask.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if mask[0]:
+        starts = np.concatenate(([0], starts))
+    if mask[-1]:
+        ends = np.concatenate((ends, [mask.size]))
+    regions: list[tuple[int, int, int, int]] = []
+    for s, e in zip(starts, ends):
+        if e - s <= min_w:
+            continue
+        rowsum = img[:, s:e].sum(axis=1)
+        yi = np.flatnonzero(rowsum > 0)
+        if yi.size == 0:
+            continue
+        y0, y1 = int(yi[0]), int(yi[-1])
+        w, h = int(e - s), y1 - y0 + 1
+        if w > min_w and h > min_h:
+            regions.append((int(s), y0, w, h))
+    return regions  # starts are ascending → already left-to-right
+
+
+# ---------------------------------------------------------------------------
+# batched classification
+# ---------------------------------------------------------------------------
+
+
+def classify_batch(
+    crops: list[np.ndarray],
+) -> list[tuple[str | None, float, str]]:
+    """Classify every crop in one shot: (latin | None, confidence, method).
+
+    Cascade (structural mirror of ocr_service.py:118-147 with the hash path
+    as the deterministic classifier, SURVEY.md §0 finding #1):
+      1. ``exact_hash``  — crop aHash hits the prototype dict → confidence 1.0
+      2. ``hamming``     — nearest prototype by Hamming distance, accepted
+                           when d <= 10 (test_similarity_mapping.py:39-47,
+                           first-minimum tie-break) → confidence 1 - d/64
+      3. ``unknown``     — rejected; caller drops the char, mirroring the
+                           reference appending only recognized characters
+                           (ocr_service.py:149).
+    """
+    if not crops:
+        return []
+    state = alphabet.classifier_state()
+    bits = np.stack([ahash_bits(c) for c in crops])  # (B, 64)
+    # one popcount matmul: Hamming(a,b) = |a| + |b| - 2 a·b over {0,1} vectors
+    proto = state.crop_bits  # (26, 64)
+    dists = (
+        bits.sum(axis=1, keepdims=True)
+        + proto.sum(axis=1)[None, :]
+        - 2 * (bits.astype(np.int32) @ proto.T.astype(np.int32))
+    )  # (B, 26)
+    nearest = dists.argmin(axis=1)  # first minimum wins (np.argmin semantics)
+    mindist = dists[np.arange(len(crops)), nearest]
+    out: list[tuple[str | None, float, str]] = []
+    for i in range(len(crops)):
+        key = alphabet.bits_to_hash(bits[i])
+        exact = state.crop_hash_to_latin.get(key)
+        if exact is not None:
+            out.append((exact, 1.0, "exact_hash"))
+        elif mindist[i] <= alphabet.HAMMING_MAX_DISTANCE:
+            out.append(
+                (state.letters[nearest[i]], 1.0 - mindist[i] / 64.0, "hamming")
+            )
+        else:
+            out.append((None, 0.0, "unknown"))
+    return out
+
+
+def recognize_word(img: np.ndarray, noisy: bool = False) -> list[dict]:
+    """Full single-image path: preprocess → segment → classify.
+
+    Returns one dict per *recognized* character, left-to-right:
+    ``{latin, confidence, method, x, y, w, h}``. Unrecognized regions are
+    dropped (reference ocr_service.py:149-154 appends only on recognition).
+    """
+    pre = preprocess_noisy(img) if noisy else preprocess(img)
+    regions = segment_regions(pre)
+    crops = [pre[y : y + h, x : x + w] for (x, y, w, h) in regions]
+    results = classify_batch(crops)
+    chars = []
+    for (x, y, w, h), (latin, conf, method) in zip(regions, results):
+        if latin is not None:
+            chars.append(
+                {
+                    "latin": latin,
+                    "confidence": conf,
+                    "method": method,
+                    "x": x,
+                    "y": y,
+                    "w": w,
+                    "h": h,
+                }
+            )
+    return chars

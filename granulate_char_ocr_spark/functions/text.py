@@ -1,0 +1,70 @@
+"""Text-span normalization — the vectorized Unicode cleanup path.
+
+Pinned spec (seeded by the reference's label-sanitization at
+``evaluate_new_testdata.py:33-41`` / ``retrain_with_new_data.py:45``: strip
+``!``/``.``, uppercase):
+
+    NFC normalize → drop zero-width chars → drop [!.] → collapse whitespace
+    → trim → uppercase
+
+Two implementations that MUST agree (pinned by tests/test_normalize.py):
+
+* ``normalize_expr``   — the production path: Spark built-ins (JVM-side,
+  whole-stage-codegen) for everything except NFC, which is one Arrow-batched
+  pandas UDF (vectorized ``pandas.Series.str.normalize``). Never row-at-a-time
+  Python.
+* ``normalize_python`` — the oracle/fixture twin used by the corpus generator
+  and the DuckDB-free unit tests.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+ZERO_WIDTH = "​‌‍⁠﻿"
+_ZW_RE = re.compile(f"[{ZERO_WIDTH}]")
+_PUNCT_RE = re.compile(r"[!.]")
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize_python(s: str | None) -> str | None:
+    """Reference twin of ``normalize_expr`` (plain Python, for fixtures)."""
+    if s is None:
+        return None
+    s = unicodedata.normalize("NFC", s)
+    s = _ZW_RE.sub("", s)
+    s = _PUNCT_RE.sub("", s)
+    s = _WS_RE.sub(" ", s)
+    return s.strip().upper()
+
+
+_nfc_cached = None
+
+
+def _nfc_udf():
+    """Lazily-built Arrow-batched NFC UDF (pandas_udf needs a live session)."""
+    global _nfc_cached
+    if _nfc_cached is None:
+
+        @pandas_udf("string")
+        def nfc(s: pd.Series) -> pd.Series:
+            # Arrow-batched; the only Python hop in the text path.
+            return s.str.normalize("NFC")
+
+        _nfc_cached = nfc
+    return _nfc_cached
+
+
+def normalize_expr(col: Column) -> Column:
+    """Spark-side normalization: NFC (pandas UDF) then JVM built-ins."""
+    c = _nfc_udf()(col)
+    c = F.regexp_replace(c, f"[{ZERO_WIDTH}]", "")
+    c = F.regexp_replace(c, r"[!.]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.upper(F.trim(c))

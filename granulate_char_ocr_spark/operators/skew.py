@@ -1,0 +1,40 @@
+"""Explicit skew handling for the media-extraction stage.
+
+AQE's skew-join splitting only fixes *join* skew; our skew is **compute**
+skew — media-heavy documents (the 1%-of-docs-with-50× tail, FIXTURES.md §1)
+would pin one task in ``mapInPandas`` while its siblings idle. The fix is the
+north rule's doc_id salting: repartition the exploded media spans on
+``(doc_id, salt)`` where salt spreads a hot doc's spans across ``n_salts``
+partitions. Extraction is span-local (no per-doc state), so correctness is
+unaffected; order is later restored by key in the stitch (operators/stitch.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def salt_repartition(
+    df: DataFrame,
+    n_salts: int = 8,
+    num_partitions: int | None = None,
+    key: str = "doc_id",
+    spread_col: str = "offset",
+) -> DataFrame:
+    """Repartition on (key, salt) with salt = xxhash64(spread_col) % n_salts.
+
+    The salt is derived from a per-span column (offset), so it is
+    deterministic (idempotent resume-safe) — not random — and uniform within
+    a hot document.
+    """
+    salted = df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col(spread_col)), F.lit(n_salts))
+    )
+    if num_partitions:
+        out = salted.repartition(num_partitions, F.col(key), F.col(SALT_COL))
+    else:
+        out = salted.repartition(F.col(key), F.col(SALT_COL))
+    return out.drop(SALT_COL)

@@ -1,0 +1,116 @@
+"""Per-partition lineage/metrics rows + corpus evaluation (FIXTURES.md §6).
+
+The metrics schema mirrors the reference's evaluation record
+(``evaluate_new_testdata.py:59-67,86-95``): span counts, char/word accuracy,
+elapsed. Lineage rows are computed with plain grouped aggregation over
+``spark_partition_id()`` — distributed, no driver-side loops — and appended to
+a parquet metrics table (Iceberg-ready schema; the sandbox has no Iceberg
+jars, SURVEY.md §7 R3, so ``snapshot_id`` falls back to a manifest hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from granulate_char_ocr_spark.operators.stitch import explode_expected
+
+METRICS_SCHEMA_DOC = (
+    "run_id, input_snapshot_id, partition_hash, n_docs, n_text_spans, "
+    "n_media_spans, n_chars, committed_at"
+)
+
+
+def partition_lineage(flat: DataFrame, run_id: str, snapshot_id: str) -> DataFrame:
+    """One lineage row per physical input partition of the extracted span
+    stream: (run_id, input_snapshot_id, partition_hash, n_docs, n_text_spans,
+    n_media_spans, n_chars, committed_at)."""
+    return (
+        flat.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(",", F.sort_array(F.collect_set("doc_id")))
+            ).alias("partition_hash"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum((F.col("kind") == "text").cast("long")).alias("n_text_spans"),
+            F.sum((F.col("kind") == "media").cast("long")).alias("n_media_spans"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0)).cast("long")).alias(
+                "n_chars"
+            ),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(snapshot_id).alias("input_snapshot_id"),
+            F.col("partition_hash").cast("string"),
+            "n_docs",
+            "n_text_spans",
+            "n_media_spans",
+            "n_chars",
+            F.current_timestamp().alias("committed_at"),
+        )
+    )
+
+
+def evaluate(extracted: DataFrame, expected: DataFrame) -> DataFrame:
+    """Corpus accuracy metrics vs the golden expectation — the Spark
+    restatement of ``evaluate_new_testdata.py`` (EP3, SURVEY.md §3).
+
+    Span-level join on (doc_id, order); char accuracy is the positional
+    zip-join (J4): posexplode both texts and compare per position.
+    Returns one row: n_docs, n_spans, span_equality, char_accuracy,
+    word_accuracy, perfect_docs.
+    """
+    got = explode_expected(extracted).withColumnRenamed("text", "got_text")
+    exp = explode_expected(expected).withColumnRenamed("text", "exp_text")
+    joined = exp.join(
+        got,
+        ["doc_id", "order"],
+        "left",
+    ).select(
+        "doc_id",
+        "order",
+        "exp_text",
+        "got_text",
+        (
+            (F.col("exp_text") == F.col("got_text"))
+            & (exp["kind"] == F.coalesce(got["kind"], F.lit("")))
+        ).alias("span_ok"),
+    )
+
+    # positional char zip-join (reference evaluate_new_testdata.py:52-54)
+    exp_chars = joined.select(
+        "doc_id",
+        "order",
+        F.posexplode(F.split(F.coalesce("exp_text", F.lit("")), "")).alias(
+            "pos", "exp_c"
+        ),
+    )
+    got_chars = joined.select(
+        "doc_id",
+        "order",
+        F.posexplode(F.split(F.coalesce("got_text", F.lit("")), "")).alias(
+            "pos", "got_c"
+        ),
+    )
+    char_join = exp_chars.join(got_chars, ["doc_id", "order", "pos"], "left")
+    char_acc = char_join.agg(
+        F.avg((F.col("exp_c") == F.col("got_c")).cast("double")).alias(
+            "char_accuracy"
+        )
+    )
+
+    per_doc = joined.groupBy("doc_id").agg(
+        F.min(F.col("span_ok").cast("int")).alias("doc_ok"),
+        F.count("*").alias("n_spans"),
+    )
+    summary = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_spans").alias("n_spans"),
+        F.avg("doc_ok").alias("word_accuracy"),
+        F.sum("doc_ok").alias("perfect_docs"),
+    )
+    span_eq = joined.agg(
+        F.avg(F.col("span_ok").cast("double")).alias("span_equality")
+    )
+    return summary.crossJoin(span_eq).crossJoin(char_acc)

@@ -1,0 +1,255 @@
+"""Deterministic synthetic OCR corpus (FIXTURES.md §1-§5).
+
+Synthesizes, from a fixed seed and the 26 pinned hash prototypes only:
+
+* ``documents``      — (doc_id:string, spans:array<struct<kind,text,media_ref,
+                        offset:int>>) exactly per BASELINE.json ``input_hint``
+* ``glyph_media``    — (media_ref, word, width, height, pixels:binary) — the
+                        media store the pipeline joins on ``media_ref``
+* ``expected_spans`` — the golden output: (doc_id, spans:array<struct<kind,
+                        text,media_ref,order:int>>)
+
+Determinism: each doc's content comes from ``np.random.default_rng([seed,
+doc_index])`` so a doc's spans are independent of ``n_docs``. Skew realism
+(SURVEY.md §7 R5): every 100th doc (index % 100 == 7) is media-heavy with
+``HEAVY_FACTOR``× extra media spans.
+
+The media vocabulary is the reference's golden word list
+(``/root/reference/test_data/`` filename stems, sanitized the way
+``evaluate_new_testdata.py:33-41`` does) — so word fixtures carry the same
+label distribution the reference evaluates on.
+
+This generator is a test/bench stand-in for the real 10^12-doc Iceberg table;
+at production scale documents arrive as an Iceberg/parquet scan and this
+module is never on the hot path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from granulate_char_ocr_spark import alphabet
+from granulate_char_ocr_spark.functions.text import normalize_python
+
+# Golden vocabulary = sanitized reference test_data/ stems (strip !/., upper,
+# keep [A-Z]+). Single letters A-Z are added programmatically below.
+WORDS: tuple[str, ...] = (
+    "AND", "BE", "BY", "CAN", "CHANGE", "COME", "CONFERENCE", "COSTS",
+    "COVERED", "EASY", "ENJOYABLE", "EQPHGTGPE", "FACTORY", "FOR", "HEAD",
+    "HIRING", "HUMAN", "INC", "INDIVIDUALS", "IS", "JOB", "JOIN", "KPE",
+    "LAB", "LANGO", "LOOKING", "NYELV", "OF", "OPERATE", "OUR", "PART",
+    "PASSIONATE", "PLEASURE", "PROUD", "PROVIDED", "RE", "ROOM", "STOMACH",
+    "SWEETS", "TEAM", "THE", "TO", "TRANSPORTATION", "UNIFORM", "US",
+    "UVQOCEJ", "WE", "WORK", "WORLD", "YAMIGASHI", "YOU", "YUMMY",
+) + tuple(alphabet.LETTERS)
+
+N_VARIANTS = 3        # rendering variants per word (different gaps/margins)
+HEAVY_EVERY = 100     # 1 in 100 docs is media-heavy ...
+HEAVY_AT = 7          # ... (index % 100 == 7)
+HEAVY_FACTOR = 50     # with 50x extra media spans
+MEDIA_FRACTION = 0.4
+
+# noise pieces injected into raw text spans (normalization must remove/fold)
+_ZERO_WIDTHS = ("​", "‌", "‍", "⁠", "﻿")
+_ACCENTED = ("café", "résumé", "über", "año")
+
+
+def render_word(word: str, variant: int = 0) -> np.ndarray:
+    """64-high word image: canonical glyph tiles with all-zero gaps.
+
+    Gap = 12 + 4*variant px (> the reference's min-width-10 island rule at
+    ocr_service.py:238, so segmentation recovers exactly len(word) islands);
+    margin = 6 + 2*variant px each side.
+    """
+    gap = 12 + 4 * variant
+    margin = 6 + 2 * variant
+    tiles: list[np.ndarray] = []
+    zeros_gap = np.zeros((alphabet.GLYPH_SIZE, gap), dtype=np.uint8)
+    for i, ch in enumerate(word):
+        if i:
+            tiles.append(zeros_gap)
+        tiles.append(alphabet.render_glyph(ch))
+    zeros_margin = np.zeros((alphabet.GLYPH_SIZE, margin), dtype=np.uint8)
+    return np.hstack([zeros_margin, *tiles, zeros_margin])
+
+
+def render_word_noisy(word: str, variant: int, seed: int) -> np.ndarray:
+    """Seeded salt-and-pepper variant (robustness-bound tests only; mirrors
+    reference augment_simple.py:22-81's noise leg)."""
+    img = render_word(word, variant).copy()
+    rng = np.random.default_rng([seed, variant, len(word)])
+    mask = rng.random(img.shape) < 0.002
+    img[mask] = 255 - img[mask]
+    return img
+
+
+def media_ref_for(word: str, variant: int) -> str:
+    return f"img_{word}_{variant:04d}"
+
+
+def glyph_media_pandas() -> pd.DataFrame:
+    """The full media store: one row per (word, variant)."""
+    rows = []
+    for word in WORDS:
+        for v in range(N_VARIANTS):
+            img = render_word(word, v)
+            rows.append(
+                {
+                    "media_ref": media_ref_for(word, v),
+                    "word": word,
+                    "width": img.shape[1],
+                    "height": img.shape[0],
+                    "pixels": img.tobytes(),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def _raw_text(rng: np.random.Generator) -> str:
+    """A raw text span needing normalization: lowercase golden words plus
+    seeded noise (mixed case, NFD accents, zero-width chars, !/., runs of
+    whitespace)."""
+    n = int(rng.integers(2, 7))
+    words = [str(WORDS[int(rng.integers(0, len(WORDS)))]).lower() for _ in range(n)]
+    if rng.random() < 0.5:
+        words[int(rng.integers(0, n))] = words[int(rng.integers(0, n))].capitalize()
+    if rng.random() < 0.4:
+        words.insert(int(rng.integers(0, n)), _ACCENTED[int(rng.integers(0, len(_ACCENTED)))])
+    s = " ".join(words)
+    if rng.random() < 0.5:
+        s = s.replace(" ", "  ", 1)
+    if rng.random() < 0.4:
+        i = int(rng.integers(0, len(s)))
+        s = s[:i] + _ZERO_WIDTHS[int(rng.integers(0, len(_ZERO_WIDTHS)))] + s[i:]
+    if rng.random() < 0.5:
+        s += "!" if rng.random() < 0.5 else "."
+    if rng.random() < 0.3:
+        s = " " + s + " "
+    return s
+
+
+def _doc(doc_index: int, seed: int) -> tuple[dict, dict]:
+    """One document + its golden expectation."""
+    rng = np.random.default_rng([seed, doc_index])
+    doc_id = f"doc_{doc_index:08d}"
+    n_spans = int(rng.integers(1, 13))
+    kinds = rng.random(n_spans) < MEDIA_FRACTION
+    if doc_index % HEAVY_EVERY == HEAVY_AT:  # heavy-tail skew doc
+        kinds = np.concatenate([kinds, np.ones(HEAVY_FACTOR, dtype=bool)])
+    offsets = np.cumsum(rng.integers(1, 20, size=len(kinds)))
+    spans, expected = [], []
+    for order, (is_media, off) in enumerate(zip(kinds, offsets)):
+        if is_media:
+            word = str(WORDS[int(rng.integers(0, len(WORDS)))])
+            ref = media_ref_for(word, int(rng.integers(0, N_VARIANTS)))
+            spans.append(
+                {"kind": "media", "text": None, "media_ref": ref, "offset": int(off)}
+            )
+            expected.append(
+                {"kind": "media", "text": word, "media_ref": ref, "order": order}
+            )
+        else:
+            raw = _raw_text(rng)
+            spans.append(
+                {"kind": "text", "text": raw, "media_ref": None, "offset": int(off)}
+            )
+            expected.append(
+                {
+                    "kind": "text",
+                    "text": normalize_python(raw),
+                    "media_ref": None,
+                    "order": order,
+                }
+            )
+    return (
+        {"doc_id": doc_id, "spans": spans},
+        {"doc_id": doc_id, "spans": expected},
+    )
+
+
+def corpus_pandas(n_docs: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(documents, expected_spans) as pandas frames of python objects."""
+    docs, exps = zip(*(_doc(i, seed) for i in range(n_docs)))
+    return pd.DataFrame(list(docs)), pd.DataFrame(list(exps))
+
+
+# --- Spark / parquet plumbing -------------------------------------------------
+
+SPANS_IN_TYPE = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+SPANS_OUT_TYPE = (
+    "array<struct<kind:string,text:string,media_ref:string,order:int>>"
+)
+DOCS_SCHEMA = f"doc_id string, spans {SPANS_IN_TYPE}"
+EXPECTED_SCHEMA = f"doc_id string, spans {SPANS_OUT_TYPE}"
+MEDIA_SCHEMA = "media_ref string, word string, width int, height int, pixels binary"
+
+
+def corpus_spark(spark, n_docs: int, seed: int = 42):
+    """(documents, glyph_media, expected) as Spark DataFrames."""
+    docs_pd, exp_pd = corpus_pandas(n_docs, seed)
+    docs = spark.createDataFrame(docs_pd, schema=DOCS_SCHEMA)
+    expected = spark.createDataFrame(exp_pd, schema=EXPECTED_SCHEMA)
+    media = spark.createDataFrame(glyph_media_pandas(), schema=MEDIA_SCHEMA)
+    return docs, media, expected
+
+
+def write_corpus(out_dir: str, n_docs: int, seed: int = 42) -> None:
+    """Materialize the corpus as parquet (bench input; avoids regenerating
+    per run and keeps bench I/O shaped like the production scan)."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs_pd, exp_pd = corpus_pandas(n_docs, seed)
+    span_in = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    span_out = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("order", pa.int32()),
+            ]
+        )
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            docs_pd, schema=pa.schema([("doc_id", pa.string()), ("spans", span_in)])
+        ),
+        os.path.join(out_dir, "ocr_documents.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            exp_pd, schema=pa.schema([("doc_id", pa.string()), ("spans", span_out)])
+        ),
+        os.path.join(out_dir, "ocr_expected.parquet"),
+    )
+    media_pd = glyph_media_pandas()
+    pq.write_table(
+        pa.Table.from_pandas(
+            media_pd,
+            schema=pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("word", pa.string()),
+                    ("width", pa.int32()),
+                    ("height", pa.int32()),
+                    ("pixels", pa.binary()),
+                ]
+            ),
+        ),
+        os.path.join(out_dir, "ocr_media.parquet"),
+    )
