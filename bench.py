@@ -1,0 +1,124 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+Headline metric: end-to-end OCR-extraction throughput (documents/sec) on the
+synthetic interleaved corpus (BASELINE.json ``metric``), plus per-query wall
+times for the operator surface. The scaling-efficiency evidence (N vs 4N
+cores) lives in tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "sessionize_events",
+    "rank_orders_per_customer",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "lang_id_docs",
+    "quality_score_docs",
+]
+
+# OCR corpus size for the headline throughput number at each sf tier
+OCR_DOCS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 8000}
+
+
+def _count(df) -> int:
+    # force full execution (count() can prune; write.format(noop) is cleaner
+    # but count after cache-less run still executes every operator here
+    # because aggregates/joins cannot be pruned away)
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+    from granulate_char_ocr_spark import driver_queries
+    from granulate_char_ocr_spark.plans.pipeline import extract_documents
+    from granulate_char_ocr_spark.session import get_spark
+    from granulate_char_ocr_spark.sources import synthetic
+
+    spark = get_spark(
+        app_name="gcos-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+
+    # --- headline: OCR extraction throughput --------------------------------
+    n_docs = OCR_DOCS.get(sf_name, 2000)
+    corpus_dir = os.path.join("/tmp", f"gcos_bench_corpus_{sf_name}_{n_docs}")
+    if not os.path.exists(os.path.join(corpus_dir, "ocr_documents.parquet")):
+        synthetic.write_corpus(corpus_dir, n_docs, seed=42)
+    docs = spark.read.parquet(os.path.join(corpus_dir, "ocr_documents.parquet"))
+    media = spark.read.parquet(os.path.join(corpus_dir, "ocr_media.parquet"))
+
+    t0 = time.perf_counter()
+    extracted = extract_documents(docs, media, n_salts=8)
+    out_rows = _count(extracted)
+    ocr_sec = time.perf_counter() - t0
+    times["ocr_extract"] = round(ocr_sec, 3)
+
+    n_media_spans = None
+    t0 = time.perf_counter()
+    # chars/sec companion number from the flat stream
+    from granulate_char_ocr_spark.plans.pipeline import extract_flat
+    from pyspark.sql import functions as F
+
+    flat = extract_flat(docs, media)
+    agg = flat.agg(
+        F.sum(F.when(F.col("kind") == "media", F.col("n_chars")).otherwise(0)).alias(
+            "chars"
+        ),
+        F.sum((F.col("kind") == "media").cast("long")).alias("media_spans"),
+    ).collect()[0]
+    times["ocr_extract_flat"] = round(time.perf_counter() - t0, 3)
+    n_chars, n_media_spans = int(agg["chars"]), int(agg["media_spans"])
+
+    # --- operator surface ----------------------------------------------------
+    for name in BENCH_QUERIES:
+        fn = driver_queries.QUERIES[name]
+        t0 = time.perf_counter()
+        _count(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    docs_per_sec = round(out_rows / ocr_sec, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "ocr_extraction_docs_per_sec",
+                "value": docs_per_sec,
+                "unit": "docs/sec",
+                "queries": times,
+                "sf": sf_name,
+                "ocr_docs": out_rows,
+                "ocr_media_spans": n_media_spans,
+                "ocr_chars": n_chars,
+                "ocr_chars_per_sec": round(n_chars / ocr_sec, 2),
+                "total_sec": total,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,801 @@
+"""Driver-contract query surface: one (Spark callable, DuckDB oracle SQL)
+pair per operator family from SURVEY.md §2, over the driver test tables at
+``/root/testdata/sf*`` plus the repo's own OCR corpus.
+
+Conventions that keep the value-hash comparison stable across engines:
+* every aggregate/computed column is aliased identically on both sides;
+* raw parquet doubles pass through UNROUNDED (bit-identical from the scan);
+  aggregated doubles are rounded (2dp for big price sums, 4-6dp for avgs);
+* top-k rankings order by (rounded measure, unique key) so ties cannot
+  reorder between engines;
+* hashing is md5 (bit-identical in Spark and DuckDB); bit ops are plain
+  ``>> & ^ bit_count``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from granulate_char_ocr_spark.operators import dedup, similarity, textstats
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# =============================================================================
+# A. relational core (TPC-H-ish) — SURVEY §2.2-§2.7 operator families
+# =============================================================================
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Hash-aggregate with partial (map-side) combine — SURVEY §2.4 A5/A6."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_top_revenue_orders",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1 ORDER BY revenue DESC, orderkey LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark, sf_dir):
+    """Broadcast dim join + top-k (SURVEY §2.3 J2, §2.6 O3). customer is the
+    small side → explicit broadcast; lineitem-orders is the fact join."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "agg_colsum_events",
+    """
+    SELECT event_type, round(sum(value), 4) AS total_value,
+           count(*) AS n_events, round(avg(value), 6) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_colsum_events(spark, sf_dir):
+    """The column-projection-sum analog (SURVEY §2.4 A2)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@q(
+    "sessionize_events",
+    """
+    WITH d AS (
+      SELECT user_id, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      FROM events)
+    SELECT user_id,
+           CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM d GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gaps-and-islands sessionization — the reference's run-length
+    segmentation scan re-expressed relationally (SURVEY §2.5 W1/W4)."""
+    ev = _t(spark, sf_dir, "events").withColumn("ms", F.unix_millis(F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ms", F.lag("ms").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev_ms").isNull()
+                    | (F.col("ms") - F.col("prev_ms") > 1800000),
+                    1,
+                ).otherwise(0)
+            ).alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@q(
+    "filter_bbox_parts",
+    """
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part WHERE p_size > 10 AND p_retailprice > 500.0
+    """,
+)
+def filter_bbox_parts(spark, sf_dir):
+    """Conjunctive pushed-down filter (SURVEY §2.2 P3 min-size analog)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") > 10) & (F.col("p_retailprice") > 500.0))
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+@q(
+    "cascade_case_lineitem",
+    """
+    SELECT CASE WHEN l_discount >= 0.08 THEN 'high'
+                WHEN l_discount >= 0.05 THEN 'mid'
+                WHEN l_discount > 0.0 THEN 'low'
+                ELSE 'zero' END AS bucket,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def cascade_case_lineitem(spark, sf_dir):
+    """The confidence-cascade when-ladder (SURVEY §2.2 P4, §2.4 A11)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_discount") >= 0.08, "high")
+        .when(F.col("l_discount") >= 0.05, "mid")
+        .when(F.col("l_discount") > 0.0, "low")
+        .otherwise("zero")
+    )
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@q(
+    "confusion_matrix_docs",
+    "SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source",
+)
+def confusion_matrix_docs(spark, sf_dir):
+    """Pairwise grouped count — the expected→recognized confusion matrix
+    shape (SURVEY §2.4 A8)."""
+    return _t(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count("*").alias("n")
+    )
+
+
+@q(
+    "topk_confusions",
+    """
+    SELECT lang, source, count(*) AS n FROM documents
+    GROUP BY lang, source ORDER BY n DESC, lang, source LIMIT 10
+    """,
+)
+def topk_confusions(spark, sf_dir):
+    """Top-10 by count with total-order tie-break (SURVEY §2.6 O3)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "lang", "source")
+        .limit(10)
+    )
+
+
+@q(
+    "anti_join_inactive_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_inactive_customers(spark, sf_dir):
+    """Left-anti join (SURVEY §2.7 E1 missing-chars difference)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_active_customers(spark, sf_dir):
+    """Left-semi join (SURVEY §2.7 E3 membership)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_acctbal")
+
+
+@q(
+    "rank_orders_per_customer",
+    """
+    SELECT custkey, orderkey, totalprice, rnk FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             o_totalprice AS totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t WHERE rnk <= 3
+    """,
+)
+def rank_orders_per_customer(spark, sf_dir):
+    """Per-group top-k ranking window (SURVEY §2.5 W5)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "rnk",
+        )
+    )
+
+
+@q(
+    "lag_event_deltas",
+    """
+    WITH d AS (
+      SELECT event_type,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_ms
+      FROM events)
+    SELECT event_type, count(delta_ms) AS n_deltas,
+           round(avg(delta_ms), 4) AS avg_delta_ms
+    FROM d GROUP BY event_type
+    """,
+)
+def lag_event_deltas(spark, sf_dir):
+    """lag/lead neighbor pass (SURVEY §2.5 W3, §2.3 J5)."""
+    ev = _t(spark, sf_dir, "events").withColumn("ms", F.unix_millis(F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("delta_ms", F.col("ms") - F.lag("ms").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count("delta_ms").alias("n_deltas"),
+            F.round(F.avg("delta_ms"), 4).alias("avg_delta_ms"),
+        )
+    )
+
+
+@q(
+    "corpus_stats_docs",
+    """
+    SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+           round(stddev_pop(n_chars), 4) AS sd_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def corpus_stats_docs(spark, sf_dir):
+    """Corpus statistics aggregate (SURVEY §2.4 A6)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.stddev_pop("n_chars"), 4).alias("sd_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@q(
+    "doclen_histogram",
+    """
+    SELECT CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+           count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def doclen_histogram(spark, sf_dir):
+    """Word-length grouped analysis (SURVEY §2.4 A7)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(
+            F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@q(
+    "positional_zip_tokens",
+    """
+    SELECT pos, count(*) AS n_at_pos, min(tok) AS min_tok, max(tok) AS max_tok
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS tok,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      FROM documents WHERE doc_id < 200) t
+    GROUP BY pos
+    """,
+)
+def positional_zip_tokens(spark, sf_dir):
+    """posexplode positional zip-join (SURVEY §2.3 J4). pos is 1-based to
+    match SQL subscripts."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        d.select(F.posexplode(F.split("text", " ")).alias("pos0", "tok"))
+        .select((F.col("pos0") + 1).alias("pos"), "tok")
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n_at_pos"),
+            F.min("tok").alias("min_tok"),
+            F.max("tok").alias("max_tok"),
+        )
+    )
+
+
+@q(
+    "sorted_unique_event_types",
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+)
+def sorted_unique_event_types(spark, sf_dir):
+    """distinct + order (SURVEY §2.6 O5)."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct().orderBy(
+        "event_type"
+    )
+
+
+@q(
+    "mode_event_type_per_user",
+    """
+    SELECT user_id, event_type AS top_event FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type) t WHERE rn = 1
+    """,
+)
+def mode_event_type_per_user(spark, sf_dir):
+    """Grouped mode with deterministic tie-break (SURVEY §2.4 A12)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"))
+    )
+
+
+@q(
+    "value_islands_per_user",
+    """
+    WITH f AS (
+      SELECT user_id, CASE WHEN value > 50 THEN 1 ELSE 0 END AS flag,
+             lag(CASE WHEN value > 50 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_flag
+      FROM events)
+    SELECT user_id,
+           CAST(sum(CASE WHEN flag = 1 AND (prev_flag IS NULL OR prev_flag = 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_islands,
+           CAST(sum(flag) AS BIGINT) AS n_above
+    FROM f GROUP BY user_id
+    """,
+)
+def value_islands_per_user(spark, sf_dir):
+    """Threshold run-length islands over an ordered stream — the projection
+    segmentation (SURVEY §2.5 W1) as a relational window."""
+    ev = _t(spark, sf_dir, "events")
+    flag = F.when(F.col("value") > 50, 1).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("flag", flag)
+        .withColumn("prev_flag", F.lag("flag").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("flag") == 1)
+                    & (F.col("prev_flag").isNull() | (F.col("prev_flag") == 0)),
+                    1,
+                ).otherwise(0)
+            ).alias("n_islands"),
+            F.sum("flag").alias("n_above"),
+        )
+    )
+
+
+@q(
+    "json_props_sum",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_sum(spark, sf_dir):
+    """JSON extraction + grouped sum (SURVEY §2.8 json sinks analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("total_k")
+    )
+
+
+@q(
+    "events_per_day",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def events_per_day(spark, sf_dir):
+    """Date bucketing (SURVEY §2.8 F18 timestamps)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+
+
+# =============================================================================
+# B. training-data pipeline operators (dedup / ANN / text analysis)
+# =============================================================================
+
+_SHINGLE_SQL = (
+    "SELECT DISTINCT doc_id, unnest(list_transform("
+    "range(1, len(string_split(text, ' ')) - 1), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]"
+    " || ' ' || string_split(text, ' ')[i+2])) AS shingle FROM documents"
+)
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_sql(k: int = 8, bands: int = 4) -> str:
+    rows = k // bands
+    mh_cols = ", ".join(
+        f"min(md5('{s}:' || shingle)) AS mh_{s}" for s in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh_{b * rows}"
+        + "".join(f" || mh_{b * rows + r}" for r in range(1, rows))
+        + ") AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+    banded AS ({band_selects})
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    """
+
+
+@q("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh0 AS ({_SHINGLE_SQL}),
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql(bits: int = 16, where: str = "") -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(bits)
+    )
+    val = " + ".join(
+        f"CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents {where}),
+    th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INT AS th FROM tok),
+    s AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+    SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM s
+    """
+
+
+@q("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "simhash_near_pairs",
+    f"""
+    WITH sim AS ({_simhash_sql(where="WHERE doc_id < 1000")})
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hd
+    FROM sim l JOIN sim r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
+    """,
+)
+def simhash_near_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup.simhash_near_pairs(docs)
+
+
+def _cosine_sql_expr(a: str, b: str) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform(range(1, len({b}) + 1), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    )
+    return f"round({dot} / ({na} * {nb}), 5)"
+
+
+@q(
+    "ann_cosine_topk",
+    f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_cosine_sql_expr('q.embedding', 'e.embedding')} AS sim
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < 10 AND q.vec_id != e.vec_id)
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs) t WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _cell_sql(side: str, dims: int = 4) -> str:
+    return " || ".join(
+        f"CASE WHEN {side}.embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(dims)
+    )
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding, {_cell_sql('embeddings')} AS cell
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding, {_cell_sql('embeddings')} AS cell
+          FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cosine_sql_expr('q.embedding', 'c.embedding')} AS sim
+      FROM q JOIN c ON q.cell = c.cell AND q.vec_id != c.vec_id)
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs) t WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _hits_sql(lang: str) -> str:
+    from granulate_char_ocr_spark.operators.textstats import LANG_MARKERS
+
+    return " + ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{w}'))"
+        for w in LANG_MARKERS[lang]
+    )
+
+
+@q(
+    "lang_id_docs",
+    f"""
+    SELECT doc_id,
+      CASE WHEN hits_de > greatest(hits_en, hits_es, hits_fr) THEN 'de'
+           WHEN hits_fr > greatest(hits_en, hits_es) THEN 'fr'
+           WHEN hits_es > hits_en THEN 'es'
+           WHEN hits_en > 0 THEN 'en'
+           ELSE 'und' END AS predicted_lang
+    FROM (SELECT doc_id, {_hits_sql('en')} AS hits_en,
+                 {_hits_sql('es')} AS hits_es, {_hits_sql('fr')} AS hits_fr,
+                 {_hits_sql('de')} AS hits_de
+          FROM documents) t
+    """,
+)
+def lang_id_docs(spark, sf_dir):
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "token_count_docs",
+    """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_types
+    FROM documents
+    """,
+)
+def token_count_docs(spark, sf_dir):
+    return textstats.token_count(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "quality_score_docs",
+    f"""
+    SELECT doc_id, n_chars_m, punct_ratio, stopword_ratio, mean_token_len,
+           round(least(n_chars_m / 500.0, 1.0) * 0.4
+                 + least(stopword_ratio * 5.0, 1.0) * 0.4
+                 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality
+    FROM (
+      SELECT doc_id, length(text) AS n_chars_m,
+             round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+             round(({_hits_sql('en')} + {_hits_sql('es')} + {_hits_sql('fr')}
+                    + {_hits_sql('de')})
+                   / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
+             round((length(text) - (len(string_split(text, ' ')) - 1))
+                   / greatest(len(string_split(text, ' ')), 1), 6) AS mean_token_len
+      FROM documents) t
+    """,
+)
+def quality_score_docs(spark, sf_dir):
+    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "fingerprint_docs",
+    r"""
+    SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def fingerprint_docs(spark, sf_dir):
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# =============================================================================
+# C. the OCR extraction engine itself (non-SQL-expressible → rows-only checks)
+# =============================================================================
+
+_SF_DOCS = {"sf0.001": 200, "sf0.01": 800, "sf0.1": 2000}
+
+
+def _ocr_corpus(spark, sf_dir):
+    from granulate_char_ocr_spark.sources.synthetic import corpus_spark
+
+    n = _SF_DOCS.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 400)
+    return corpus_spark(spark, n, seed=42)
+
+
+@q("ocr_extract_documents", None)
+def ocr_extract_documents(spark, sf_dir):
+    """The flagship extraction job on the deterministic synthetic corpus
+    (size scaled by sf tier). Non-SQL-expressible (pixel UDF kernel)."""
+    from granulate_char_ocr_spark.plans.pipeline import extract_documents
+
+    docs, media, _ = _ocr_corpus(spark, sf_dir)
+    return extract_documents(docs, media)
+
+
+@q("ocr_eval_metrics", None)
+def ocr_eval_metrics(spark, sf_dir):
+    """Span/char/word accuracy vs the golden fixtures (must be all 1.0)."""
+    from granulate_char_ocr_spark.plans.lineage import evaluate
+    from granulate_char_ocr_spark.plans.pipeline import extract_documents
+
+    docs, media, expected = _ocr_corpus(spark, sf_dir)
+    return evaluate(extract_documents(docs, media), expected)
+
+
+@q("ocr_method_histogram", None)
+def ocr_method_histogram(spark, sf_dir):
+    """Recognition-method histogram (SURVEY §2.4 A11) over extracted chars."""
+    from granulate_char_ocr_spark.plans.pipeline import extract_flat
+
+    docs, media, _ = _ocr_corpus(spark, sf_dir)
+    flat = extract_flat(docs, media)
+    return (
+        flat.filter(F.col("kind") == "media")
+        .select(F.explode("chars").alias("c"))
+        .groupBy(F.col("c.method").alias("method"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("c.confidence"), 6).alias("avg_confidence"),
+        )
+    )

@@ -1,0 +1,197 @@
+"""Deduplication operators over a document corpus — the training-data-pipeline
+surface (exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+All four are pure DataFrame compositions (no UDFs): hashing is `md5`, which is
+bit-identical across engines, so every operator has an exact DuckDB oracle.
+
+Scale notes:
+* exact dedup — one hash-aggregate shuffle on the fingerprint; at 100 TB this
+  is the cheapest possible formulation (map-side partial agg, AQE coalesce).
+* MinHash+LSH — signatures are k grouped `min()`s over exploded shingles
+  (partial aggregation applies), candidates come from an equi-join on
+  (band, band_hash): only docs sharing a band bucket ever meet, which is the
+  whole point of LSH at 10^12 docs — no quadratic pair enumeration.
+* n-gram Jaccard — the shingle-inverted-index self-join; skewy shingles
+  (stop-shingles) are the classic hazard: ``max_shingle_df`` drops shingles
+  seen in more than N docs before the join (standard df-cut), bounding the
+  join fan-out.
+* SimHash — 16 independent conditional sums per doc (single aggregate, no
+  explosion beyond tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def TOKENS():
+    # built lazily: Column construction needs an active SparkContext
+    return F.split(F.col("text"), " ")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(fingerprint, keep_id, n_dups): md5-grouped exact duplicate clusters;
+    the kept representative is the smallest doc_id (deterministic)."""
+    return (
+        docs.select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct n-word shingles per document."""
+    toks = TOKENS()
+    expr = (
+        f"case when size(_toks) >= {n} then "
+        f"transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
+        "else array() end"
+    )
+    return (
+        docs.withColumn("_toks", toks)
+        .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): MinHash signature as the lexicographic min of
+    seeded md5 over the doc's shingle set — engine-portable by construction."""
+    sh = shingles(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh_{s}")
+        for s in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 8, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b): unordered candidate near-dup pairs sharing at least one
+    LSH band (k/bands rows per band, hashed together)."""
+    rows = k // bands
+    sig = minhash_signatures(docs, k, n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bh"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", "b.band", "b.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): exact n-gram Jaccard over the shingle
+    inverted index; shingles appearing in > max_shingle_df docs are cut
+    before the self-join (skew bound). jaccard rounded to 6 decimals."""
+    sh = shingles(docs, n)
+    df_cut = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh = sh.join(df_cut, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "na")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_sh", "nb")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): ``bits``-wide SimHash over whitespace tokens.
+
+    Token hash = first 16 md5 hex digits as int; each bit contributes ±1,
+    bit set when the signed sum is strictly positive (deterministic ties).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(TOKENS()).alias("tok")
+    ).withColumn(
+        "th",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(th, {i}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(bits)
+    ]
+    summed = tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return summed.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hd: int = 2) -> DataFrame:
+    """(doc_a, doc_b, hd): SimHash pairs within Hamming distance ``max_hd``.
+
+    Demonstration formulation (cross join + bit_count filter) — at scale the
+    production path is the pigeonhole band trick (split bits into max_hd+1
+    chunks, equi-join on exact chunk match), same shape as LSH above.
+    """
+    s = simhash(docs, bits)
+    l, r = s.alias("l"), s.alias("r")
+    return (
+        l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .withColumn(
+            "hd",
+            F.expr("bit_count(l.simhash ^ r.simhash)").cast("int"),
+        )
+        .filter(F.col("hd") <= max_hd)
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            "hd",
+        )
+    )

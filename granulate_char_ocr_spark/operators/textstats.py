@@ -1,0 +1,100 @@
+"""Text-analysis operators over a document corpus: language-ID, quality
+scoring, token counting, fingerprinting. All pure column expressions
+(whole-stage codegen), each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (n-gram heuristic stand-in);
+# ordered — first language whose marker count wins takes the prediction
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+}
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def _marker_hits(lang: str) -> F.Column:
+    toks = F.split(F.col("text"), " ")
+    total = None
+    for w in LANG_MARKERS[lang]:
+        c = F.size(F.filter(toks, lambda t: t == F.lit(w)))
+        total = c if total is None else total + c
+    return total
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, predicted_lang): argmax of stopword-marker hits; 'und' when
+    nothing matches. Deterministic tie-break: language declaration order."""
+    scored = docs.select(
+        "doc_id",
+        *[_marker_hits(lg).alias(f"hits_{lg}") for lg in LANG_MARKERS],
+    )
+    best = None
+    pred = F.lit("und")
+    # build a when-ladder: later langs win only on strictly greater hits
+    for lg in LANG_MARKERS:
+        c = F.col(f"hits_{lg}")
+        if best is None:
+            best = c
+            pred = F.when(c > 0, F.lit(lg)).otherwise(F.lit("und"))
+        else:
+            pred = F.when((c > best) & (c > 0), F.lit(lg)).otherwise(pred)
+            best = F.greatest(best, c)
+    return scored.select("doc_id", pred.alias("predicted_lang"))
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_types): whitespace token count + distinct types."""
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars_m, punct_ratio, stopword_ratio, mean_token_len,
+    quality): length/punct/stopword heuristics → a [0,1] score (the
+    reference's edge-density quality sweep analog, SURVEY §2.8 F22)."""
+    toks = F.split(F.col("text"), " ")
+    length = F.length("text")
+    punct = length - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    stop_hits = None
+    for lg in LANG_MARKERS:
+        h = _marker_hits(lg)
+        stop_hits = h if stop_hits is None else stop_hits + h
+    n_tokens = F.size(toks)
+    punct_ratio = F.round(punct / F.greatest(length, F.lit(1)), 6)
+    stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6)
+    mean_tok = F.round(
+        (length - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    quality = F.round(
+        F.least(length / F.lit(500.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.2,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        length.alias("n_chars_m"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_tok.alias("mean_token_len"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): md5 document fingerprint of case/whitespace-normalized
+    text (the cheap exact-dup key; rolling/simhash variants in dedup.py)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
