@@ -1,0 +1,100 @@
+"""Behavioral tests for dedup / similarity / textstats operators on corpora
+with planted duplicates and known vectors (the oracle harness checks engine
+parity; these check the semantics are the intended ones)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from granulate_char_ocr_spark.operators import dedup, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    rows = [
+        (1, base),
+        (2, base),                         # exact dup of 1
+        (3, near),                         # near dup of 1 (one word differs)
+        (4, "completely different content with no overlap whatsoever here"),
+        (5, "short text"),                 # < 3 tokens after shingling edge
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_clusters(spark, docs):
+    out = {r["keep_id"]: r["n_dups"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[1] == 2          # docs 1+2 collapse, keeper is min(doc_id)
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0                       # exact dup
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_lsh_catches_exact_and_near(spark, docs):
+    cands = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in cands                # identical signatures always collide
+    assert not any(4 in p for p in cands)
+
+
+def test_simhash_properties(spark, docs):
+    s = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert s[1] == s[2]                   # identical text → identical simhash
+    hd13 = bin(s[1] ^ s[3]).count("1")
+    hd14 = bin(s[1] ^ s[4]).count("1")
+    assert hd13 < hd14                    # near-dup closer than unrelated
+    assert all(0 <= v < (1 << 16) for v in s.values())
+
+
+def test_cosine_topk_identity_neighbor(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # same direction as 0 → sim 1.0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(emb, n_queries=1, k=3).collect()
+    ranked = [(r["neighbor_id"], r["sim"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == (1, 1.0)
+    assert ranked[1][0] == 3
+    assert ranked[2] == (2, 0.0)
+
+
+def test_ivf_prunes_to_cell(spark):
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [2.0, 1.0, 1.0, 1.0]),       # same sign cell
+        (2, [-1.0, 1.0, 1.0, 1.0]),      # different cell → invisible to q0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ivf_topk(emb, n_queries=1, k=5).collect()
+    assert {r["neighbor_id"] for r in out} == {1}
+
+
+def test_lang_id_und_and_en(spark):
+    d = spark.createDataFrame(
+        [(1, "the cat and the hat is of note"), (2, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in textstats.lang_id(d).collect()}
+    assert out[1] == "en" and out[2] == "und"
+
+
+def test_token_count_and_fingerprint(spark):
+    d = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    r = textstats.token_count(d).collect()[0]
+    assert r["n_tokens"] == 3 and r["n_types"] == 2
+    d2 = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world")], "doc_id long, text string"
+    )
+    fps = [r["fp"] for r in textstats.fingerprint(d2).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1]   # case/whitespace-insensitive
