@@ -30,15 +30,20 @@ from pyspark.sql import DataFrame
 
 from granulate_char_ocr_spark.functions import kernels
 
-# output of the extraction kernel: one row per media span
-EXTRACTED_SCHEMA = (
-    "doc_id string, offset int, media_ref string, text string, "
-    "n_chars int, avg_confidence double, "
+# recognized-payload columns appended to the passthrough keys
+_RESULT_COLS = (
+    "text string, n_chars int, avg_confidence double, "
     "chars array<struct<latin:string,confidence:double,method:string,char_order:int>>"
 )
+# per-span extraction (non-dedup path): keys carried through the kernel
+SPAN_SCHEMA = f"doc_id string, offset int, media_ref string, {_RESULT_COLS}"
+# per-unique-image extraction (dedup path)
+UNIQUE_SCHEMA = f"media_ref string, {_RESULT_COLS}"
 
 
-def _process_batch(pdf: pd.DataFrame, noisy: bool) -> pd.DataFrame:
+def _process_batch(
+    pdf: pd.DataFrame, noisy: bool, passthrough: tuple[str, ...]
+) -> pd.DataFrame:
     n = len(pdf)
     pre_fn = kernels.preprocess_noisy if noisy else kernels.preprocess
     crops: list[np.ndarray] = []
@@ -89,27 +94,43 @@ def _process_batch(pdf: pd.DataFrame, noisy: bool) -> pd.DataFrame:
         float(np.mean([c["confidence"] for c in cs])) if cs else 0.0
         for cs in chars_col
     ]
-    return pd.DataFrame(
+    out = {c: pdf[c].to_numpy() for c in passthrough}
+    out.update(
         {
-            "doc_id": pdf["doc_id"].to_numpy(),
-            "offset": pdf["offset"].to_numpy(),
-            "media_ref": pdf["media_ref"].to_numpy(),
             "text": texts,
             "n_chars": [len(cs) for cs in chars_col],
             "avg_confidence": avg_conf,
             "chars": chars_col,
         }
     )
+    return pd.DataFrame(out)
 
 
-def extract_media_spans(media_spans: DataFrame, noisy: bool = False) -> DataFrame:
-    """media spans (doc_id, offset, media_ref, width, height, pixels) →
-    recognized spans (EXTRACTED_SCHEMA). Arrow-batched; no per-row Python."""
-
+def _map_extract(
+    df: DataFrame, schema: str, passthrough: tuple[str, ...], noisy: bool
+) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _process_batch(pdf, noisy)
+                yield _process_batch(pdf, noisy, passthrough)
 
-    cols = ["doc_id", "offset", "media_ref", "width", "height", "pixels"]
-    return media_spans.select(*cols).mapInPandas(fn, schema=EXTRACTED_SCHEMA)
+    cols = [*passthrough, "width", "height", "pixels"]
+    return df.select(*cols).mapInPandas(fn, schema=schema)
+
+
+def extract_media_spans(media_spans: DataFrame, noisy: bool = False) -> DataFrame:
+    """Per-span extraction: (doc_id, offset, media_ref, width, height, pixels)
+    → recognized spans (SPAN_SCHEMA). Used by the non-dedup path where every
+    span carries its own payload."""
+    return _map_extract(
+        media_spans, SPAN_SCHEMA, ("doc_id", "offset", "media_ref"), noisy
+    )
+
+
+def extract_unique_media(media: DataFrame, noisy: bool = False) -> DataFrame:
+    """Per-unique-image extraction: (media_ref, width, height, pixels) →
+    (UNIQUE_SCHEMA). The dedup path: recognition is a pure function of the
+    pixels, so each distinct media_ref is classified exactly once and the
+    (small) results join back to the span stream — pixel bytes never enter a
+    span-stream shuffle."""
+    return _map_extract(media, UNIQUE_SCHEMA, ("media_ref",), noisy)

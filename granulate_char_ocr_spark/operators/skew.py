@@ -33,8 +33,14 @@ def salt_repartition(
     salted = df.withColumn(
         SALT_COL, F.pmod(F.xxhash64(F.col(spread_col)), F.lit(n_salts))
     )
-    if num_partitions:
-        out = salted.repartition(num_partitions, F.col(key), F.col(SALT_COL))
-    else:
-        out = salted.repartition(F.col(key), F.col(SALT_COL))
+    if num_partitions is None:
+        # Explicit count, NOT AQE-advisory: the exchange carries only span
+        # keys (tiny bytes), so AQE would coalesce it to ~1 partition and
+        # serialize the downstream pixel-join + extraction kernel. The real
+        # work per row (decode/classify after the media join) is invisible
+        # to byte-based coalescing — a known AQE blind spot for compute-heavy
+        # UDF stages.
+        sc = df.sparkSession.sparkContext
+        num_partitions = sc.defaultParallelism * 2
+    out = salted.repartition(num_partitions, F.col(key), F.col(SALT_COL))
     return out.drop(SALT_COL)

@@ -2,18 +2,31 @@
 
     read documents → posexplode(spans)
       ├─ kind='text'  → vectorized normalization (built-ins + NFC pandas UDF)
-      └─ kind='media' → join glyph_media on media_ref
-                        → doc_id-salted repartition (skew defusal)
-                        → mapInPandas [preprocess → segment → classify]
+      └─ kind='media' → recognition
       → union → groupBy(doc_id) sort_array stitch → (doc_id, spans[order])
 
-Exactly two materializing exchanges touch the span stream: the salted
-repartition into the extraction kernel and the doc_id re-assembly out of it
-(the media join broadcasts when the media store is under the broadcast
-threshold — it is a deduplicated dictionary of distinct images, far smaller
-than the span stream; at true 100 TB scale it degrades gracefully to a
-shuffle hash join on ``media_ref``). No pixel bytes survive past the
-extraction kernel.
+Two recognition strategies, both Arrow-batched mapInPandas kernels:
+
+* ``dedup_media=True`` (default) — recognition is a pure function of the
+  pixels, so classify each DISTINCT media_ref exactly once:
+  ``distinct(media_ref) → join media store → mapInPandas → join results back
+  to the span stream``. Pixel bytes never enter a span-stream shuffle — they
+  stay co-located with the media store — and media-heavy document skew is
+  structurally eliminated before the only Python stage (a hot doc's 50 spans
+  cost one dictionary hit each, not 50 decodes). This is the 100 TB posture:
+  content-keyed compute dedup, the span stream carries only strings.
+* ``dedup_media=False`` — per-span extraction with explicit **doc_id-salted
+  repartition** (operators/skew.py) before the kernel, for corpora whose
+  media are predominantly unique (every span pays a decode; the salt spreads
+  a hot doc's spans across partitions). This is the north rule's literal
+  salting strategy, kept first-class and tested for output equality with the
+  dedup path.
+
+The span stream crosses exactly two exchanges either way: into the
+recognition join (or salted repartition) and out through the doc_id
+re-assembly. The media store / recognized-results join broadcasts when small
+and degrades to an AQE-skew-protected shuffle hash join on ``media_ref``
+otherwise.
 """
 
 from __future__ import annotations
@@ -22,7 +35,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from granulate_char_ocr_spark.functions.text import normalize_expr
-from granulate_char_ocr_spark.operators.extract import extract_media_spans
+from granulate_char_ocr_spark.operators.extract import (
+    extract_media_spans,
+    extract_unique_media,
+)
 from granulate_char_ocr_spark.operators.skew import salt_repartition
 from granulate_char_ocr_spark.operators.stitch import assemble_documents
 
@@ -41,6 +57,7 @@ def extract_flat(
     num_partitions: int | None = None,
     noisy: bool = False,
     broadcast_media: bool = True,
+    dedup_media: bool = True,
 ) -> DataFrame:
     """Flat extracted spans: (doc_id, offset, kind, text, media_ref,
     n_chars, avg_confidence, chars). Text spans carry n_chars = length of the
@@ -68,15 +85,37 @@ def extract_flat(
     )
 
     media_side = F.broadcast(media) if broadcast_media else media
-    media_spans = (
-        spans.filter(F.col("kind") == "media")
-        .select("doc_id", "offset", "media_ref")
-        .join(media_side, "media_ref", "left")
+    media_spans = spans.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref"
     )
-    media_spans = salt_repartition(
-        media_spans, n_salts=n_salts, num_partitions=num_partitions
-    )
-    recognized = extract_media_spans(media_spans, noisy=noisy)
+    if dedup_media:
+        # classify each distinct image once; join tiny results back.
+        # Explicit repartition for the kernel stage: the distinct output is
+        # key-only bytes, so AQE would coalesce it below the parallelism the
+        # pixel work needs (same blind spot as in operators/skew.py).
+        par = (
+            num_partitions
+            or docs.sparkSession.sparkContext.defaultParallelism * 2
+        )
+        uniq = (
+            media_spans.select("media_ref")
+            .distinct()
+            .repartition(par, "media_ref")
+            .join(media_side, "media_ref", "left")
+        )
+        rec_uniq = extract_unique_media(uniq, noisy=noisy)
+        rec_side = F.broadcast(rec_uniq) if broadcast_media else rec_uniq
+        recognized = media_spans.join(rec_side, "media_ref", "left")
+    else:
+        # per-span extraction behind a doc_id-salted repartition.
+        # Order matters at scale: repartition the TINY span keys first, then
+        # attach pixels via the (broadcast) media join inside each partition —
+        # pixel bytes never enter the salt exchange.
+        salted = salt_repartition(
+            media_spans, n_salts=n_salts, num_partitions=num_partitions
+        )
+        joined = salted.join(media_side, "media_ref", "left")
+        recognized = extract_media_spans(joined, noisy=noisy)
     media_out = recognized.select(
         "doc_id",
         "offset",
@@ -97,6 +136,7 @@ def extract_documents(
     num_partitions: int | None = None,
     noisy: bool = False,
     broadcast_media: bool = True,
+    dedup_media: bool = True,
 ) -> DataFrame:
     """The headline job: documents + glyph_media → (doc_id, spans[order])."""
     flat = extract_flat(
@@ -106,5 +146,6 @@ def extract_documents(
         num_partitions=num_partitions,
         noisy=noisy,
         broadcast_media=broadcast_media,
+        dedup_media=dedup_media,
     )
     return assemble_documents(flat.select("doc_id", "offset", "kind", "text", "media_ref"))

@@ -225,17 +225,23 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42) -> None:
             ]
         )
     )
+    # small row groups keep the file splittable: Spark parallelizes a
+    # parquet scan at row-group granularity, and the scan stage carries the
+    # explode + text-normalization work (a single-row-group file would make
+    # that stage serial regardless of cluster size)
     pq.write_table(
         pa.Table.from_pandas(
             docs_pd, schema=pa.schema([("doc_id", pa.string()), ("spans", span_in)])
         ),
         os.path.join(out_dir, "ocr_documents.parquet"),
+        row_group_size=1024,
     )
     pq.write_table(
         pa.Table.from_pandas(
             exp_pd, schema=pa.schema([("doc_id", pa.string()), ("spans", span_out)])
         ),
         os.path.join(out_dir, "ocr_expected.parquet"),
+        row_group_size=1024,
     )
     media_pd = glyph_media_pandas()
     pq.write_table(

@@ -40,6 +40,18 @@ def test_equality_survives_repartition(spark, corpus):
     assert got == exp
 
 
+def test_dedup_and_salted_paths_agree(spark, corpus):
+    """dedup_media=True (distinct-image classify + join back) must produce
+    exactly the salted per-span path's output — and both must equal golden."""
+    docs, media, expected = corpus
+    dedup = _as_map(extract_documents(docs, media, dedup_media=True).collect())
+    salted = _as_map(
+        extract_documents(docs, media, dedup_media=False, n_salts=4).collect()
+    )
+    exp = _as_map(expected.collect())
+    assert dedup == salted == exp
+
+
 def test_heavy_doc_extracted(spark, corpus):
     docs, media, expected = corpus
     heavy_id = "doc_00000007"
