@@ -783,6 +783,30 @@ def ocr_eval_metrics(spark, sf_dir):
     return evaluate(extract_documents(docs, media), expected)
 
 
+@q("mm_image_embeddings", None)
+def mm_image_embeddings(spark, sf_dir):
+    """Multimodal: 64-d aHash embeddings over the media store (pixel UDF →
+    rows-only check); output feeds operators/similarity.py."""
+    from granulate_char_ocr_spark.operators import multimodal
+    from granulate_char_ocr_spark.sources.synthetic import glyph_media_pandas
+
+    pdf = glyph_media_pandas().rename(columns={"pixels": "payload"})
+    pdf["modality"], pdf["codec"] = "image", "raw"
+    pdf["n_frames"], pdf["sample_rate"] = 1, 0
+    images = spark.createDataFrame(
+        pdf[
+            ["media_ref", "modality", "codec", "width", "height",
+             "n_frames", "sample_rate", "payload"]
+        ],
+        schema=multimodal.MULTIMODAL_SCHEMA,
+    )
+    emb = multimodal.image_embeddings(images)
+    return emb.select(
+        "media_ref",
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x).alias("n_ink_bits"),
+    )
+
+
 @q("ocr_method_histogram", None)
 def ocr_method_histogram(spark, sf_dir):
     """Recognition-method histogram (SURVEY §2.4 A11) over extracted chars."""

@@ -1,0 +1,180 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
+shapes — is real and tested. Compressed-codec decode (PNG/JPEG/MP3/H.264) is
+STUBBED: the sandbox has no image/audio libraries (no PIL/cv2/ffmpeg), so
+``decode_payload`` handles the engine's native ``raw`` format (uint8
+grayscale buffer + width/height, the glyph_media layout) and raises a
+clearly-marked ``NotImplementedError`` for compressed codecs — swap in a real
+decoder (pyarrow + Pillow/torchcodec) behind the same signature in
+production. Feature extractors that don't need a codec (resize, frame
+sampling over raw buffers, aHash embeddings) are fully implemented in NumPy.
+
+Schema convention for a multimodal table:
+    (media_ref string, modality string,      -- 'image' | 'audio' | 'video'
+     codec string,                           -- 'raw' | 'png' | 'jpeg' | ...
+     width int, height int, n_frames int, sample_rate int,
+     payload binary)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from granulate_char_ocr_spark.functions import kernels
+
+MULTIMODAL_SCHEMA = (
+    "media_ref string, modality string, codec string, width int, height int, "
+    "n_frames int, sample_rate int, payload binary"
+)
+
+
+def decode_payload(
+    payload: bytes, codec: str, width: int, height: int
+) -> np.ndarray:
+    """binary payload -> uint8 ndarray. Only the engine-native 'raw' codec is
+    implemented in-sandbox; compressed codecs are an explicit stub."""
+    if codec == "raw":
+        return np.frombuffer(payload, dtype=np.uint8).reshape(height, width)
+    # STUB: compressed-image decode needs an image library absent from this
+    # sandbox; production swaps in Pillow/turbojpeg behind this signature.
+    raise NotImplementedError(
+        f"decode for codec={codec!r} is stubbed in-sandbox (raw only)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# image: resize
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = "media_ref string, width int, height int, payload binary"
+
+
+def resize_images(
+    images: DataFrame, out_h: int = 64, out_w: int = 64
+) -> DataFrame:
+    """Batch image resize (area-average) over raw payloads.
+    (media_ref, codec, width, height, payload) → fixed-size raw payloads."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = decode_payload(r.payload, r.codec, r.width, r.height)
+                small = np.clip(
+                    kernels.resize_area(img, out_h, out_w), 0, 255
+                ).astype(np.uint8)
+                out.append((r.media_ref, out_w, out_h, small.tobytes()))
+            yield pd.DataFrame(
+                out, columns=["media_ref", "width", "height", "payload"]
+            )
+
+    cols = ["media_ref", "codec", "width", "height", "payload"]
+    return images.select(*cols).mapInPandas(fn, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image: feature extraction (aHash embedding — real, feeds similarity ops)
+# ---------------------------------------------------------------------------
+
+EMBED_SCHEMA = "media_ref string, embedding array<float>"
+
+
+def image_embeddings(images: DataFrame) -> DataFrame:
+    """64-dim {0,1} aHash embedding per image — a real, deterministic feature
+    column compatible with operators/similarity.py (cosine / IVF top-k)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, embs = [], []
+            for r in pdf.itertuples(index=False):
+                img = decode_payload(r.payload, r.codec, r.width, r.height)
+                embs.append(kernels.ahash_bits(img).astype(np.float32))
+                refs.append(r.media_ref)
+            yield pd.DataFrame({"media_ref": refs, "embedding": embs})
+
+    cols = ["media_ref", "codec", "width", "height", "payload"]
+    return images.select(*cols).mapInPandas(fn, schema=EMBED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video: frame sampling (raw = concatenated frames)
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = (
+    "media_ref string, frame_index int, width int, height int, payload binary"
+)
+
+
+def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
+    """1→N frame sampler: a raw 'video' payload is n_frames concatenated
+    (height×width) uint8 frames; emit every k-th frame as its own row (the
+    mapInPandas UDTF shape — one input row fans out to many output rows)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.codec != "raw":
+                    raise NotImplementedError(
+                        f"video decode for codec={r.codec!r} is stubbed"
+                    )
+                frame_bytes = r.width * r.height
+                for i in range(0, int(r.n_frames), every_k):
+                    payload = bytes(
+                        r.payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    )
+                    out.append((r.media_ref, i, r.width, r.height, payload))
+            yield pd.DataFrame(
+                out,
+                columns=["media_ref", "frame_index", "width", "height", "payload"],
+            )
+
+    cols = ["media_ref", "codec", "width", "height", "n_frames", "payload"]
+    return videos.select(*cols).mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: feature extraction (deterministic fake behind the real batch shape)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEAT_SCHEMA = "media_ref string, duration_sec double, features array<float>"
+
+
+def audio_features(audio: DataFrame, n_mels: int = 16) -> DataFrame:
+    """Audio featurizer: duration is real (len/sample_rate over raw int16
+    PCM); the 'mel' vector is a DETERMINISTIC FAKE (block-RMS over the raw
+    samples) standing in for a mel spectrogram — the sandbox has no audio
+    DSP library. Batch shape, schema and partitioning are production-real."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, durs, feats = [], [], []
+            for r in pdf.itertuples(index=False):
+                if r.codec != "raw":
+                    raise NotImplementedError(
+                        f"audio decode for codec={r.codec!r} is stubbed"
+                    )
+                samples = np.frombuffer(r.payload, dtype=np.int16).astype(
+                    np.float64
+                )
+                durs.append(len(samples) / float(r.sample_rate))
+                blocks = np.array_split(samples, n_mels)
+                feats.append(
+                    np.array(
+                        [np.sqrt(np.mean(b * b)) if len(b) else 0.0 for b in blocks],
+                        dtype=np.float32,
+                    )
+                )
+                refs.append(r.media_ref)
+            yield pd.DataFrame(
+                {"media_ref": refs, "duration_sec": durs, "features": feats}
+            )
+
+    cols = ["media_ref", "codec", "sample_rate", "payload"]
+    return audio.select(*cols).mapInPandas(fn, schema=AUDIO_FEAT_SCHEMA)

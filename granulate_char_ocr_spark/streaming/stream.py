@@ -1,0 +1,89 @@
+"""Structured Streaming analog of the reference's camera loop (SURVEY §2.9).
+
+The reference has no true stream engine — its frontend pushes camera frames
+through the same OCR endpoint in a requestAnimationFrame loop
+(``front/app/components/Camera/Camera.tsx:233-267``) and keeps a bounded
+result history (last 50, ``useOCRStore.ts:27-33``). The honest Spark analog:
+
+* ``recognize_stream``      — stateless per-span recognition over a streaming
+  DataFrame of media spans (append mode; the same Arrow kernel as batch — a
+  mapInPandas transformation is streaming-compatible as-is).
+* ``assemble_stream``       — per-doc stitch via ``foreachBatch`` reusing the
+  batch ``assemble_documents`` (document re-assembly needs a grouped
+  aggregate; micro-batch boundaries are the natural completeness contract
+  for a batch-shaped corpus replayed as a stream).
+* ``keep_last_n``           — the bounded-history state (T3): last N results
+  per key with ``applyInPandasWithState``.
+
+No watermark/event-time claims are made beyond what the reference has
+(none) — late data handling would be watermark + window once a true
+event-time source exists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from granulate_char_ocr_spark.operators.extract import extract_media_spans
+from granulate_char_ocr_spark.operators.stitch import assemble_documents
+
+
+def recognize_stream(media_spans: DataFrame, noisy: bool = False) -> DataFrame:
+    """Streaming per-span recognition (append-mode compatible): same
+    Arrow-batched kernel as the batch path."""
+    return extract_media_spans(media_spans, noisy=noisy)
+
+
+def assemble_stream(
+    flat_stream: DataFrame, out_path: str, checkpoint: str
+):
+    """Micro-batch stitch: foreachBatch reuses the batch assembler and writes
+    parquet per epoch (at-least-once; pair with the resume ledger for
+    exactly-once bucket semantics)."""
+
+    def per_batch(df: DataFrame, epoch_id: int) -> None:
+        (
+            assemble_documents(df)
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        flat_stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+LAST_N_STATE_SCHEMA = "texts array<string>"
+LAST_N_OUT_SCHEMA = "doc_id string, history array<string>"
+
+
+def keep_last_n(spans: DataFrame, n: int = 50) -> DataFrame:
+    """Bounded per-key history (reference useOCRStore.ts:27-33 keeps the last
+    50 results): arbitrary stateful processing via applyInPandasWithState."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        history: list[str] = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            for t in pdf.sort_values("offset")["text"]:
+                history.append(t)
+        history = history[-n:]
+        state.update((history,))
+        yield pd.DataFrame({"doc_id": [key[0]], "history": [history]})
+
+    return spans.groupBy("doc_id").applyInPandasWithState(
+        fn,
+        outputStructType=LAST_N_OUT_SCHEMA,
+        stateStructType=LAST_N_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,76 @@
+"""Production entrypoint: spark-submit --py-files gcos.zip jobs/extract_job.py
+
+    spark-submit \
+      --py-files dist/granulate_char_ocr_spark.zip \
+      jobs/extract_job.py \
+      --documents s3://bucket/warehouse/docs \
+      --media s3://bucket/warehouse/media \
+      --output s3://bucket/warehouse/extracted \
+      --run-id nightly-2026-08-16 \
+      [--n-buckets 4096] [--no-dedup-media] [--n-salts 64] [--noisy]
+
+Reads the interleaved documents table + media store, runs the extraction
+pipeline with idempotent bucket-ledger resume, and appends per-partition
+lineage rows to ``<output>/metrics``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--media", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--n-salts", type=int, default=8)
+    ap.add_argument("--noisy", action="store_true")
+    ap.add_argument("--no-dedup-media", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from granulate_char_ocr_spark.plans import resume
+    from granulate_char_ocr_spark.plans.lineage import partition_lineage
+    from granulate_char_ocr_spark.plans.pipeline import extract_flat
+
+    # on a cluster the session comes from spark-submit; local fallback for
+    # smoke runs
+    spark = SparkSession.builder.appName("gcos-extract").getOrCreate()
+    docs = spark.read.parquet(args.documents)
+    media = spark.read.parquet(args.media)
+
+    done = resume.run_with_resume(
+        spark,
+        docs,
+        media,
+        args.output,
+        n_buckets=args.n_buckets,
+        n_salts=args.n_salts,
+    )
+    print(f"processed buckets: {done}")
+
+    # lineage/metrics append (manifest-hash snapshot id: Iceberg jars are not
+    # assumed; swap for table.currentSnapshot().snapshotId() when present)
+    snapshot_id = f"manifest:{args.documents}"
+    flat = extract_flat(
+        docs,
+        media,
+        n_salts=args.n_salts,
+        noisy=args.noisy,
+        dedup_media=not args.no_dedup_media,
+    )
+    partition_lineage(flat, run_id=args.run_id, snapshot_id=snapshot_id).write.mode(
+        "append"
+    ).parquet(os.path.join(args.output, "metrics"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Structured Streaming analog: per-span recognition over a stream, bounded
+per-key history state, and the foreachBatch stitch."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from granulate_char_ocr_spark.sources.synthetic import (
+    glyph_media_pandas,
+    media_ref_for,
+)
+from granulate_char_ocr_spark.streaming import stream as gstream
+
+
+@pytest.fixture(scope="module")
+def media_pd():
+    return glyph_media_pandas()
+
+
+def _await_rows(spark, query, sql, want, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        got = spark.sql(sql).collect()
+        if len(got) >= want:
+            query.stop()
+            return got
+        time.sleep(0.5)
+    query.stop()
+    raise AssertionError(f"timed out waiting for {want} rows")
+
+
+def test_recognize_stream_append(spark, media_pd, tmp_path):
+    # replay a small span stream from files (file source = deterministic)
+    src = str(tmp_path / "src")
+    refs = [media_ref_for("PLEASURE", 0), media_ref_for("A", 1)]
+    batch = spark.createDataFrame(
+        [("d1", 1, refs[0]), ("d1", 2, refs[1]), ("d2", 1, refs[0])],
+        "doc_id string, offset int, media_ref string",
+    )
+    media = spark.createDataFrame(
+        media_pd, "media_ref string, word string, width int, height int, pixels binary"
+    )
+    batch.join(media, "media_ref").write.mode("overwrite").parquet(src)
+
+    spans_stream = spark.readStream.schema(
+        "media_ref string, doc_id string, offset int, word string, "
+        "width int, height int, pixels binary"
+    ).parquet(src)
+    rec = gstream.recognize_stream(spans_stream)
+    q = (
+        rec.writeStream.format("memory")
+        .queryName("rec_out")
+        .outputMode("append")
+        .start()
+    )
+    rows = _await_rows(spark, q, "SELECT * FROM rec_out", 3)
+    got = {(r["doc_id"], r["offset"]): r["text"] for r in rows}
+    assert got[("d1", 1)] == "PLEASURE"
+    assert got[("d1", 2)] == "A"
+    assert got[("d2", 1)] == "PLEASURE"
+
+
+def test_keep_last_n_state(spark, tmp_path):
+    src = str(tmp_path / "hist_src")
+    spark.createDataFrame(
+        [("d1", i, f"t{i}") for i in range(7)],
+        "doc_id string, offset int, text string",
+    ).write.mode("overwrite").parquet(src)
+    spans = spark.readStream.schema(
+        "doc_id string, offset int, text string"
+    ).parquet(src)
+    hist = gstream.keep_last_n(spans, n=5)
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("hist_out")
+        .outputMode("update")
+        .start()
+    )
+    rows = _await_rows(spark, q, "SELECT * FROM hist_out", 1)
+    assert rows[-1]["history"] == ["t2", "t3", "t4", "t5", "t6"]  # last 5
+
+
+def test_assemble_stream_foreachbatch(spark, tmp_path):
+    src = str(tmp_path / "fb_src")
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    spark.createDataFrame(
+        [("d1", 2, "text", "B", None), ("d1", 1, "text", "A", None)],
+        "doc_id string, offset int, kind string, text string, media_ref string",
+    ).write.mode("overwrite").parquet(src)
+    flat = spark.readStream.schema(
+        "doc_id string, offset int, kind string, text string, media_ref string"
+    ).parquet(src)
+    q = gstream.assemble_stream(flat, out, ckpt).start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            rows = spark.read.parquet(out).collect()
+            if rows:
+                break
+        except Exception:
+            pass
+        time.sleep(0.5)
+    q.stop()
+    [r] = rows
+    assert [s["text"] for s in r["spans"]] == ["A", "B"]  # offset order
+    assert [s["order"] for s in r["spans"]] == [0, 1]
