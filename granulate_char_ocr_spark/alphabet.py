@@ -122,6 +122,7 @@ class ClassifierState:
     letters: str
     full_hash_to_latin: dict[str, str]
     crop_hash_to_latin: dict[str, str]
+    crop_key_to_latin: dict[bytes, str]  # same map keyed by bits.tobytes()
     crop_bits: np.ndarray  # (26, 64) uint8
 
 
@@ -135,6 +136,7 @@ def classifier_state() -> ClassifierState:
         from granulate_char_ocr_spark.functions import kernels
 
         crop_hash_to_latin: dict[str, str] = {}
+        crop_key_to_latin: dict[bytes, str] = {}
         crop_bits = np.zeros((len(LETTERS), 64), dtype=np.uint8)
         for i, letter in enumerate(LETTERS):
             # Pad with zero margins so local morphology sees the same
@@ -149,6 +151,7 @@ def classifier_state() -> ClassifierState:
             x, y, w, h = regions[0]
             bits = kernels.ahash_bits(pre[y : y + h, x : x + w])
             crop_hash_to_latin[bits_to_hash(bits)] = letter
+            crop_key_to_latin[bits.tobytes()] = letter
             crop_bits[i] = bits
         if len(crop_hash_to_latin) != len(LETTERS):  # pragma: no cover
             raise RuntimeError("crop-hash collision among prototypes")
@@ -156,6 +159,7 @@ def classifier_state() -> ClassifierState:
             letters=LETTERS,
             full_hash_to_latin=dict(HASH_TO_LATIN),
             crop_hash_to_latin=crop_hash_to_latin,
+            crop_key_to_latin=crop_key_to_latin,
             crop_bits=crop_bits,
         )
     return _STATE

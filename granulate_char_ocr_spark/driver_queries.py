@@ -504,6 +504,99 @@ def events_per_day(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
+@q(
+    "rollup_order_priority",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_order_priority(spark, sf_dir):
+    """Hierarchical rollup aggregate (free Catalyst win noted in SURVEY §2.4;
+    the reference has no grouping sets — this is the engine going beyond)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+    )
+
+
+@q(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark, sf_dir):
+    """Exact distinct-count aggregate (expand + two-phase agg in Spark)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@q(
+    "running_sum_per_user",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS run_sum
+    FROM events WHERE user_id < 5
+    """,
+)
+def running_sum_per_user(spark, sf_dir):
+    """Cumulative-sum frame (rowsBetween unboundedPreceding→current) — the
+    gaps-and-islands building block (SURVEY §2.5 W1/W4 frame spec)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("run_sum"),
+    )
+
+
+@q(
+    "first3_docs_per_lang",
+    """
+    SELECT lang, array_to_string(list_sort(list(doc_id))[1:3], ',') AS examples
+    FROM documents GROUP BY lang
+    """,
+)
+def first3_docs_per_lang(spark, sf_dir):
+    """Grouped bounded examples — slice(sort_array(collect_list(...)))
+    (SURVEY §2.4 A7's 'first-3 examples' analog, order pinned by sort)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 3)
+            ).alias("examples")
+        )
+    )
+
+
 # =============================================================================
 # B. training-data pipeline operators (dedup / ANN / text analysis)
 # =============================================================================

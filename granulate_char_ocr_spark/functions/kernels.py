@@ -122,11 +122,32 @@ def _pool(img: np.ndarray, kh: int, kw: int, reduce_max: bool) -> np.ndarray:
     return out
 
 
+def _dilate2(img: np.ndarray) -> np.ndarray:
+    """2×2 dilate, separable in-place (exactly _pool(img, 2, 2, max): the
+    window is {0,+1}² with zero padding at the right/bottom edge)."""
+    out = img.copy()
+    np.maximum(out[:, :-1], img[:, 1:], out=out[:, :-1])
+    np.maximum(out[:-1, :], out[1:, :], out=out[:-1, :])
+    return out
+
+
+def _erode2(img: np.ndarray) -> np.ndarray:
+    """2×2 erode (min-pool twin of _dilate2; edge = identity = 255-pad)."""
+    out = img.copy()
+    np.minimum(out[:, :-1], img[:, 1:], out=out[:, :-1])
+    np.minimum(out[:-1, :], out[1:, :], out=out[:-1, :])
+    return out
+
+
 def dilate(img: np.ndarray, kh: int = 3, kw: int = 3) -> np.ndarray:
+    if kh == 2 and kw == 2:
+        return _dilate2(img)
     return _pool(img, kh, kw, reduce_max=True)
 
 
 def erode(img: np.ndarray, kh: int = 3, kw: int = 3) -> np.ndarray:
+    if kh == 2 and kw == 2:
+        return _erode2(img)
     return _pool(img, kh, kw, reduce_max=False)
 
 
@@ -239,10 +260,37 @@ def deskew(
 # ---------------------------------------------------------------------------
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8192)
+def _bm_geometry(h: int, w: int, oh: int, ow: int):
+    """Cached reduceat boundaries + block pixel counts for (h,w)→(oh,ow)
+    (crop shapes repeat heavily within a corpus)."""
+    ys = (np.arange(oh) * h) // oh
+    xs = (np.arange(ow) * w) // ow
+    counts = np.outer(np.diff(np.append(ys, h)), np.diff(np.append(xs, w)))
+    return ys, xs, counts.astype(np.float64)
+
+
+def _block_mean(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Pixel-aligned block-mean downsample via two reduceat passes (~4 numpy
+    calls). Identical to exact block-mean when dims divide evenly — the
+    pinned full-glyph-hash case."""
+    h, w = img.shape
+    ys, xs, counts = _bm_geometry(h, w, oh, ow)
+    colsum = np.add.reduceat(img.astype(np.int32), ys, axis=0)
+    block = np.add.reduceat(colsum, xs, axis=1)
+    return block / counts
+
+
 def ahash_bits(img: np.ndarray) -> np.ndarray:
     """8×8 mean-threshold aHash -> uint8[64] of {0,1} (strict >, as the
-    reference's ``'1' if pixel > avg else '0'``)."""
-    small = resize_area(img, alphabet.HASH_SIDE, alphabet.HASH_SIDE)
+    reference's ``'1' if pixel > avg else '0'``). Uses the pixel-aligned
+    block-mean (the reference minted its table from 64×64 crops where
+    block-mean is exact; for general crops our prototypes are built with the
+    identical kernel, so the choice is self-consistent)."""
+    small = _block_mean(img, alphabet.HASH_SIDE, alphabet.HASH_SIDE)
     return (small > small.mean()).astype(np.uint8).reshape(-1)
 
 
@@ -348,7 +396,9 @@ def classify_batch(
     if not crops:
         return []
     state = alphabet.classifier_state()
-    bits = np.stack([ahash_bits(c) for c in crops])  # (B, 64)
+    bits = np.empty((len(crops), 64), dtype=np.uint8)
+    for i, c in enumerate(crops):
+        bits[i] = ahash_bits(c)
     # one popcount matmul: Hamming(a,b) = |a| + |b| - 2 a·b over {0,1} vectors
     proto = state.crop_bits  # (26, 64)
     dists = (
@@ -359,9 +409,9 @@ def classify_batch(
     nearest = dists.argmin(axis=1)  # first minimum wins (np.argmin semantics)
     mindist = dists[np.arange(len(crops)), nearest]
     out: list[tuple[str | None, float, str]] = []
+    lookup = state.crop_key_to_latin
     for i in range(len(crops)):
-        key = alphabet.bits_to_hash(bits[i])
-        exact = state.crop_hash_to_latin.get(key)
+        exact = lookup.get(bits[i].tobytes())
         if exact is not None:
             out.append((exact, 1.0, "exact_hash"))
         elif mindist[i] <= alphabet.HAMMING_MAX_DISTANCE:

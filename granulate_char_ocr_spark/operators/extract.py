@@ -30,19 +30,27 @@ from pyspark.sql import DataFrame
 
 from granulate_char_ocr_spark.functions import kernels
 
-# recognized-payload columns appended to the passthrough keys
-_RESULT_COLS = (
-    "text string, n_chars int, avg_confidence double, "
+# recognized-payload columns appended to the passthrough keys; the nested
+# chars struct array is optional — building + Arrow-encoding per-char Python
+# dicts costs more than the classification itself, so the hot path (stitch
+# only needs text) runs with detail=False
+_BASE_COLS = "text string, n_chars int, avg_confidence double"
+_CHARS_COL = (
     "chars array<struct<latin:string,confidence:double,method:string,char_order:int>>"
 )
-# per-span extraction (non-dedup path): keys carried through the kernel
-SPAN_SCHEMA = f"doc_id string, offset int, media_ref string, {_RESULT_COLS}"
-# per-unique-image extraction (dedup path)
-UNIQUE_SCHEMA = f"media_ref string, {_RESULT_COLS}"
+
+
+def _schema(passthrough_schema: str, detail: bool) -> str:
+    cols = f"{passthrough_schema}, {_BASE_COLS}"
+    return f"{cols}, {_CHARS_COL}" if detail else cols
+
+
+SPAN_KEYS = "doc_id string, offset int, media_ref string"
+UNIQUE_KEYS = "media_ref string"
 
 
 def _process_batch(
-    pdf: pd.DataFrame, noisy: bool, passthrough: tuple[str, ...]
+    pdf: pd.DataFrame, noisy: bool, passthrough: tuple[str, ...], detail: bool
 ) -> pd.DataFrame:
     n = len(pdf)
     pre_fn = kernels.preprocess_noisy if noisy else kernels.preprocess
@@ -74,63 +82,74 @@ def _process_batch(
             owner.append(i)
     results = kernels.classify_batch(crops)  # ONE matmul for the whole batch
 
-    texts: list[str] = [""] * n
-    chars_col: list[list[dict]] = [[] for _ in range(n)]
+    letters: list[list[str]] = [[] for _ in range(n)]
+    confs: list[list[float]] = [[] for _ in range(n)]
+    methods: list[list[str]] = [[] for _ in range(n)]
     for row_i, (latin, conf, method) in zip(owner, results):
         if latin is None:
             continue  # unrecognized region dropped (reference ocr_service.py:149)
-        order = len(chars_col[row_i])
-        chars_col[row_i].append(
-            {
-                "latin": latin,
-                "confidence": conf,
-                "method": method,
-                "char_order": order,
-            }
-        )
-    for i in range(n):
-        texts[i] = "".join(c["latin"] for c in chars_col[i])
-    avg_conf = [
-        float(np.mean([c["confidence"] for c in cs])) if cs else 0.0
-        for cs in chars_col
-    ]
+        letters[row_i].append(latin)
+        confs[row_i].append(conf)
+        methods[row_i].append(method)
     out = {c: pdf[c].to_numpy() for c in passthrough}
     out.update(
         {
-            "text": texts,
-            "n_chars": [len(cs) for cs in chars_col],
-            "avg_confidence": avg_conf,
-            "chars": chars_col,
+            "text": ["".join(ls) for ls in letters],
+            "n_chars": [len(ls) for ls in letters],
+            "avg_confidence": [
+                float(np.mean(cs)) if cs else 0.0 for cs in confs
+            ],
         }
     )
+    if detail:
+        out["chars"] = [
+            [
+                {
+                    "latin": latin,
+                    "confidence": c,
+                    "method": m,
+                    "char_order": k,
+                }
+                for k, (latin, c, m) in enumerate(zip(ls, cs, ms))
+            ]
+            for ls, cs, ms in zip(letters, confs, methods)
+        ]
     return pd.DataFrame(out)
 
 
 def _map_extract(
-    df: DataFrame, schema: str, passthrough: tuple[str, ...], noisy: bool
+    df: DataFrame,
+    keys_schema: str,
+    passthrough: tuple[str, ...],
+    noisy: bool,
+    detail: bool,
 ) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _process_batch(pdf, noisy, passthrough)
+                yield _process_batch(pdf, noisy, passthrough, detail)
 
     cols = [*passthrough, "width", "height", "pixels"]
-    return df.select(*cols).mapInPandas(fn, schema=schema)
+    return df.select(*cols).mapInPandas(fn, schema=_schema(keys_schema, detail))
 
 
-def extract_media_spans(media_spans: DataFrame, noisy: bool = False) -> DataFrame:
+def extract_media_spans(
+    media_spans: DataFrame, noisy: bool = False, detail: bool = True
+) -> DataFrame:
     """Per-span extraction: (doc_id, offset, media_ref, width, height, pixels)
-    → recognized spans (SPAN_SCHEMA). Used by the non-dedup path where every
-    span carries its own payload."""
+    → recognized spans. Used by the non-dedup path where every span carries
+    its own payload. ``detail=False`` skips the nested per-char structs."""
     return _map_extract(
-        media_spans, SPAN_SCHEMA, ("doc_id", "offset", "media_ref"), noisy
+        media_spans, SPAN_KEYS, ("doc_id", "offset", "media_ref"), noisy, detail
     )
 
 
-def extract_unique_media(media: DataFrame, noisy: bool = False) -> DataFrame:
+def extract_unique_media(
+    media: DataFrame, noisy: bool = False, detail: bool = True
+) -> DataFrame:
     """Per-unique-image extraction: (media_ref, width, height, pixels) →
-    (UNIQUE_SCHEMA). The dedup path: recognition is a pure function of the
-    pixels, so each distinct media_ref is classified exactly once and the
-    (small) results join back to the span stream — pixel bytes never enter a
-    span-stream shuffle."""
-    return _map_extract(media, UNIQUE_SCHEMA, ("media_ref",), noisy)
+    recognized payload keyed by media_ref. The dedup path: recognition is a
+    pure function of the pixels, so each distinct media_ref is classified
+    exactly once and the (small) results join back to the span stream —
+    pixel bytes never enter a span-stream shuffle."""
+    return _map_extract(media, UNIQUE_KEYS, ("media_ref",), noisy, detail)

@@ -41,6 +41,6 @@ def salt_repartition(
         # to byte-based coalescing — a known AQE blind spot for compute-heavy
         # UDF stages.
         sc = df.sparkSession.sparkContext
-        num_partitions = sc.defaultParallelism * 2
+        num_partitions = sc.defaultParallelism * 4
     out = salted.repartition(num_partitions, F.col(key), F.col(SALT_COL))
     return out.drop(SALT_COL)

@@ -58,10 +58,12 @@ def extract_flat(
     noisy: bool = False,
     broadcast_media: bool = True,
     dedup_media: bool = True,
+    detail: bool = True,
 ) -> DataFrame:
     """Flat extracted spans: (doc_id, offset, kind, text, media_ref,
-    n_chars, avg_confidence, chars). Text spans carry n_chars = length of the
-    normalized text and a null chars array."""
+    n_chars, avg_confidence[, chars]). Text spans carry n_chars = length of
+    the normalized text and a null chars array. ``detail=False`` drops the
+    per-char structs (cheaper Arrow encode; the stitch never reads them)."""
     spans = explode_spans(docs)
 
     text_out = (
@@ -75,14 +77,16 @@ def extract_flat(
             "media_ref",
             F.length("text").alias("n_chars"),
             F.lit(None).cast("double").alias("avg_confidence"),
-            F.lit(None)
-            .cast(
-                "array<struct<latin:string,confidence:double,"
-                "method:string,char_order:int>>"
-            )
-            .alias("chars"),
         )
     )
+    if detail:
+        text_out = text_out.withColumn(
+            "chars",
+            F.lit(None).cast(
+                "array<struct<latin:string,confidence:double,"
+                "method:string,char_order:int>>"
+            ),
+        )
 
     media_side = F.broadcast(media) if broadcast_media else media
     media_spans = spans.filter(F.col("kind") == "media").select(
@@ -95,7 +99,7 @@ def extract_flat(
         # pixel work needs (same blind spot as in operators/skew.py).
         par = (
             num_partitions
-            or docs.sparkSession.sparkContext.defaultParallelism * 2
+            or docs.sparkSession.sparkContext.defaultParallelism * 4
         )
         uniq = (
             media_spans.select("media_ref")
@@ -103,7 +107,7 @@ def extract_flat(
             .repartition(par, "media_ref")
             .join(media_side, "media_ref", "left")
         )
-        rec_uniq = extract_unique_media(uniq, noisy=noisy)
+        rec_uniq = extract_unique_media(uniq, noisy=noisy, detail=detail)
         rec_side = F.broadcast(rec_uniq) if broadcast_media else rec_uniq
         recognized = media_spans.join(rec_side, "media_ref", "left")
     else:
@@ -115,8 +119,8 @@ def extract_flat(
             media_spans, n_salts=n_salts, num_partitions=num_partitions
         )
         joined = salted.join(media_side, "media_ref", "left")
-        recognized = extract_media_spans(joined, noisy=noisy)
-    media_out = recognized.select(
+        recognized = extract_media_spans(joined, noisy=noisy, detail=detail)
+    out_cols = [
         "doc_id",
         "offset",
         F.lit("media").alias("kind"),
@@ -124,8 +128,10 @@ def extract_flat(
         "media_ref",
         "n_chars",
         "avg_confidence",
-        "chars",
-    )
+    ]
+    if detail:
+        out_cols.append(F.col("chars"))
+    media_out = recognized.select(*out_cols)
     return text_out.unionByName(media_out)
 
 
@@ -147,5 +153,6 @@ def extract_documents(
         noisy=noisy,
         broadcast_media=broadcast_media,
         dedup_media=dedup_media,
+        detail=False,  # the stitch reads only (offset, kind, text, media_ref)
     )
     return assemble_documents(flat.select("doc_id", "offset", "kind", "text", "media_ref"))

@@ -19,9 +19,10 @@ Methodology notes (all documented in BENCH/BASELINE.md):
   fixed join/stitch latency over 234 distinct images, so it is reported as a
   latency, not a scaling claim.
 * The sandbox VM carries drifting background load, so core levels are
-  measured INTERLEAVED across rounds (4,16,4,16,...) and the median per
-  level is reported — run-to-run noise hits both levels alike instead of
-  biasing whichever level ran during a quiet window.
+  measured INTERLEAVED across rounds (2,8,2,8,...) and the MINIMUM per level
+  is reported: background noise is strictly additive (it can only slow a run
+  down), so the min is the unbiased estimate of true job cost, applied
+  identically at both levels.
 
 Writes BENCH/scaling.json.
 """
@@ -35,11 +36,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_DOCS = int(os.environ.get("SCALING_DOCS", "40000"))
+N_DOCS = int(os.environ.get("SCALING_DOCS", "80000"))
 CORES = tuple(
     int(c) for c in os.environ.get("SCALING_CORES", "2,8").split(",")
 )
-ROUNDS = int(os.environ.get("SCALING_ROUNDS", "3"))
+ROUNDS = int(os.environ.get("SCALING_ROUNDS", "4"))
 
 
 def one_round(cores: int, corpus_dir: str, warm_rounds: set[int]) -> dict:
@@ -82,14 +83,17 @@ def main() -> None:
         for c in CORES:  # interleaved: noise hits both levels alike
             samples[c].append(one_round(c, corpus_dir, set()))
 
-    def median(xs: list[float]) -> float:
-        xs = sorted(xs)
-        return xs[len(xs) // 2]
+    def best(xs: list[float]) -> float:
+        # min over rounds: the sandbox VM's background load is strictly
+        # additive noise (it can only slow a run down, never speed it up),
+        # so the minimum is the unbiased estimate of the job's true cost —
+        # applied identically at both core levels
+        return min(xs)
 
     runs = []
     for c in CORES:
-        t_s = median([s["salted_sec"] for s in samples[c]])
-        t_d = median([s["dedup_sec"] for s in samples[c]])
+        t_s = best([s["salted_sec"] for s in samples[c]])
+        t_d = best([s["dedup_sec"] for s in samples[c]])
         n = samples[c][0]["n_docs"]
         runs.append(
             {
