@@ -842,6 +842,44 @@ def fingerprint_docs(spark, sf_dir):
     return textstats.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _alphabet_values_sql() -> str:
+    from granulate_char_ocr_spark.alphabet import GRANULATE_TO_LATIN
+
+    rows = ", ".join(
+        f"('{g}', '{l}')" for g, l in GRANULATE_TO_LATIN.items()
+    )
+    return f"(VALUES {rows}) AS a(granulate_symbol, mapped_latin)"
+
+
+@q(
+    "alphabet_translate_initials",
+    f"""
+    SELECT d.doc_id, upper(substr(d.text, 1, 1)) AS initial,
+           a.granulate_symbol
+    FROM documents d
+    LEFT JOIN {_alphabet_values_sql()}
+      ON upper(substr(d.text, 1, 1)) = a.mapped_latin
+    WHERE d.doc_id < 300
+    """,
+)
+def alphabet_translate_initials(spark, sf_dir):
+    """Broadcast lookup against the 36-row Granulate↔Latin mapping (SURVEY
+    §2.3 J2, §2.1 S6): each doc's initial letter → its Granulate symbol."""
+    from granulate_char_ocr_spark.operators.validate import alphabet_table
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id", F.upper(F.substring("text", 1, 1)).alias("initial")
+        )
+    )
+    alpha = alphabet_table(spark)
+    return d.join(
+        F.broadcast(alpha), d.initial == alpha.mapped_latin, "left"
+    ).select("doc_id", "initial", "granulate_symbol")
+
+
 # =============================================================================
 # C. the OCR extraction engine itself (non-SQL-expressible → rows-only checks)
 # =============================================================================
@@ -897,6 +935,28 @@ def mm_image_embeddings(spark, sf_dir):
     return emb.select(
         "media_ref",
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x).alias("n_ink_bits"),
+    )
+
+
+@q("ocr_word_length_analysis", None)
+def ocr_word_length_analysis(spark, sf_dir):
+    """EP3 word-length grouped analysis over extracted media spans (SURVEY
+    §2.4 A7, evaluate_new_testdata.py:100-134): count + mean confidence per
+    recognized-word length, with 3 sorted examples."""
+    from granulate_char_ocr_spark.plans.pipeline import extract_flat
+
+    docs, media, _ = _ocr_corpus(spark, sf_dir)
+    flat = extract_flat(docs, media, detail=False)
+    return (
+        flat.filter(F.col("kind") == "media")
+        .groupBy(F.col("n_chars").alias("word_len"))
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.avg("avg_confidence"), 6).alias("mean_confidence"),
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_set("text")), 1, 3)
+            ).alias("examples"),
+        )
     )
 
 
