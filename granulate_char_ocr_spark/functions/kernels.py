@@ -423,6 +423,29 @@ def classify_batch(
     return out
 
 
+def recognize_word_vote(img: np.ndarray) -> str:
+    """Majority vote across three binarizations (fixed-128, Otsu, adaptive) —
+    the reference's per-bubble OCR vote (extract_from_reference.py:352-356).
+    Per character position, the most common recognized letter wins (first
+    occurrence breaks ties, as Counter.most_common does)."""
+    gray = polarity_invert(to_grayscale(img))
+    variants = [
+        morph_close(threshold(gray, 128), 2, 2),
+        morph_close(otsu_threshold(gray), 2, 2),
+        morph_close(adaptive_threshold(gray), 2, 2),
+    ]
+    words = []
+    for pre in variants:
+        regions = segment_regions(pre)
+        crops = [pre[y : y + h, x : x + w] for (x, y, w, h) in regions]
+        words.append(
+            "".join(r[0] for r in classify_batch(crops) if r[0] is not None)
+        )
+    from collections import Counter
+
+    return Counter(words).most_common(1)[0][0] if words else ""
+
+
 def recognize_word(img: np.ndarray, noisy: bool = False) -> list[dict]:
     """Full single-image path: preprocess → segment → classify.
 

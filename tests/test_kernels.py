@@ -222,6 +222,35 @@ def test_recognize_word_end_to_end():
     assert xs == sorted(xs)
 
 
+def test_recognize_word_vote_majority():
+    from granulate_char_ocr_spark.sources.synthetic import render_word
+
+    # on clean fixtures all three binarizations agree → unanimous vote
+    assert kernels.recognize_word_vote(render_word("OPERATE", 0)) == "OPERATE"
+
+
+def test_deskew_recovers_rotated_word():
+    from granulate_char_ocr_spark.sources.synthetic import render_word
+
+    img = render_word("STOMACH", 0)
+    # embed in a taller canvas so rotation doesn't clip, rotate by 9 degrees
+    canvas = np.zeros((img.shape[0] + 80, img.shape[1] + 80), dtype=np.uint8)
+    canvas[40 : 40 + img.shape[0], 40 : 40 + img.shape[1]] = img
+    rotated = kernels._rotate_nn(canvas, 9.0)
+    fixed = kernels.deskew(rotated)
+    # deskew must bring the principal text line back near horizontal:
+    # row-sum variance of the corrected image ≈ the original's
+    var_orig = np.var(canvas.sum(axis=1, dtype=np.int64))
+    var_rot = np.var(rotated.sum(axis=1, dtype=np.int64))
+    var_fix = np.var(fixed.sum(axis=1, dtype=np.int64))
+    assert var_fix > var_rot * 1.5
+    assert var_fix > 0.7 * var_orig
+    # and the robust path should recover most characters
+    chars = kernels.recognize_word(rotated, noisy=True)
+    got = "".join(c["latin"] for c in chars)
+    assert len(got) >= 5, got
+
+
 def test_recognize_word_noisy_robustness():
     from granulate_char_ocr_spark.sources.synthetic import render_word_noisy
 
