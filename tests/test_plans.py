@@ -1,0 +1,106 @@
+"""Physical-plan regression tests: the plan properties that make this engine
+scale are pinned here so a refactor can't silently lose them.
+
+(`.explain` text is stable enough for these coarse assertions; each test
+checks a structural property, not exact operator ids.)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from granulate_char_ocr_spark.plans.pipeline import extract_flat
+from granulate_char_ocr_spark.sources.synthetic import corpus_spark
+
+
+def _plan(df, mode="formatted"):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            mode
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs, media, _ = corpus_spark(spark, 40, seed=3)
+    return docs, media
+
+
+def test_salt_exchange_carries_no_pixels(spark, corpus):
+    """The salted repartition (per-span path) must exchange only span keys —
+    pixel bytes attach after the exchange via the broadcast join."""
+    docs, media = corpus
+    flat = extract_flat(docs, media, dedup_media=False, detail=False)
+    plan = _plan(flat)
+    # formatted mode: each "(n) Exchange" block is followed by an
+    # "Input [...]" line listing the exchanged columns
+    lines = plan.splitlines()
+    exchange_inputs = []
+    for i, l in enumerate(lines):
+        if l.strip().startswith("(") and l.strip().endswith(" Exchange"):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if lines[j].startswith("Input"):
+                    exchange_inputs.append(lines[j])
+                    break
+    assert exchange_inputs, plan
+    for inp in exchange_inputs:
+        assert "pixels" not in inp, inp
+    # and the salted hash exchange exists
+    assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_dedup_path_broadcasts_media_and_results(spark, corpus):
+    docs, media = corpus
+    flat = extract_flat(docs, media, dedup_media=True, detail=False)
+    plan = _plan(flat, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2  # store join + results join
+
+
+def test_parquet_filter_pushdown(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).withColumn("v", F.col("id") * 2).write.parquet(p)
+    df = spark.read.parquet(p).filter(F.col("id") > 500).select("v")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,500)" in plan
+    assert "ReadSchema" in plan
+
+
+def test_topk_compiles_to_take_ordered(spark, corpus):
+    from granulate_char_ocr_spark import driver_queries as dq
+
+    q = dq.QUERIES["topk_confusions"](spark, "/root/testdata/sf0.001")
+    assert "TakeOrderedAndProject" in _plan(q, "simple")
+
+
+def test_salt_spreads_heavy_doc(spark):
+    """The 50x media-heavy doc's spans must land in multiple partitions after
+    the salted repartition (the whole point of the salt)."""
+    from granulate_char_ocr_spark.operators.skew import salt_repartition
+    from granulate_char_ocr_spark.plans.pipeline import explode_spans
+
+    docs, _, _ = corpus_spark(spark, 110, seed=42)  # includes heavy doc #7
+    spans = explode_spans(docs).filter(F.col("kind") == "media")
+    salted = salt_repartition(spans, n_salts=8, num_partitions=16)
+    heavy = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .filter(F.col("doc_id") == "doc_00000007")
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert heavy >= 4, f"heavy doc only spread across {heavy} partitions"
+
+
+def test_stitch_single_exchange(spark, corpus):
+    """Document re-assembly is exactly one aggregate exchange over doc_id."""
+    from granulate_char_ocr_spark.operators.stitch import assemble_documents
+
+    docs, media = corpus
+    flat = extract_flat(docs, media, detail=False).select(
+        "doc_id", "offset", "kind", "text", "media_ref"
+    )
+    plan = _plan(assemble_documents(flat), "simple")
+    # the only hashpartitioning exchanges allowed: kernel-stage repartition
+    # (media_ref) and the doc_id re-assembly
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, plan
