@@ -59,7 +59,9 @@ def main() -> None:
 
     # lineage/metrics append (manifest-hash snapshot id: Iceberg jars are not
     # assumed; swap for table.currentSnapshot().snapshotId() when present)
-    snapshot_id = f"manifest:{args.documents}"
+    from granulate_char_ocr_spark.sources.tables import manifest_snapshot_id
+
+    snapshot_id = manifest_snapshot_id(args.documents)
     flat = extract_flat(
         docs,
         media,
