@@ -41,5 +41,11 @@ def get_spark(
         # 16-32 concurrent pixel-bearing Arrow batches (box has 128 GiB)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # static conf: needed for bucketed saveAsTable in local/test runs;
+        # real deployments override via spark-submit
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/gcos_spark_warehouse"),
+        )
         .getOrCreate()
     )
