@@ -121,9 +121,27 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     docs_per_sec = round(out_rows / ocr_sec, 2)
+
+    # fold in the latest N-vs-4N scaling evidence (tools/bench_scaling.py)
+    scaling = {}
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sj = json.load(f)
+        scaling = {
+            "scaling_efficiency": sj.get("efficiency"),
+            "scaling_cores": [r["cores"] for r in sj.get("runs", [])],
+            "scaling_docs_per_sec": [
+                r["salted_docs_per_sec"] for r in sj.get("runs", [])
+            ],
+        }
+
     print(
         json.dumps(
             {
+                **scaling,
                 "metric": "ocr_extraction_docs_per_sec",
                 "value": docs_per_sec,
                 "unit": "docs/sec",
