@@ -706,6 +706,18 @@ def simhash_near_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(docs)
 
 
+def _embedding_cosine_pairs_sql() -> str:
+    expr = _cosine_sql_expr("l.embedding", "r.embedding")
+    return f"""
+    SELECT vec_a, vec_b, sim FROM (
+      SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, {expr} AS sim
+      FROM (SELECT * FROM embeddings WHERE vec_id < 500) l
+      JOIN (SELECT * FROM embeddings WHERE vec_id < 500) r
+        ON l.vec_id < r.vec_id) t
+    WHERE sim >= 0.4
+    """
+
+
 def _cosine_sql_expr(a: str, b: str) -> str:
     dot = (
         f"list_sum(list_transform(range(1, len({a}) + 1), "
@@ -766,6 +778,13 @@ def _cell_sql(side: str, dims: int = 4) -> str:
 )
 def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@q("dedup_embedding_cosine", _embedding_cosine_pairs_sql())
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (semantic dedup leg)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return dedup.embedding_near_pairs(emb, threshold=0.4)
 
 
 def _hits_sql(lang: str) -> str:

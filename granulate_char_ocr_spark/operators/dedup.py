@@ -173,6 +173,28 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     return summed.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def embedding_near_pairs(
+    embeddings: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """(vec_a, vec_b, sim): embedding-cosine near-duplicate pairs — the
+    semantic-dedup leg. Demonstration formulation is the bounded self-join
+    with a JVM-side zip_with/aggregate dot product; the scale path reuses the
+    IVF sign-cell pruning from operators/similarity.py (equi-join on cell
+    before the distance computation), same shape as LSH banding above."""
+    from granulate_char_ocr_spark.operators.similarity import COSINE_EXPR
+
+    l, r = embeddings.alias("l"), embeddings.alias("r")
+    return (
+        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(F.expr(COSINE_EXPR), 5).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hd: int = 2) -> DataFrame:
     """(doc_a, doc_b, hd): SimHash pairs within Hamming distance ``max_hd``.
 

@@ -143,8 +143,14 @@ def extract_documents(
     noisy: bool = False,
     broadcast_media: bool = True,
     dedup_media: bool = True,
+    keep_empty_docs: bool = False,
 ) -> DataFrame:
-    """The headline job: documents + glyph_media → (doc_id, spans[order])."""
+    """The headline job: documents + glyph_media → (doc_id, spans[order]).
+
+    ``keep_empty_docs``: documents whose spans array is empty vanish under
+    explode; when input/output doc-count parity matters (corpus accounting at
+    scale), this re-attaches them with an empty spans array at the cost of
+    one extra doc_id join."""
     flat = extract_flat(
         docs,
         media,
@@ -155,4 +161,17 @@ def extract_documents(
         dedup_media=dedup_media,
         detail=False,  # the stitch reads only (offset, kind, text, media_ref)
     )
-    return assemble_documents(flat.select("doc_id", "offset", "kind", "text", "media_ref"))
+    assembled = assemble_documents(
+        flat.select("doc_id", "offset", "kind", "text", "media_ref")
+    )
+    if not keep_empty_docs:
+        return assembled
+    empty = F.expr(
+        "cast(array() as array<struct<kind:string,text:string,"
+        "media_ref:string,`order`:int>>)"
+    )
+    return (
+        docs.select("doc_id")
+        .join(assembled, "doc_id", "left")
+        .withColumn("spans", F.coalesce("spans", empty))
+    )

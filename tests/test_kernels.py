@@ -49,6 +49,31 @@ def test_otsu_bimodal():
     assert out[0, 0] == 0 and out[0, -1] == 255
 
 
+def test_adaptive_threshold_local_contrast():
+    # gradient background with locally-brighter ink: a global threshold
+    # misses the dim-side ink; the local-mean threshold keeps it
+    img = np.tile(np.linspace(20, 220, 40).astype(np.uint8), (20, 1))
+    img[8:12, 5:9] += 30    # dim-region ink
+    img[8:12, 30:34] += 30  # bright-region ink
+    out = kernels.adaptive_threshold(img, block=11, c=5)
+    assert out[10, 6] == 255 and out[10, 31] == 255
+
+
+def test_morph_open_removes_speck():
+    img = np.zeros((12, 12), dtype=np.uint8)
+    img[2:7, 2:7] = 255
+    img[9, 9] = 255  # isolated interior speck
+    out = kernels.morph_open(img, 2, 2)
+    assert out[9, 9] == 0 and out[4, 4] == 255
+
+
+def test_fast_morphology_matches_generic_pool():
+    rng = np.random.default_rng(0)
+    img = (rng.random((30, 50)) > 0.5).astype(np.uint8) * 255
+    assert (kernels._dilate2(img) == kernels._pool(img, 2, 2, True)).all()
+    assert (kernels._erode2(img) == kernels._pool(img, 2, 2, False)).all()
+
+
 def test_morphology_close_fills_small_gap():
     img = np.zeros((8, 8), dtype=np.uint8)
     img[2:6, 2:6] = 255
