@@ -923,6 +923,17 @@ def ocr_extract_documents(spark, sf_dir):
     return extract_documents(docs, media)
 
 
+@q("ocr_extract_salted", None)
+def ocr_extract_salted(spark, sf_dir):
+    """The north rule's literal doc_id-salted per-span extraction path
+    (dedup_media=False); output must equal ocr_extract_documents (pinned by
+    tests/test_pipeline.py::test_dedup_and_salted_paths_agree)."""
+    from granulate_char_ocr_spark.plans.pipeline import extract_documents
+
+    docs, media, _ = _ocr_corpus(spark, sf_dir)
+    return extract_documents(docs, media, dedup_media=False, n_salts=8)
+
+
 @q("ocr_eval_metrics", None)
 def ocr_eval_metrics(spark, sf_dir):
     """Span/char/word accuracy vs the golden fixtures (must be all 1.0)."""
