@@ -21,13 +21,40 @@ METRICS_SCHEMA_DOC = (
 )
 
 
-def partition_lineage(flat: DataFrame, run_id: str, snapshot_id: str) -> DataFrame:
+def partition_lineage(
+    flat: DataFrame,
+    run_id: str,
+    snapshot_id: str,
+    expected: DataFrame | None = None,
+    elapsed_ms: int | None = None,
+) -> DataFrame:
     """One lineage row per physical input partition of the extracted span
-    stream: (run_id, input_snapshot_id, partition_hash, n_docs, n_text_spans,
-    n_media_spans, n_chars, committed_at)."""
+    stream (FIXTURES.md §6): (run_id, input_snapshot_id, partition_hash,
+    n_docs, n_text_spans, n_media_spans, n_chars, char_accuracy, elapsed_ms,
+    committed_at). ``char_accuracy`` is per-partition media-text equality vs
+    the golden expectation when one is supplied, else null."""
+    rows = flat.withColumn("_pid", F.spark_partition_id())
+    if expected is not None:
+        # media-span recognition accuracy: the golden text of a media span is
+        # fully determined by its media_ref (ref → word is a function), so a
+        # broadcast of the distinct mapping suffices — no window/order join
+        ref_truth = (
+            explode_expected(expected)
+            .filter(F.col("kind") == "media")
+            .select("media_ref", F.col("text").alias("_etext"))
+            .distinct()
+        )
+        rows = rows.join(F.broadcast(ref_truth), "media_ref", "left")
+        acc = F.avg(
+            F.when(
+                F.col("kind") == "media",
+                (F.col("text") == F.col("_etext")).cast("double"),
+            )
+        ).alias("char_accuracy")
+    else:
+        acc = F.first(F.lit(None).cast("double")).alias("char_accuracy")
     return (
-        flat.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid")
+        rows.groupBy("_pid")
         .agg(
             F.xxhash64(
                 F.concat_ws(",", F.sort_array(F.collect_set("doc_id")))
@@ -38,6 +65,7 @@ def partition_lineage(flat: DataFrame, run_id: str, snapshot_id: str) -> DataFra
             F.sum(F.coalesce(F.col("n_chars"), F.lit(0)).cast("long")).alias(
                 "n_chars"
             ),
+            acc,
         )
         .select(
             F.lit(run_id).alias("run_id"),
@@ -47,6 +75,8 @@ def partition_lineage(flat: DataFrame, run_id: str, snapshot_id: str) -> DataFra
             "n_text_spans",
             "n_media_spans",
             "n_chars",
+            "char_accuracy",
+            F.lit(elapsed_ms).cast("long").alias("elapsed_ms"),
             F.current_timestamp().alias("committed_at"),
         )
     )

@@ -95,7 +95,7 @@ def test_evaluate_metrics_all_perfect(spark, corpus):
 
 
 def test_partition_lineage_covers_all_docs(spark, corpus):
-    docs, media, _ = corpus
+    docs, media, expected = corpus
     flat = extract_flat(docs, media)
     rows = partition_lineage(flat, run_id="t", snapshot_id="s").collect()
     assert sum(r["n_text_spans"] + r["n_media_spans"] for r in rows) == (
@@ -103,6 +103,18 @@ def test_partition_lineage_covers_all_docs(spark, corpus):
     )
     assert all(r["run_id"] == "t" and r["input_snapshot_id"] == "s" for r in rows)
     assert len({r["partition_hash"] for r in rows}) == len(rows)
+    assert all(r["char_accuracy"] is None for r in rows)  # no expectation given
+
+    # with the golden expectation: every media-bearing partition scores 1.0
+    rows2 = partition_lineage(
+        flat, run_id="t", snapshot_id="s", expected=expected, elapsed_ms=123
+    ).collect()
+    assert all(
+        r["char_accuracy"] == 1.0
+        for r in rows2
+        if r["n_media_spans"] > 0
+    ), rows2
+    assert all(r["elapsed_ms"] == 123 for r in rows2)
 
 
 def test_extract_flat_media_details(spark, corpus):
