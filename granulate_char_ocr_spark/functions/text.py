@@ -4,8 +4,12 @@ Pinned spec (seeded by the reference's label-sanitization at
 ``evaluate_new_testdata.py:33-41`` / ``retrain_with_new_data.py:45``: strip
 ``!``/``.``, uppercase):
 
-    NFC normalize → drop zero-width chars → drop [!.] → collapse whitespace
-    → trim → uppercase
+    drop zero-width chars → drop [!.] → collapse whitespace → trim
+    → uppercase → NFC normalize
+
+NFC runs LAST because ``upper()`` can emit decomposed sequences (e.g. ``ῒ``
+uppercases to ``Ι + ̈ + ̀``); composing afterwards makes the whole map
+idempotent (pinned by a hypothesis property test).
 
 Two implementations that MUST agree (pinned by tests/test_normalize.py):
 
@@ -37,11 +41,10 @@ def normalize_python(s: str | None) -> str | None:
     """Reference twin of ``normalize_expr`` (plain Python, for fixtures)."""
     if s is None:
         return None
-    s = unicodedata.normalize("NFC", s)
     s = _ZW_RE.sub("", s)
     s = _PUNCT_RE.sub("", s)
     s = _WS_RE.sub(" ", s)
-    return s.strip().upper()
+    return unicodedata.normalize("NFC", s.strip().upper())
 
 
 _nfc_cached = None
@@ -62,9 +65,8 @@ def _nfc_udf():
 
 
 def normalize_expr(col: Column) -> Column:
-    """Spark-side normalization: NFC (pandas UDF) then JVM built-ins."""
-    c = _nfc_udf()(col)
-    c = F.regexp_replace(c, f"[{ZERO_WIDTH}]", "")
+    """Spark-side normalization: JVM built-ins, then one NFC pandas UDF."""
+    c = F.regexp_replace(col, f"[{ZERO_WIDTH}]", "")
     c = F.regexp_replace(c, r"[!.]", "")
     c = F.regexp_replace(c, r"\s+", " ")
-    return F.upper(F.trim(c))
+    return _nfc_udf()(F.upper(F.trim(c)))
