@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; the three
-    ocr_* entries are pixel-UDF-based and intentionally rows-only."""
+    """DuckDB-equivalent SQL for every query. The pixel-UDF ocr_*/mm_*
+    entries are checked against committed golden parquets (dist/golden/)
+    materialized by the deterministic fixture generator."""
     return dict(driver_queries.ORACLES)

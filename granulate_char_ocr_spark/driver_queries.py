@@ -694,7 +694,7 @@ def dedup_simhash(spark, sf_dir):
 @q(
     "simhash_near_pairs",
     f"""
-    WITH sim AS ({_simhash_sql(where="WHERE doc_id < 1000")})
+    WITH sim AS ({_simhash_sql()})
     SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
            CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hd
     FROM sim l JOIN sim r ON l.doc_id < r.doc_id
@@ -702,8 +702,10 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def simhash_near_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    return dedup.simhash_near_pairs(docs)
+    """UNCAPPED (r1's doc_id<1000 cap removed): the Spark side is the banded
+    pigeonhole equi-join — exact-equal to the oracle's brute-force quadratic,
+    which only DuckDB runs."""
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
 def _embedding_cosine_pairs_sql() -> str:
@@ -711,9 +713,11 @@ def _embedding_cosine_pairs_sql() -> str:
     return f"""
     SELECT vec_a, vec_b, sim FROM (
       SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, {expr} AS sim
-      FROM (SELECT * FROM embeddings WHERE vec_id < 500) l
-      JOIN (SELECT * FROM embeddings WHERE vec_id < 500) r
-        ON l.vec_id < r.vec_id) t
+      FROM (SELECT vec_id, embedding, {_cell_sql('embeddings')} AS cell
+            FROM embeddings) l
+      JOIN (SELECT vec_id, embedding, {_cell_sql('embeddings')} AS cell
+            FROM embeddings) r
+        ON l.cell = r.cell AND l.vec_id < r.vec_id) t
     WHERE sim >= 0.4
     """
 
@@ -749,7 +753,11 @@ def _cosine_sql_expr(a: str, b: str) -> str:
     """,
 )
 def ann_cosine_topk(spark, sf_dir):
-    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+    """Exact brute-force top-k, gemm formulation: one BLAS matmul per Arrow
+    batch against the broadcast query matrix (r1's per-pair interpreted HOF
+    was the bench's worst query by 4x). cosine_topk (the HOF plan) is pinned
+    equal in tests/test_dedup_ops.py."""
+    return similarity.cosine_topk_gemm(_t(spark, sf_dir, "embeddings"))
 
 
 def _cell_sql(side: str, dims: int = 4) -> str:
@@ -782,9 +790,12 @@ def ann_ivf_topk(spark, sf_dir):
 
 @q("dedup_embedding_cosine", _embedding_cosine_pairs_sql())
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (semantic dedup leg)."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    return dedup.embedding_near_pairs(emb, threshold=0.4)
+    """Embedding-cosine near-dup pairs (semantic dedup leg). UNCAPPED
+    (r1's vec_id<500 cap removed): candidates come from the IVF sign-cell
+    equi-join on both engines — no cross join in either plan."""
+    return dedup.embedding_near_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
 
 
 def _hits_sql(lang: str) -> str:
@@ -900,10 +911,71 @@ def alphabet_translate_initials(spark, sf_dir):
 
 
 # =============================================================================
-# C. the OCR extraction engine itself (non-SQL-expressible → rows-only checks)
+# C. the OCR extraction engine itself — oracle-checked against a committed
+#    golden parquet of the expected spans (the synthetic corpus is a pure
+#    function of (n_docs, seed), so the golden is exact, not approximate).
+#    The driver runs the oracle compare at sf0.01 → n_docs=800 goldens.
 # =============================================================================
 
+import os as _os
+
 _SF_DOCS = {"sf0.001": 200, "sf0.01": 800, "sf0.1": 2000}
+_ORACLE_N_DOCS = _SF_DOCS["sf0.01"]  # the driver's oracle-compare tier
+
+_GOLDEN_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "dist",
+    "golden",
+)
+_GOLDEN_FLAT = _os.path.join(
+    _GOLDEN_DIR, f"ocr_expected_flat_{_ORACLE_N_DOCS}.parquet"
+)
+_GOLDEN_INK = _os.path.join(_GOLDEN_DIR, "media_ink_bits.parquet")
+
+
+def _ensure_goldens() -> None:
+    """Materialize the golden parquets the oracle SQL reads (idempotent;
+    regenerated from the deterministic fixture generator when absent)."""
+    if not _os.path.exists(_GOLDEN_FLAT):
+        from granulate_char_ocr_spark.sources.synthetic import write_golden_flat
+
+        write_golden_flat(_GOLDEN_FLAT, _ORACLE_N_DOCS, seed=42)
+    if not _os.path.exists(_GOLDEN_INK):
+        import numpy as _np
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from granulate_char_ocr_spark.functions.kernels import ahash_bits
+        from granulate_char_ocr_spark.sources.synthetic import glyph_media_pandas
+
+        media = glyph_media_pandas()
+        rows = [
+            (
+                r.media_ref,
+                float(
+                    ahash_bits(
+                        _np.frombuffer(r.pixels, dtype=_np.uint8).reshape(
+                            r.height, r.width
+                        )
+                    ).sum()
+                ),
+            )
+            for r in media.itertuples(index=False)
+        ]
+        _pq.write_table(
+            _pa.Table.from_pandas(
+                _pd.DataFrame(rows, columns=["media_ref", "n_ink_bits"]),
+                schema=_pa.schema(
+                    [("media_ref", _pa.string()), ("n_ink_bits", _pa.float64())]
+                ),
+                preserve_index=False,
+            ),
+            _GOLDEN_INK,
+        )
+
+
+_ensure_goldens()
 
 
 def _ocr_corpus(spark, sf_dir):
@@ -913,30 +985,56 @@ def _ocr_corpus(spark, sf_dir):
     return corpus_spark(spark, n, seed=42)
 
 
-@q("ocr_extract_documents", None)
+_FLAT_SPAN_ORACLE = f"""
+SELECT doc_id, "order", kind, text, media_ref
+FROM '{_GOLDEN_FLAT}'
+"""
+
+
+@q("ocr_extract_documents", _FLAT_SPAN_ORACLE)
 def ocr_extract_documents(spark, sf_dir):
-    """The flagship extraction job on the deterministic synthetic corpus
-    (size scaled by sf tier). Non-SQL-expressible (pixel UDF kernel)."""
+    """The flagship extraction job, projected to flat primitive rows
+    (doc_id, order, kind, text, media_ref) so the driver's canonicalizer can
+    sort and hash them (VERDICT r1: nested array<struct> is unhashable in
+    pandas). The nested document shape stays in entry() / extract_documents."""
+    from granulate_char_ocr_spark.operators.stitch import explode_expected
     from granulate_char_ocr_spark.plans.pipeline import extract_documents
 
     docs, media, _ = _ocr_corpus(spark, sf_dir)
-    return extract_documents(docs, media)
+    return explode_expected(extract_documents(docs, media))
 
 
-@q("ocr_extract_salted", None)
+@q("ocr_extract_salted", _FLAT_SPAN_ORACLE)
 def ocr_extract_salted(spark, sf_dir):
     """The north rule's literal doc_id-salted per-span extraction path
     (dedup_media=False); output must equal ocr_extract_documents (pinned by
-    tests/test_pipeline.py::test_dedup_and_salted_paths_agree)."""
+    tests/test_pipeline.py::test_dedup_and_salted_paths_agree), hence the
+    identical golden oracle."""
+    from granulate_char_ocr_spark.operators.stitch import explode_expected
     from granulate_char_ocr_spark.plans.pipeline import extract_documents
 
     docs, media, _ = _ocr_corpus(spark, sf_dir)
-    return extract_documents(docs, media, dedup_media=False, n_salts=8)
+    return explode_expected(
+        extract_documents(docs, media, dedup_media=False, n_salts=8)
+    )
 
 
-@q("ocr_eval_metrics", None)
+@q(
+    "ocr_eval_metrics",
+    f"""
+    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(1.0 AS DOUBLE) AS word_accuracy,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS perfect_docs,
+           CAST(1.0 AS DOUBLE) AS span_equality,
+           CAST(1.0 AS DOUBLE) AS char_accuracy
+    FROM '{_GOLDEN_FLAT}'
+    """,
+)
 def ocr_eval_metrics(spark, sf_dir):
-    """Span/char/word accuracy vs the golden fixtures (must be all 1.0)."""
+    """Span/char/word accuracy vs the golden fixtures. The oracle pins the
+    accuracies at exactly 1.0 (the clean corpus must extract perfectly) and
+    derives the counts from the same golden parquet."""
     from granulate_char_ocr_spark.plans.lineage import evaluate
     from granulate_char_ocr_spark.plans.pipeline import extract_documents
 
@@ -944,7 +1042,10 @@ def ocr_eval_metrics(spark, sf_dir):
     return evaluate(extract_documents(docs, media), expected)
 
 
-@q("mm_image_embeddings", None)
+@q(
+    "mm_image_embeddings",
+    f"SELECT media_ref, n_ink_bits FROM '{_GOLDEN_INK}'",
+)
 def mm_image_embeddings(spark, sf_dir):
     """Multimodal: 64-d aHash embeddings over the media store (pixel UDF →
     rows-only check); output feeds operators/similarity.py."""
@@ -968,11 +1069,22 @@ def mm_image_embeddings(spark, sf_dir):
     )
 
 
-@q("ocr_word_length_analysis", None)
+@q(
+    "ocr_word_length_analysis",
+    f"""
+    SELECT CAST(length(text) AS INTEGER) AS word_len,
+           count(*) AS n_words,
+           CAST(1.0 AS DOUBLE) AS mean_confidence,
+           array_to_string(list_sort(list(DISTINCT text))[1:3], ',') AS examples
+    FROM '{_GOLDEN_FLAT}' WHERE kind = 'media'
+    GROUP BY 1
+    """,
+)
 def ocr_word_length_analysis(spark, sf_dir):
     """EP3 word-length grouped analysis over extracted media spans (SURVEY
     §2.4 A7, evaluate_new_testdata.py:100-134): count + mean confidence per
-    recognized-word length, with 3 sorted examples."""
+    recognized-word length, with 3 sorted examples. Oracle: the golden spans
+    (mean_confidence pinned at 1.0 — clean corpus is all exact_hash)."""
     from granulate_char_ocr_spark.plans.pipeline import extract_flat
 
     docs, media, _ = _ocr_corpus(spark, sf_dir)
@@ -990,9 +1102,20 @@ def ocr_word_length_analysis(spark, sf_dir):
     )
 
 
-@q("ocr_method_histogram", None)
+@q(
+    "ocr_method_histogram",
+    f"""
+    SELECT 'exact_hash' AS method,
+           CAST(sum(length(text)) AS BIGINT) AS n,
+           CAST(1.0 AS DOUBLE) AS avg_confidence
+    FROM '{_GOLDEN_FLAT}' WHERE kind = 'media'
+    """,
+)
 def ocr_method_histogram(spark, sf_dir):
-    """Recognition-method histogram (SURVEY §2.4 A11) over extracted chars."""
+    """Recognition-method histogram (SURVEY §2.4 A11) over extracted chars.
+    Oracle: on the clean corpus every char resolves via exact_hash at
+    confidence 1.0, so the histogram is one pinned row with n = total golden
+    media chars."""
     from granulate_char_ocr_spark.plans.pipeline import extract_flat
 
     docs, media, _ = _ocr_corpus(spark, sf_dir)

@@ -32,9 +32,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 ZERO_WIDTH = "​‌‍⁠﻿"
+
+# Explicit whitespace class shared by BOTH implementations. Java's \s and
+# trim() are ASCII-only while Python's \s is Unicode-wide, so relying on \s
+# breaks the MUST-agree invariant on NBSP/U+2000-U+200A/U+3000 inputs
+# (ADVICE r1). This is exactly Python re's Unicode \s set, enumerated.
+WHITESPACE = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+
 _ZW_RE = re.compile(f"[{ZERO_WIDTH}]")
 _PUNCT_RE = re.compile(r"[!.]")
-_WS_RE = re.compile(r"\s+")
+_WS_RE = re.compile(f"[{WHITESPACE}]+")
 
 
 def normalize_python(s: str | None) -> str | None:
@@ -65,8 +76,12 @@ def _nfc_udf():
 
 
 def normalize_expr(col: Column) -> Column:
-    """Spark-side normalization: JVM built-ins, then one NFC pandas UDF."""
+    """Spark-side normalization: JVM built-ins, then one NFC pandas UDF.
+
+    The whitespace collapse uses the explicit WHITESPACE class (Java \\s is
+    ASCII-only); after it, every whitespace run is a single ASCII space, so
+    the plain (ASCII) F.trim is exact."""
     c = F.regexp_replace(col, f"[{ZERO_WIDTH}]", "")
     c = F.regexp_replace(c, r"[!.]", "")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, f"[{WHITESPACE}]+", " ")
     return _nfc_udf()(F.upper(F.trim(c)))

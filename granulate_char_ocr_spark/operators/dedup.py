@@ -150,14 +150,19 @@ def ngram_jaccard_pairs(
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash): ``bits``-wide SimHash over whitespace tokens.
 
-    Token hash = first 16 md5 hex digits as int; each bit contributes ±1,
-    bit set when the signed sum is strictly positive (deterministic ties).
+    Token hash = first ceil(bits/4) md5 hex digits as int (width derived
+    from ``bits`` — a fixed 4-digit slice would leave every bit past 16
+    voting uniformly, ADVICE r1); each bit contributes ±1, bit set when the
+    signed sum is strictly positive (deterministic ties).
     """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    hex_digits = (bits + 3) // 4
     tok = docs.select(
         "doc_id", F.explode(TOKENS()).alias("tok")
     ).withColumn(
         "th",
-        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int"),
+        F.conv(F.substring(F.md5("tok"), 1, hex_digits), 16, 10).cast("long"),
     )
     aggs = [
         F.sum(
@@ -174,18 +179,34 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def embedding_near_pairs(
-    embeddings: DataFrame, threshold: float = 0.4
+    embeddings: DataFrame, threshold: float = 0.4, sign_dims: int = 4
 ) -> DataFrame:
     """(vec_a, vec_b, sim): embedding-cosine near-duplicate pairs — the
-    semantic-dedup leg. Demonstration formulation is the bounded self-join
-    with a JVM-side zip_with/aggregate dot product; the scale path reuses the
-    IVF sign-cell pruning from operators/similarity.py (equi-join on cell
-    before the distance computation), same shape as LSH banding above."""
-    from granulate_char_ocr_spark.operators.similarity import COSINE_EXPR
+    semantic-dedup leg, scale formulation.
 
-    l, r = embeddings.alias("l"), embeddings.alias("r")
+    Candidates come from an equi-join on the IVF sign-cell (the sign pattern
+    of the first ``sign_dims`` components, the same fixed quantizer as
+    operators/similarity.ivf_topk) — the all-pairs cross join of r1 is gone.
+    Exact cosine then verifies each candidate; per-vector norms are hoisted
+    before the join. Like any LSH/IVF near-dup pass this is APPROXIMATE:
+    pairs whose vectors land in different sign-cells are not candidates
+    (true near-dups rarely flip a leading sign; the DuckDB oracle encodes
+    the identical cell restriction, so the check stays exact).
+    """
+    from granulate_char_ocr_spark.operators.similarity import (
+        COSINE_EXPR,
+        with_cell,
+        with_norm,
+    )
+
+    celled = with_cell(with_norm(embeddings), sign_dims)
+    l, r = celled.alias("l"), celled.alias("r")
     return (
-        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+        l.join(
+            r.hint("shuffle_hash"),
+            (F.col("l.cell") == F.col("r.cell"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
         .select(
             F.col("l.vec_id").alias("vec_a"),
             F.col("r.vec_id").alias("vec_b"),
@@ -198,14 +219,42 @@ def embedding_near_pairs(
 def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hd: int = 2) -> DataFrame:
     """(doc_a, doc_b, hd): SimHash pairs within Hamming distance ``max_hd``.
 
-    Demonstration formulation (cross join + bit_count filter) — at scale the
-    production path is the pigeonhole band trick (split bits into max_hd+1
-    chunks, equi-join on exact chunk match), same shape as LSH above.
+    Scale formulation — the pigeonhole band trick: split the ``bits`` into
+    ``max_hd + 1`` contiguous chunks; two hashes within HD <= max_hd must
+    agree EXACTLY on at least one chunk (at most max_hd chunks can contain a
+    differing bit), so candidates come from an equi-join on
+    (chunk_id, chunk_value) — the same plan shape as MinHash LSH banding, no
+    cross join anywhere. Candidates are then exact-verified with bit_count,
+    which makes the result IDENTICAL to the brute-force formulation (100%
+    recall by pigeonhole, 0 false positives by verification) — the DuckDB
+    oracle stays the brute-force quadratic, uncapped.
     """
+    n_chunks = max_hd + 1
+    base, rem = divmod(bits, n_chunks)
+    chunk_cols, offset = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < rem else 0)
+        chunk_cols.append(
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.expr(
+                    f"(shiftright(simhash, {offset}) & {(1 << width) - 1})"
+                ).alias("chunk_val"),
+            )
+        )
+        offset += width
     s = simhash(docs, bits)
-    l, r = s.alias("l"), s.alias("r")
+    banded = s.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_val")
+    l, r = banded.alias("l"), banded.alias("r")
     return (
-        l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
         .withColumn(
             "hd",
             F.expr("bit_count(l.simhash ^ r.simhash)").cast("int"),
@@ -216,4 +265,5 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hd: int = 2) -> Data
             F.col("r.doc_id").alias("doc_b"),
             "hd",
         )
+        .distinct()
     )

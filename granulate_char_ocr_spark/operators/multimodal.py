@@ -37,14 +37,27 @@ MULTIMODAL_SCHEMA = (
 def decode_payload(
     payload: bytes, codec: str, width: int, height: int
 ) -> np.ndarray:
-    """binary payload -> uint8 ndarray. Only the engine-native 'raw' codec is
-    implemented in-sandbox; compressed codecs are an explicit stub."""
+    """binary payload -> uint8 greyscale ndarray (H, W).
+
+    'raw' is the engine-native uint8 buffer; 'png' is a real pure-NumPy
+    decoder (functions/png.py — 8-bit grey/RGB/RGBA, all scanline filters),
+    matching the reference's PIL decode step (ocr_service.py:97-99). RGB(A)
+    decodes are luma-converted so every caller sees one channel. JPEG stays
+    stubbed (a DCT codec without a JPEG library is out of scope in-sandbox;
+    production swaps in turbojpeg behind this signature).
+    """
     if codec == "raw":
         return np.frombuffer(payload, dtype=np.uint8).reshape(height, width)
-    # STUB: compressed-image decode needs an image library absent from this
-    # sandbox; production swaps in Pillow/turbojpeg behind this signature.
+    if codec == "png":
+        from granulate_char_ocr_spark.functions.png import decode_png
+
+        img = decode_png(bytes(payload))
+        if img.ndim == 3:
+            # PNG is RGB-ordered; kernels.to_grayscale expects BGR weights
+            img = kernels.to_grayscale(img[..., 2::-1])
+        return img
     raise NotImplementedError(
-        f"decode for codec={codec!r} is stubbed in-sandbox (raw only)"
+        f"decode for codec={codec!r} is stubbed in-sandbox (raw/png only)"
     )
 
 

@@ -1,18 +1,24 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths, per the training-data-pipeline brief:
+Three formulations, per the training-data-pipeline brief:
 
-* ``cosine_topk``   — brute-force exact top-k: broadcast the (small) query
-  set against the corpus; the dot product is a JVM-side higher-order
-  ``aggregate(zip_with(...))`` — no Python in the hot loop. At 100 TB this is
-  the verification baseline (scan-heavy but embarrassingly parallel, zero
-  shuffle beyond the final per-query top-k).
-* ``ivf_topk``      — the scale path: a coarse inverted-file (IVF) variant
-  where the cell id is the sign pattern of the first ``sign_dims``
+* ``cosine_topk``      — brute-force exact top-k as a pure DataFrame plan:
+  per-side ``norm`` columns are HOISTED before the join (computed once per
+  vector, not once per pair — r1's plan recomputed both norms inside the
+  join, the bench's worst query by 4x), so the per-pair expression is one
+  dot product divided by two precomputed scalars.
+* ``cosine_topk_gemm`` — the production brute-force leg: the (small, bounded)
+  query set is collected once and broadcast as a NumPy matrix; each Arrow
+  batch of the corpus stacks its embeddings and resolves ALL queries with a
+  single BLAS gemm, emitting only per-batch top-k candidates. At 100 TB this
+  is an embarrassingly-parallel corpus scan with k*n_batches rows per query
+  entering the final top-k exchange — no pairwise join materialization.
+* ``ivf_topk``         — the pruned path: a coarse inverted-file (IVF)
+  variant where the cell id is the sign pattern of the first ``sign_dims``
   components (a fixed, data-independent quantizer — keeps the oracle exact).
-  Queries probe only their own cell: the corpus-side scan is pruned by an
-  equi-join on the cell id. Swap the quantizer for trained centroids in
-  production; the plan shape (cell equi-join → local top-k) is identical.
+  Queries probe only their own cell. Swap the quantizer for trained
+  centroids in production; the plan shape (cell equi-join → local top-k) is
+  identical.
 
 Ranking determinism: candidates are ranked by (rounded sim desc, vec_id asc)
 so ties cannot reorder across engines; only (query_id, neighbor, rank, sim)
@@ -21,15 +27,28 @@ survive to the result.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-COSINE_EXPR = (
+# dot product over pre-normed sides: norms are JOIN INPUT columns, computed
+# once per vector (with_norm below), never per pair
+DOT_EXPR = (
     "aggregate(zip_with(l.embedding, r.embedding, (x, y) -> cast(x as double) * y), "
-    "0D, (acc, v) -> acc + v) / "
-    "(sqrt(aggregate(l.embedding, 0D, (a, x) -> a + cast(x as double) * x)) * "
-    " sqrt(aggregate(r.embedding, 0D, (a, x) -> a + cast(x as double) * x)))"
+    "0D, (acc, v) -> acc + v)"
 )
+COSINE_EXPR = f"{DOT_EXPR} / (l.norm * r.norm)"
+
+NORM_EXPR = "sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * x))"
+
+
+def with_norm(embeddings: DataFrame) -> DataFrame:
+    """Project the L2 norm once per vector — the hoist that keeps the norm
+    out of every pairwise expression downstream."""
+    return embeddings.withColumn("norm", F.expr(NORM_EXPR))
 
 
 def _ranked(joined: DataFrame, k: int) -> DataFrame:
@@ -44,9 +63,11 @@ def _ranked(joined: DataFrame, k: int) -> DataFrame:
 
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
-    """Exact top-k cosine neighbors for the first ``n_queries`` vec_ids."""
-    queries = embeddings.filter(F.col("vec_id") < n_queries).alias("l")
-    corpus = embeddings.alias("r")
+    """Exact top-k cosine neighbors for the first ``n_queries`` vec_ids —
+    the SQL-expressible baseline (norm-hoisted HOF dot product)."""
+    normed = with_norm(embeddings)
+    queries = normed.filter(F.col("vec_id") < n_queries).alias("l")
+    corpus = normed.alias("r")
     joined = (
         queries.crossJoin(F.broadcast(corpus).hint("broadcast"))
         .filter(F.col("l.vec_id") != F.col("r.vec_id"))
@@ -59,12 +80,80 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataF
     return _ranked(joined, k)
 
 
+def cosine_topk_gemm(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact top-k via one BLAS matmul per Arrow batch.
+
+    The query set is bounded (n_queries rows) so collecting it to the driver
+    is a deliberate, size-capped broadcast — the corpus side stays fully
+    distributed and is scanned exactly once. Each batch emits at most
+    n_queries * k candidate rows, so the final top-k shuffle carries
+    k * n_batches rows per query, never the full pairwise product.
+    Results are bit-compatible with cosine_topk at the pinned 5-decimal
+    rounding (float64 gemm vs HOF sequential sum; pinned by tests).
+    """
+    q_pd = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    if len(q_pd) == 0:
+        empty = "query_id bigint, neighbor_id bigint, rank int, sim double"
+        return embeddings.sparkSession.createDataFrame([], empty)
+    q_ids = q_pd["vec_id"].to_numpy()
+    q_mat = np.stack(q_pd["embedding"].to_numpy()).astype(np.float64)
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = embeddings.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_unit))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            np.maximum(xn, 1e-300, out=xn)
+            sims = (x / xn) @ qm.T  # (B, Q): one gemm for the whole batch
+            vec_ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(ids):
+                mask = vec_ids != qid  # exclude self
+                cand_ids = vec_ids[mask]
+                cand = np.round(sims[mask, j], 5)
+                # per-batch top-k under the EXACT final order (rounded sim
+                # desc, neighbor_id asc): top-k of a union equals top-k of
+                # the union of per-batch top-k's, so boundary ties at the
+                # 5-decimal rounding cannot drop the wrong candidate
+                top = np.lexsort((cand_ids, -cand))[:k]
+                out_q.extend([qid] * len(top))
+                out_n.extend(cand_ids[top])
+                out_s.extend(cand[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    cand = embeddings.select("vec_id", "embedding").mapInPandas(
+        fn, schema="query_id bigint, neighbor_id bigint, sim double"
+    )
+    return _ranked(cand, k)
+
+
 def _cell_expr(side: str, sign_dims: int) -> str:
+    ref = f"{side}.embedding" if side else "embedding"
     bits = " || ".join(
-        f"case when element_at({side}.embedding, {i + 1}) >= 0 then '1' else '0' end"
+        f"case when element_at({ref}, {i + 1}) >= 0 then '1' else '0' end"
         for i in range(sign_dims)
     )
     return bits
+
+
+def with_cell(embeddings: DataFrame, sign_dims: int) -> DataFrame:
+    """Project the IVF sign-cell id (unqualified refs — apply BEFORE any
+    .alias(): a withColumn added after aliasing is not reachable via the
+    alias qualifier in a self-join)."""
+    return embeddings.withColumn("cell", F.expr(_cell_expr("", sign_dims)))
 
 
 def ivf_topk(
@@ -76,9 +165,10 @@ def ivf_topk(
     """Approximate top-k: candidates restricted to the query's own sign-cell
     (single-probe IVF). Returns (query_id, neighbor_id, rank, sim)."""
     cell = lambda side: F.expr(_cell_expr(side, sign_dims))  # noqa: E731
-    corpus = embeddings.alias("r").withColumn("cell", cell("r"))
+    normed = with_norm(embeddings)
+    corpus = normed.alias("r").withColumn("cell", cell("r"))
     queries = (
-        embeddings.filter(F.col("vec_id") < n_queries)
+        normed.filter(F.col("vec_id") < n_queries)
         .alias("l")
         .withColumn("cell", cell("l"))
     )

@@ -123,9 +123,14 @@ def evaluate(extracted: DataFrame, expected: DataFrame) -> DataFrame:
             "pos", "got_c"
         ),
     )
-    char_join = exp_chars.join(got_chars, ["doc_id", "order", "pos"], "left")
+    # FULL outer join so length mismatches count as wrong on both sides:
+    # rows = max(len(exp), len(got)) per span, matches need both chars equal
+    # (the reference's correct_chars / max(len(expected), len(recognized)),
+    # evaluate_new_testdata.py:52-54). A left join would silently drop the
+    # extra/missing tail ('TEAM' vs 'T' must score 0.25, not 1.0).
+    char_join = exp_chars.join(got_chars, ["doc_id", "order", "pos"], "full")
     char_acc = char_join.agg(
-        F.avg((F.col("exp_c") == F.col("got_c")).cast("double")).alias(
+        F.avg(F.col("exp_c").eqNullSafe(F.col("got_c")).cast("double")).alias(
             "char_accuracy"
         )
     )

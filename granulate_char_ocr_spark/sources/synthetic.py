@@ -200,6 +200,51 @@ def corpus_spark(spark, n_docs: int, seed: int = 42):
     return docs, media, expected
 
 
+def expected_flat_pandas(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Golden expected spans, flattened to primitive sortable columns
+    (doc_id, order, kind, text, media_ref) — the shape the driver's
+    canonicalizer can hash (nested array<struct> cannot be sorted in pandas,
+    see VERDICT r1 'What's wrong' #1)."""
+    _, exp_pd = corpus_pandas(n_docs, seed)
+    rows = []
+    for doc in exp_pd.itertuples(index=False):
+        for s in doc.spans:
+            rows.append(
+                {
+                    "doc_id": doc.doc_id,
+                    "order": s["order"],
+                    "kind": s["kind"],
+                    "text": s["text"],
+                    "media_ref": s["media_ref"],
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def write_golden_flat(out_path: str, n_docs: int, seed: int = 42) -> None:
+    """Materialize the flat golden spans as parquet for the DuckDB oracle
+    side of the flagship driver queries (regenerable, deterministic)."""
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    flat = expected_flat_pandas(n_docs, seed)
+    pq.write_table(
+        pa.Table.from_pandas(
+            flat,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("order", pa.int32()),
+                    ("kind", pa.string()),
+                    ("text", pa.string()),
+                    ("media_ref", pa.string()),
+                ]
+            ),
+            preserve_index=False,
+        ),
+        out_path,
+        row_group_size=4096,
+    )
+
+
 def write_corpus(out_dir: str, n_docs: int, seed: int = 42) -> None:
     """Materialize the corpus as parquet (bench input; avoids regenerating
     per run and keeps bench I/O shaped like the production scan)."""

@@ -35,11 +35,13 @@ def main() -> None:
     ap.add_argument("--no-dedup-media", action="store_true")
     args = ap.parse_args()
 
+    import time
+
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from granulate_char_ocr_spark.plans import resume
     from granulate_char_ocr_spark.plans.lineage import partition_lineage
-    from granulate_char_ocr_spark.plans.pipeline import extract_flat
 
     # on a cluster the session comes from spark-submit; local fallback for
     # smoke runs
@@ -47,6 +49,7 @@ def main() -> None:
     docs = spark.read.parquet(args.documents)
     media = spark.read.parquet(args.media)
 
+    t0 = time.monotonic()
     done = resume.run_with_resume(
         spark,
         docs,
@@ -55,23 +58,34 @@ def main() -> None:
         n_buckets=args.n_buckets,
         n_salts=args.n_salts,
     )
+    elapsed_ms = int((time.monotonic() - t0) * 1000)
     print(f"processed buckets: {done}")
+    if not done:
+        return  # resume found nothing pending — no lineage rows to append
 
-    # lineage/metrics append (manifest-hash snapshot id: Iceberg jars are not
-    # assumed; swap for table.currentSnapshot().snapshotId() when present)
+    # lineage/metrics append for THIS run's buckets only, derived from the
+    # just-written output (one cheap scan — re-running extract_flat over the
+    # full corpus would double the job's cost, ADVICE r1). Manifest-hash
+    # snapshot id: Iceberg jars are not assumed; swap for
+    # table.currentSnapshot().snapshotId() when present.
     from granulate_char_ocr_spark.sources.tables import manifest_snapshot_id
 
     snapshot_id = manifest_snapshot_id(args.documents)
-    flat = extract_flat(
-        docs,
-        media,
-        n_salts=args.n_salts,
-        noisy=args.noisy,
-        dedup_media=not args.no_dedup_media,
+    written = spark.read.parquet(os.path.join(args.output, "extracted")).filter(
+        F.col(resume.BUCKET_COL).isin(list(done))
     )
-    partition_lineage(flat, run_id=args.run_id, snapshot_id=snapshot_id).write.mode(
-        "append"
-    ).parquet(os.path.join(args.output, "metrics"))
+    flat = written.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        "s.kind",
+        "s.text",
+        "s.media_ref",
+        F.length("s.text").alias("n_chars"),
+    )
+    partition_lineage(
+        flat, run_id=args.run_id, snapshot_id=snapshot_id, elapsed_ms=elapsed_ms
+    ).write.mode("append").parquet(os.path.join(args.output, "metrics"))
 
 
 if __name__ == "__main__":

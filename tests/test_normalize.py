@@ -17,6 +17,13 @@ CASES = [
     "über año",
     "",
     "!!..!!",
+    # Unicode whitespace (ADVICE r1): NBSP, en/em spaces, ideographic space,
+    # narrow NBSP, line/paragraph separators - Java \\s misses all of these
+    "hello\xa0world\u3000x",
+    "\xa0 leading nbsp and ideographic trail\u3000",
+    "thin\u2009space and\u2028line\u2029paragraph",
+    "en\u2002em\u2003quad\u2000\u2001figure\u2007narrow\u202fmath\u205f",
+    "ogham\u1680mark\x85next\x1c\x1d\x1e\x1fend",
     None,
 ]
 

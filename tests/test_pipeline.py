@@ -94,6 +94,26 @@ def test_evaluate_metrics_all_perfect(spark, corpus):
     assert m["perfect_docs"] == N_DOCS
 
 
+def test_evaluate_char_accuracy_counts_length_mismatch(spark):
+    """ADVICE r1: expected 'TEAM' vs recognized 'T' must score 0.25 (the
+    reference's correct / max(len_exp, len_got)), not 1.0 — a left char join
+    silently dropped the missing tail."""
+
+    def spans_df(text):
+        return spark.createDataFrame(
+            [("d1", [{"kind": "media", "text": text, "media_ref": "m", "order": 0}])],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,`order`:int>>",
+        )
+
+    m = evaluate(spans_df("T"), spans_df("TEAM")).collect()[0]
+    assert m["char_accuracy"] == 0.25
+    assert m["span_equality"] == 0.0
+    # extra recognized chars count against accuracy too
+    m2 = evaluate(spans_df("TEAMXX"), spans_df("TEAM")).collect()[0]
+    assert abs(m2["char_accuracy"] - 4 / 6) < 1e-12
+
+
 def test_partition_lineage_covers_all_docs(spark, corpus):
     docs, media, expected = corpus
     flat = extract_flat(docs, media)

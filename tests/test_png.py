@@ -1,0 +1,78 @@
+"""PNG codec round-trips (every scanline filter) + Spark-path parity:
+embeddings computed from PNG payloads must equal the raw-payload ones."""
+
+import numpy as np
+import pytest
+
+from granulate_char_ocr_spark.functions import kernels
+from granulate_char_ocr_spark.functions.png import decode_png, encode_png
+from granulate_char_ocr_spark.sources.synthetic import render_word
+
+
+def _rng_img(shape, seed=7):
+    return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_roundtrip_grey_all_filters(ftype):
+    img = _rng_img((23, 41))
+    assert np.array_equal(decode_png(encode_png(img, ftype)), img)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_roundtrip_rgb_all_filters(ftype):
+    img = _rng_img((17, 13, 3))
+    assert np.array_equal(decode_png(encode_png(img, ftype)), img)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_roundtrip_rgba_all_filters(ftype):
+    img = _rng_img((9, 11, 4))
+    assert np.array_equal(decode_png(encode_png(img, ftype)), img)
+
+
+def test_glyph_roundtrip_preserves_ahash():
+    img = render_word("TEAM", 1)
+    back = decode_png(encode_png(img, filter_type=4))
+    assert np.array_equal(back, img)
+    assert np.array_equal(kernels.ahash_bits(back), kernels.ahash_bits(img))
+
+
+def test_unsupported_rejected():
+    data = bytearray(encode_png(_rng_img((4, 4))))
+    data[24] = 16  # bit depth byte inside IHDR
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(bytes(data))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"notapng" + bytes(10))
+
+
+def test_png_media_embeddings_match_raw(spark):
+    """The multimodal pipeline over PNG payloads = over raw payloads."""
+    from granulate_char_ocr_spark.operators import multimodal
+
+    words = ["TEAM", "WORK", "A"]
+    rows = []
+    for codec in ("raw", "png"):
+        for w in words:
+            img = render_word(w, 0)
+            payload = img.tobytes() if codec == "raw" else encode_png(img, 2)
+            rows.append(
+                (
+                    f"{codec}_{w}",
+                    "image",
+                    codec,
+                    img.shape[1],
+                    img.shape[0],
+                    1,
+                    0,
+                    payload,
+                )
+            )
+    df = spark.createDataFrame(rows, schema=multimodal.MULTIMODAL_SCHEMA)
+    emb = {
+        r["media_ref"]: list(r["embedding"])
+        for r in multimodal.image_embeddings(df).collect()
+    }
+    for w in words:
+        assert emb[f"png_{w}"] == emb[f"raw_{w}"], w

@@ -87,6 +87,15 @@ def main() -> int:
             failed.append(name)
             continue
         if name not in oracles:
+            # replicate the driver's canonicalizer even without an oracle:
+            # it sorts every result column in pandas and dies on unhashable
+            # cells (array<struct> columns) — r1's invisible-locally failure
+            try:
+                normalize(spark_pd)
+            except Exception as ex:
+                print(f"[FAIL] {name}: uncanonicalizable result: {ex}")
+                failed.append(name)
+                continue
             print(f"[rows-only] {name}: {len(spark_pd)} rows")
             continue
         try:
