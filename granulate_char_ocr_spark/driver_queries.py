@@ -1103,6 +1103,55 @@ def ocr_word_length_analysis(spark, sf_dir):
 
 
 @q(
+    "ocr_result_json_roundtrip",
+    f"""
+    SELECT DISTINCT media_ref AS image_id,
+           text AS text_rt,
+           CAST(1.0 AS DOUBLE) AS avg_conf_rt,
+           CAST(length(text) AS INTEGER) AS n_characters
+    FROM '{_GOLDEN_FLAT}' WHERE kind = 'media'
+    """,
+)
+def ocr_result_json_roundtrip(spark, sf_dir):
+    """The public OCRResult.to_dict JSON projection (reference
+    ocr_result.py:24-39), proven by serialize→parse round trip: the query
+    emits fields parsed BACK out of result_json, checked against the golden
+    spans (clean corpus → every media_ref's text and confidence pinned)."""
+    from granulate_char_ocr_spark.operators.extract import extract_unique_media
+    from granulate_char_ocr_spark.operators.results import ocr_result_json
+    from granulate_char_ocr_spark.plans.pipeline import explode_spans
+
+    docs, media, _ = _ocr_corpus(spark, sf_dir)
+    used = (
+        explode_spans(docs)
+        .filter(F.col("kind") == "media")
+        .select("media_ref")
+        .distinct()
+        .join(F.broadcast(media), "media_ref", "left")
+    )
+    res = ocr_result_json(
+        extract_unique_media(used), timestamp="2026-01-01T00:00:00.000000"
+    )
+    return res.select(
+        F.get_json_object("result_json", "$.image_id").alias("image_id"),
+        F.get_json_object("result_json", "$.text").alias("text_rt"),
+        F.get_json_object("result_json", "$.average_confidence")
+        .cast("double")
+        .alias("avg_conf_rt"),
+        F.from_json(
+            F.col("result_json"),
+            "struct<characters:array<struct<latin_equivalent:string>>>",
+        )["characters"]
+        .alias("_chars"),
+    ).select(
+        "image_id",
+        "text_rt",
+        F.round("avg_conf_rt", 6).alias("avg_conf_rt"),
+        F.size("_chars").alias("n_characters"),
+    )
+
+
+@q(
     "ocr_method_histogram",
     f"""
     SELECT 'exact_hash' AS method,

@@ -231,16 +231,14 @@ def _rotate_nn(img: np.ndarray, angle_deg: float) -> np.ndarray:
     return np.where(valid, img[syi, sxi], 0).astype(img.dtype)
 
 
-def deskew(
+def deskew_angle(
     img: np.ndarray, max_angle: float = 15.0, step: float = 3.0
-) -> np.ndarray:
-    """Projection-profile deskew: among candidate rotations, keep the one
-    maximizing row-sum variance (the classic text-line criterion; the
-    reference's minAreaRect+warpAffine at optimize_preprocessing.py:102-128
-    serves the same role). 0° is preferred unless a candidate is strictly
-    >2% better — an exact no-op on clean axis-aligned fixtures."""
+) -> float:
+    """The angle ``deskew`` would apply (0.0 = keep as-is). Exposed so
+    callers can rotate COMPANION planes (e.g. the grayscale the vote tier
+    re-binarizes) by the identical transform and keep bboxes aligned."""
     if img.size == 0 or not img.any():
-        return img
+        return 0.0
     angles = np.arange(-max_angle, max_angle + step / 2, step)
     base = float(np.var(img.sum(axis=1, dtype=np.int64)))
     best_angle, best_score = 0.0, base
@@ -251,8 +249,20 @@ def deskew(
         if score > best_score:
             best_angle, best_score = float(a), score
     if best_angle == 0.0 or best_score <= base * 1.02:
-        return img
-    return _rotate_nn(img, best_angle)
+        return 0.0
+    return best_angle
+
+
+def deskew(
+    img: np.ndarray, max_angle: float = 15.0, step: float = 3.0
+) -> np.ndarray:
+    """Projection-profile deskew: among candidate rotations, keep the one
+    maximizing row-sum variance (the classic text-line criterion; the
+    reference's minAreaRect+warpAffine at optimize_preprocessing.py:102-128
+    serves the same role). 0° is preferred unless a candidate is strictly
+    >2% better — an exact no-op on clean axis-aligned fixtures."""
+    a = deskew_angle(img, max_angle, step)
+    return img if a == 0.0 else _rotate_nn(img, a)
 
 
 # ---------------------------------------------------------------------------
@@ -319,14 +329,31 @@ def preprocess(img: np.ndarray) -> np.ndarray:
     return morph_close(binary, 2, 2)
 
 
-def preprocess_noisy(img: np.ndarray) -> np.ndarray:
-    """Robustness variant: blur before threshold to kill salt-and-pepper."""
+def preprocess_noisy_pair(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Robustness variant: blur before threshold to kill salt-and-pepper.
+    Returns (binary, gray): the preprocessed binary AND the geometry-aligned
+    smoothed grayscale (rotated by the same deskew angle) — the vote tier
+    re-binarizes crops of the gray plane at the binary plane's bboxes."""
     gray = to_grayscale(img)
     gray = polarity_invert(gray)
     smooth = gaussian_blur3(gray)
     binary = otsu_threshold(smooth)
-    binary = deskew(binary)
-    return morph_close(binary, 2, 2)
+    a = deskew_angle(binary)
+    if a != 0.0:
+        binary = _rotate_nn(binary, a)
+        smooth = _rotate_nn(smooth, a)
+    return morph_close(binary, 2, 2), smooth
+
+
+def preprocess_noisy(img: np.ndarray) -> np.ndarray:
+    """Binary-only view of ``preprocess_noisy_pair``."""
+    return preprocess_noisy_pair(img)[0]
+
+
+# x-gap for the noisy path's adjacent-region merge: below the corpus'
+# minimum inter-character spacing (12 px, sources/synthetic.py render_word)
+# and above typical intra-glyph noise cuts
+NOISY_MERGE_GAP = 8
 
 
 def segment_regions(
@@ -371,6 +398,141 @@ def segment_regions(
         if w > min_w and h > min_h:
             regions.append((int(s), y0, w, h))
     return regions  # starts are ascending → already left-to-right
+
+
+def merge_adjacent_regions(
+    regions: list[tuple[int, int, int, int]], max_gap: int = 20
+) -> list[tuple[int, int, int, int]]:
+    """Merge horizontally-adjacent region pairs — the reference's improved
+    segmentation pass (ocr_service_improved.py:221-254): two x-sorted boxes
+    merge when the x-gap between them is < ``max_gap`` AND their y-ranges
+    overlap (a glyph that binarized into two islands — broken stroke, noise
+    cut). Pairwise with a skip-by-2, exactly as the reference iterates; the
+    reference's 20 px default suits its image scale — the noisy pipeline
+    passes a gap below the corpus' inter-character spacing."""
+    out: list[tuple[int, int, int, int]] = []
+    i = 0
+    while i < len(regions):
+        x1, y1, w1, h1 = regions[i]
+        if i + 1 < len(regions):
+            x2, y2, w2, h2 = regions[i + 1]
+            x_distance = x2 - (x1 + w1)
+            y_overlap = min(y1 + h1, y2 + h2) - max(y1, y2)
+            if x_distance < max_gap and y_overlap > 0:
+                nx, ny = min(x1, x2), min(y1, y2)
+                out.append(
+                    (
+                        nx,
+                        ny,
+                        max(x1 + w1, x2 + w2) - nx,
+                        max(y1 + h1, y2 + h2) - ny,
+                    )
+                )
+                i += 2
+                continue
+        out.append((x1, y1, w1, h1))
+        i += 1
+    return out
+
+
+def _label_runs(img: np.ndarray) -> tuple[list[tuple[int, int, int, int]], list[int]]:
+    """Row-run connected-component pass: returns per-run (y, x0, x1, run_id)
+    and a union-find parent array over runs (8-connectivity)."""
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    runs: list[tuple[int, int, int, int]] = []  # (y, x0, x1_excl, id)
+    prev_row: list[tuple[int, int, int]] = []  # (x0, x1_excl, id)
+    mask = img > 0
+    for y in range(img.shape[0]):
+        row = mask[y]
+        if not row.any():
+            prev_row = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1) + 1
+        if row[0]:
+            starts = np.concatenate(([0], starts))
+        if row[-1]:
+            ends = np.concatenate((ends, [row.size]))
+        cur_row: list[tuple[int, int, int]] = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            rid = len(parent)
+            parent.append(rid)
+            runs.append((y, s, e, rid))
+            # 8-connectivity: a run touches a previous-row run when their
+            # x-intervals, each widened by 1, intersect
+            for ps, pe, pid in prev_row:
+                if s < pe + 1 and ps < e + 1:
+                    union(rid, pid)
+            cur_row.append((s, e, rid))
+        prev_row = cur_row
+    # path-compress everything to roots
+    roots = [0] * len(parent)
+    for i in range(len(parent)):
+        roots[i] = find(i)
+    return runs, roots
+
+
+def segment_regions_cc(
+    img: np.ndarray,
+    min_w: int = 10,
+    min_h: int = 10,
+    row_gap: int = 24,
+) -> list[tuple[int, int, int, int]]:
+    """Connected-component segmentation → [(x, y, w, h)] in reading order.
+
+    The reference keeps a contour-based strategy next to the projection one
+    (``ocr_service_backup.py`` / the cv2.findContours fallback in
+    ``ocr_service.py``); a pure column projection provably cannot separate
+    multi-row layouts (two stacked rows project onto the same columns).
+    Two-pass run-based union-find labeling (8-connectivity), then reading
+    order: rows are clustered by y-center gaps > ``row_gap`` (the reference's
+    y-gap row split, ``extract_from_reference.py:108-132``, 50 px at its
+    bubble scale) and regions sort (row, x).
+    """
+    if img.size == 0 or not (img > 0).any():
+        return []
+    runs, roots = _label_runs(img)
+    boxes: dict[int, list[int]] = {}  # root -> [x0, y0, x1, y1] (incl-excl)
+    for (y, s, e, rid) in runs:
+        root = roots[rid]
+        b = boxes.get(root)
+        if b is None:
+            boxes[root] = [s, y, e, y + 1]
+        else:
+            b[0] = min(b[0], s)
+            b[1] = min(b[1], y)
+            b[2] = max(b[2], e)
+            b[3] = max(b[3], y + 1)
+    regions = [
+        (x0, y0, x1 - x0, y1 - y0)
+        for x0, y0, x1, y1 in boxes.values()
+        if (x1 - x0) > min_w and (y1 - y0) > min_h
+    ]
+    if not regions:
+        return []
+    # reading order: cluster y-centers into rows, then x within each row
+    centers = sorted((y + h / 2.0, i) for i, (x, y, w, h) in enumerate(regions))
+    row_of = [0] * len(regions)
+    row = 0
+    for k, (cy, i) in enumerate(centers):
+        if k and cy - centers[k - 1][0] > row_gap:
+            row += 1
+        row_of[i] = row
+    order = sorted(range(len(regions)), key=lambda i: (row_of[i], regions[i][0]))
+    return [regions[i] for i in order]
 
 
 # ---------------------------------------------------------------------------
@@ -423,6 +585,46 @@ def classify_batch(
     return out
 
 
+def vote_classify_crop(gray_crop: np.ndarray) -> tuple[str | None, float, str]:
+    """Third cascade tier — multi-binarization vote over one rejected region
+    (the reference's per-bubble OCR vote, extract_from_reference.py:352-356,
+    lifted to char level). The polarity-inverted grayscale crop is
+    re-binarized three ways (fixed-128, Otsu, adaptive), each variant is
+    classified by the exact→hamming cascade, and the most common recognized
+    letter wins (first occurrence breaks ties, as Counter.most_common does).
+    Confidence = mean confidence of the winner's votes; method = 'vote'."""
+    variants = [
+        morph_close(threshold(gray_crop, 128), 2, 2),
+        morph_close(otsu_threshold(gray_crop), 2, 2),
+        morph_close(adaptive_threshold(gray_crop), 2, 2),
+    ]
+    results = [r for r in classify_batch(variants) if r[0] is not None]
+    if not results:
+        return (None, 0.0, "unknown")
+    from collections import Counter
+
+    winner = Counter(r[0] for r in results).most_common(1)[0][0]
+    confs = [r[1] for r in results if r[0] == winner]
+    return (winner, float(np.mean(confs)), "vote")
+
+
+def classify_batch_cascade(
+    crops: list[np.ndarray],
+    gray_crops: list[np.ndarray] | None = None,
+) -> list[tuple[str | None, float, str]]:
+    """Full three-tier cascade: exact_hash → hamming → multi-binarization
+    vote. The vote tier runs only for regions the first two tiers rejected,
+    and only when the caller supplies the raw (polarity-inverted grayscale)
+    crops — the clean hot path passes gray_crops=None and pays nothing."""
+    results = classify_batch(crops)
+    if gray_crops is None:
+        return results
+    return [
+        vote_classify_crop(gray_crops[i]) if r[0] is None else r
+        for i, r in enumerate(results)
+    ]
+
+
 def recognize_word_vote(img: np.ndarray) -> str:
     """Majority vote across three binarizations (fixed-128, Otsu, adaptive) —
     the reference's per-bubble OCR vote (extract_from_reference.py:352-356).
@@ -449,14 +651,25 @@ def recognize_word_vote(img: np.ndarray) -> str:
 def recognize_word(img: np.ndarray, noisy: bool = False) -> list[dict]:
     """Full single-image path: preprocess → segment → classify.
 
+    Under ``noisy=True`` the chain grows two robustness stages the clean
+    path never pays for: adjacent-region merge (a glyph split in two by a
+    noise cut re-joins before classification) and the multi-binarization
+    vote tier for regions the exact/hamming cascade rejects.
+
     Returns one dict per *recognized* character, left-to-right:
     ``{latin, confidence, method, x, y, w, h}``. Unrecognized regions are
     dropped (reference ocr_service.py:149-154 appends only on recognition).
     """
-    pre = preprocess_noisy(img) if noisy else preprocess(img)
-    regions = segment_regions(pre)
+    if noisy:
+        pre, gray = preprocess_noisy_pair(img)
+        regions = merge_adjacent_regions(segment_regions(pre), NOISY_MERGE_GAP)
+        gray_crops = [gray[y : y + h, x : x + w] for (x, y, w, h) in regions]
+    else:
+        pre = preprocess(img)
+        regions = segment_regions(pre)
+        gray_crops = None
     crops = [pre[y : y + h, x : x + w] for (x, y, w, h) in regions]
-    results = classify_batch(crops)
+    results = classify_batch_cascade(crops, gray_crops)
     chars = []
     for (x, y, w, h), (latin, conf, method) in zip(regions, results):
         if latin is not None:

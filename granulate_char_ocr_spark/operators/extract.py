@@ -50,11 +50,20 @@ UNIQUE_KEYS = "media_ref string"
 
 
 def _process_batch(
-    pdf: pd.DataFrame, noisy: bool, passthrough: tuple[str, ...], detail: bool
+    pdf: pd.DataFrame,
+    noisy: bool,
+    passthrough: tuple[str, ...],
+    detail: bool,
+    segmenter: str = "projection",
 ) -> pd.DataFrame:
+    segment = (
+        kernels.segment_regions_cc
+        if segmenter == "cc"
+        else kernels.segment_regions
+    )
     n = len(pdf)
-    pre_fn = kernels.preprocess_noisy if noisy else kernels.preprocess
     crops: list[np.ndarray] = []
+    gray_crops: list[np.ndarray] = []  # vote-tier inputs (noisy path only)
     owner: list[int] = []  # crop -> row index
     regions_per_row: list[int] = []
     widths = pdf["width"].to_numpy()
@@ -71,16 +80,29 @@ def _process_batch(
                 regions_per_row.append(0)
                 continue
             img = np.frombuffer(buf, dtype=np.uint8).reshape(h_i, w_i)
-            pre = pre_fn(img)
-            regs = kernels.segment_regions(pre)
+            if noisy:
+                # merge noise-split glyphs; keep the aligned gray plane for
+                # the vote tier (same chain as kernels.recognize_word)
+                pre, gray = kernels.preprocess_noisy_pair(img)
+                regs = kernels.merge_adjacent_regions(
+                    segment(pre), kernels.NOISY_MERGE_GAP
+                )
+            else:
+                pre = kernels.preprocess(img)
+                regs = segment(pre)
         except Exception:
             regions_per_row.append(0)
             continue
         regions_per_row.append(len(regs))
         for (x, y, w, h) in regs:
             crops.append(pre[y : y + h, x : x + w])
+            if noisy:
+                gray_crops.append(gray[y : y + h, x : x + w])
             owner.append(i)
-    results = kernels.classify_batch(crops)  # ONE matmul for the whole batch
+    # ONE matmul for the whole batch; the vote tier reruns only rejects
+    results = kernels.classify_batch_cascade(
+        crops, gray_crops if noisy else None
+    )
 
     letters: list[list[str]] = [[] for _ in range(n)]
     confs: list[list[float]] = [[] for _ in range(n)]
@@ -123,33 +145,45 @@ def _map_extract(
     passthrough: tuple[str, ...],
     noisy: bool,
     detail: bool,
+    segmenter: str = "projection",
 ) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _process_batch(pdf, noisy, passthrough, detail)
+                yield _process_batch(pdf, noisy, passthrough, detail, segmenter)
 
     cols = [*passthrough, "width", "height", "pixels"]
     return df.select(*cols).mapInPandas(fn, schema=_schema(keys_schema, detail))
 
 
 def extract_media_spans(
-    media_spans: DataFrame, noisy: bool = False, detail: bool = True
+    media_spans: DataFrame,
+    noisy: bool = False,
+    detail: bool = True,
+    segmenter: str = "projection",
 ) -> DataFrame:
     """Per-span extraction: (doc_id, offset, media_ref, width, height, pixels)
     → recognized spans. Used by the non-dedup path where every span carries
     its own payload. ``detail=False`` skips the nested per-char structs."""
     return _map_extract(
-        media_spans, SPAN_KEYS, ("doc_id", "offset", "media_ref"), noisy, detail
+        media_spans,
+        SPAN_KEYS,
+        ("doc_id", "offset", "media_ref"),
+        noisy,
+        detail,
+        segmenter,
     )
 
 
 def extract_unique_media(
-    media: DataFrame, noisy: bool = False, detail: bool = True
+    media: DataFrame,
+    noisy: bool = False,
+    detail: bool = True,
+    segmenter: str = "projection",
 ) -> DataFrame:
     """Per-unique-image extraction: (media_ref, width, height, pixels) →
     recognized payload keyed by media_ref. The dedup path: recognition is a
     pure function of the pixels, so each distinct media_ref is classified
     exactly once and the (small) results join back to the span stream —
     pixel bytes never enter a span-stream shuffle."""
-    return _map_extract(media, UNIQUE_KEYS, ("media_ref",), noisy, detail)
+    return _map_extract(media, UNIQUE_KEYS, ("media_ref",), noisy, detail, segmenter)

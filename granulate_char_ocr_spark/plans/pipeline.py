@@ -59,6 +59,7 @@ def extract_flat(
     broadcast_media: bool = True,
     dedup_media: bool = True,
     detail: bool = True,
+    segmenter: str = "projection",
 ) -> DataFrame:
     """Flat extracted spans: (doc_id, offset, kind, text, media_ref,
     n_chars, avg_confidence[, chars]). Text spans carry n_chars = length of
@@ -107,7 +108,9 @@ def extract_flat(
             .repartition(par, "media_ref")
             .join(media_side, "media_ref", "left")
         )
-        rec_uniq = extract_unique_media(uniq, noisy=noisy, detail=detail)
+        rec_uniq = extract_unique_media(
+            uniq, noisy=noisy, detail=detail, segmenter=segmenter
+        )
         rec_side = F.broadcast(rec_uniq) if broadcast_media else rec_uniq
         recognized = media_spans.join(rec_side, "media_ref", "left")
     else:
@@ -119,7 +122,9 @@ def extract_flat(
             media_spans, n_salts=n_salts, num_partitions=num_partitions
         )
         joined = salted.join(media_side, "media_ref", "left")
-        recognized = extract_media_spans(joined, noisy=noisy, detail=detail)
+        recognized = extract_media_spans(
+            joined, noisy=noisy, detail=detail, segmenter=segmenter
+        )
     out_cols = [
         "doc_id",
         "offset",

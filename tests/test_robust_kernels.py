@@ -1,0 +1,177 @@
+"""Robustness kernels added in r2: adjacent-region merge (split glyphs),
+connected-component segmentation (multi-row layouts), and the
+multi-binarization vote cascade tier."""
+
+import numpy as np
+import pytest
+
+from granulate_char_ocr_spark import alphabet
+from granulate_char_ocr_spark.functions import kernels
+from granulate_char_ocr_spark.sources.synthetic import render_word
+
+
+# ---------------------------------------------------------------------------
+# merge_adjacent_regions
+# ---------------------------------------------------------------------------
+
+
+def test_merge_joins_close_overlapping_pair():
+    merged = kernels.merge_adjacent_regions(
+        [(0, 0, 20, 30), (24, 5, 20, 25)], max_gap=8
+    )
+    assert merged == [(0, 0, 44, 30)]
+
+
+def test_merge_respects_gap_and_overlap():
+    # gap too wide
+    regions = [(0, 0, 20, 30), (40, 0, 20, 30)]
+    assert kernels.merge_adjacent_regions(regions, max_gap=8) == regions
+    # no vertical overlap
+    regions = [(0, 0, 20, 10), (22, 20, 20, 10)]
+    assert kernels.merge_adjacent_regions(regions, max_gap=8) == regions
+
+
+def test_merge_is_pairwise_not_chained():
+    """Reference semantics: a merged pair consumes both boxes (i += 2), so
+    three close boxes merge the first two and keep the third."""
+    regions = [(0, 0, 10, 10), (12, 0, 10, 10), (24, 0, 10, 10)]
+    assert kernels.merge_adjacent_regions(regions, max_gap=8) == [
+        (0, 0, 22, 10),
+        (24, 0, 10, 10),
+    ]
+
+
+def _cut_word(
+    word: str, letter_index: int, cut_w: int, frac: float = 0.35
+) -> np.ndarray:
+    """Render a word and slice a vertical zero band through one glyph at
+    ``frac`` of its width — the broken-stroke fixture (the glyph binarizes
+    into two islands)."""
+    img = render_word(word, 0).copy()
+    margin, gap, g = 6, 12, alphabet.GLYPH_SIZE
+    x0 = margin + letter_index * (g + gap) + int(g * frac) - cut_w // 2
+    img[:, x0 : x0 + cut_w] = 0
+    return img
+
+
+def test_split_glyph_over_segments_without_merge():
+    img = _cut_word("TEAM", 2, cut_w=3)  # cut through the A
+    pre = kernels.preprocess_noisy(img)
+    raw_regions = kernels.segment_regions(pre)
+    assert len(raw_regions) == 5  # A split in two islands
+    merged = kernels.merge_adjacent_regions(raw_regions, kernels.NOISY_MERGE_GAP)
+    assert len(merged) == 4
+
+
+def test_noisy_path_recovers_split_glyph():
+    """VERDICT r1 'done' criterion: a noisy fixture with a split glyph
+    recovers len(word) regions (the clean path provably over-segments)."""
+    img = _cut_word("TEAM", 2, cut_w=3)
+    chars = kernels.recognize_word(img, noisy=True)
+    assert "".join(c["latin"] for c in chars) == "TEAM"
+    assert chars[2]["method"] in ("hamming", "vote")  # the repaired glyph
+    clean = kernels.recognize_word(img, noisy=False)
+    assert "".join(c["latin"] for c in clean) != "TEAM"
+
+
+def test_vote_tier_fires_end_to_end():
+    """A split the hamming tier rejects but the re-binarization vote
+    recovers: method='vote' surfaces in the recognized chars."""
+    img = _cut_word("A", 0, cut_w=5, frac=0.65)
+    chars = kernels.recognize_word(img, noisy=True)
+    assert [c["latin"] for c in chars] == ["A"]
+    assert chars[0]["method"] == "vote"
+
+
+# ---------------------------------------------------------------------------
+# segment_regions_cc
+# ---------------------------------------------------------------------------
+
+
+def test_cc_matches_projection_on_single_row():
+    img = render_word("WORK", 1)
+    pre = kernels.preprocess(img)
+    cc = kernels.segment_regions_cc(pre)
+    crops = [pre[y : y + h, x : x + w] for (x, y, w, h) in cc]
+    got = "".join(
+        r[0] for r in kernels.classify_batch(crops) if r[0] is not None
+    )
+    assert got == "WORK"
+
+
+def test_cc_segments_two_row_layout_projection_cannot():
+    top, bottom = render_word("AB", 0), render_word("CD", 0)
+    band = np.zeros((30, top.shape[1]), dtype=np.uint8)
+    img = np.vstack([top, band, bottom])
+    pre = kernels.preprocess(img)
+    # projection provably under-segments: both rows share columns
+    assert len(kernels.segment_regions(pre)) == 2
+    cc = kernels.segment_regions_cc(pre)
+    assert len(cc) == 4
+    crops = [pre[y : y + h, x : x + w] for (x, y, w, h) in cc]
+    got = "".join(
+        r[0] for r in kernels.classify_batch(crops) if r[0] is not None
+    )
+    assert got == "ABCD"  # reading order: row cluster, then x
+
+
+def test_cc_empty_and_blank():
+    assert kernels.segment_regions_cc(np.zeros((8, 8), dtype=np.uint8)) == []
+    assert kernels.segment_regions_cc(np.zeros((0, 0), dtype=np.uint8)) == []
+
+
+def test_cc_pipeline_extracts_two_row_media(spark):
+    """The segmenter option threads through the Spark operator."""
+    from granulate_char_ocr_spark.operators.extract import extract_unique_media
+
+    top, bottom = render_word("TO", 0), render_word("US", 0)
+    band = np.zeros((30, top.shape[1]), dtype=np.uint8)
+    img = np.vstack([top, band, bottom])
+    df = spark.createDataFrame(
+        [("m1", img.shape[1], img.shape[0], img.tobytes())],
+        "media_ref string, width int, height int, pixels binary",
+    )
+    [row] = extract_unique_media(df, segmenter="cc", detail=False).collect()
+    assert row["text"] == "TOUS"
+    [proj] = extract_unique_media(df, detail=False).collect()
+    assert proj["text"] != "TOUS"
+
+
+# ---------------------------------------------------------------------------
+# vote cascade tier
+# ---------------------------------------------------------------------------
+
+
+def test_vote_classify_crop_recognizes_clean_gray():
+    """The vote tier works on TIGHT crops (prototypes are hashes of
+    segmented crops, not full tiles — CLAUDE.md fixture invariant)."""
+    pre, gray = kernels.preprocess_noisy_pair(render_word("A", 0))
+    [(x, y, w, h)] = kernels.segment_regions(pre)
+    latin, conf, method = kernels.vote_classify_crop(gray[y : y + h, x : x + w])
+    assert (latin, method) == ("A", "vote")
+    assert conf > 0.9
+
+
+def test_cascade_falls_back_to_vote_on_rejected_region():
+    """A garbage pre-crop (hamming rejects) with a clean gray crop must be
+    recovered by the vote tier with method='vote'."""
+    garbage = np.zeros((64, 64), dtype=np.uint8)
+    garbage[::2, ::2] = 255  # checkerboard — far from every prototype
+    pre, full_gray = kernels.preprocess_noisy_pair(render_word("B", 0))
+    [(x, y, w, h)] = kernels.segment_regions(pre)
+    gray = full_gray[y : y + h, x : x + w]
+    [(latin, conf, method)] = kernels.classify_batch_cascade([garbage], [gray])
+    assert (latin, method) == ("B", "vote")
+    # without gray crops the cascade stays two-tier and rejects
+    [(latin2, _, method2)] = kernels.classify_batch_cascade([garbage], None)
+    assert latin2 is None and method2 == "unknown"
+
+
+def test_vote_unknown_when_no_variant_recognizes():
+    noise = np.random.default_rng(3).integers(
+        0, 2, (64, 64), dtype=np.uint8
+    ) * np.uint8(255)
+    latin, conf, method = kernels.vote_classify_crop(noise)
+    if latin is not None:
+        pytest.skip("rng noise happened to land near a prototype")
+    assert (latin, conf, method) == (None, 0.0, "unknown")
