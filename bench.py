@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "simhash_near_pairs",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "lang_id_docs",

@@ -400,6 +400,127 @@ def segment_regions(
     return regions  # starts are ascending → already left-to-right
 
 
+# ---------------------------------------------------------------------------
+# color-space conversions + color/shape region filters (fixture-extraction
+# legs of the reference: extract_from_reference.py:85-92,243-253,
+# preprocess_color_images.py — F19/P6/P7)
+# ---------------------------------------------------------------------------
+
+
+def bgr_to_hsv(img: np.ndarray) -> np.ndarray:
+    """H×W×3 BGR uint8 -> H×W×3 HSV uint8 in cv2's 8-bit convention:
+    H in [0,180), S and V in [0,255]."""
+    b, g, r = (img[..., i].astype(np.float64) for i in range(3))
+    v = np.maximum(np.maximum(b, g), r)
+    mn = np.minimum(np.minimum(b, g), r)
+    delta = v - mn
+    s = np.where(v > 0, 255.0 * delta / np.where(v > 0, v, 1), 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = np.where(delta > 0, delta, 1)
+        h = np.where(
+            v == r,
+            60.0 * (g - b) / d,
+            np.where(v == g, 120.0 + 60.0 * (b - r) / d, 240.0 + 60.0 * (r - g) / d),
+        )
+    h = np.where(delta == 0, 0.0, h)
+    h = np.where(h < 0, h + 360.0, h) / 2.0  # cv2 packs H into [0,180)
+    return np.stack(
+        [np.round(h), np.round(s), np.round(v)], axis=-1
+    ).astype(np.uint8)
+
+
+def bgr_to_lab(img: np.ndarray) -> np.ndarray:
+    """H×W×3 BGR uint8 -> H×W×3 CIE-Lab uint8 (cv2 8-bit packing: L*255/100,
+    a/b + 128), D65 white point — preprocess_color_images.py's Lab leg."""
+    rgb = img[..., 2::-1].astype(np.float64) / 255.0
+    rgb = np.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
+    m = np.array(
+        [
+            [0.412453, 0.357580, 0.180423],
+            [0.212671, 0.715160, 0.072169],
+            [0.019334, 0.119193, 0.950227],
+        ]
+    )
+    xyz = rgb @ m.T
+    xyz /= np.array([0.950456, 1.0, 1.088754])  # D65 normalization
+
+    def f(t):
+        return np.where(t > 0.008856, np.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+    fx, fy, fz = f(xyz[..., 0]), f(xyz[..., 1]), f(xyz[..., 2])
+    L = np.where(xyz[..., 1] > 0.008856, 116.0 * fy - 16.0, 903.3 * xyz[..., 1])
+    a = 500.0 * (fx - fy) + 128.0
+    b = 200.0 * (fy - fz) + 128.0
+    return np.clip(
+        np.stack([L * 255.0 / 100.0, a, b], axis=-1), 0, 255
+    ).astype(np.uint8)
+
+
+PURPLE_LOWER = (120, 20, 20)  # reference extract_from_reference.py:86-87
+PURPLE_UPPER = (180, 255, 255)
+
+
+def purple_ratio(img_bgr: np.ndarray) -> float:
+    """Fraction of pixels inside the reference's purple HSV window
+    (inRange([120,20,20],[180,255,255]) — extract_from_reference.py:85-90)."""
+    hsv = bgr_to_hsv(img_bgr)
+    lo = np.array(PURPLE_LOWER, dtype=np.uint8)
+    hi = np.array(PURPLE_UPPER, dtype=np.uint8)
+    mask = np.all((hsv >= lo) & (hsv <= hi), axis=-1)
+    return float(mask.mean()) if mask.size else 0.0
+
+
+def filter_purple_regions(
+    img_bgr: np.ndarray,
+    regions: list[tuple[int, int, int, int]],
+    min_ratio: float = 0.3,
+) -> list[tuple[int, int, int, int]]:
+    """Keep regions whose crop is >= ``min_ratio`` purple (the reference's
+    30% bubble acceptance, extract_from_reference.py:92)."""
+    return [
+        (x, y, w, h)
+        for (x, y, w, h) in regions
+        if purple_ratio(img_bgr[y : y + h, x : x + w]) > min_ratio
+    ]
+
+
+def region_circularity(binary_crop: np.ndarray) -> float:
+    """4*pi*area / perimeter^2 over the crop's ink mask. Area = ink pixel
+    count; perimeter = boundary pixel count (ink pixels with a background
+    4-neighbour) — the discrete stand-in for cv2.arcLength on the contour
+    (extract_from_reference.py:243). ~1.0 for a disc, →0 for line-like ink."""
+    ink = binary_crop > 0
+    area = int(ink.sum())
+    if area == 0:
+        return 0.0
+    padded = np.pad(ink, 1)
+    interior = (
+        padded[:-2, 1:-1] & padded[2:, 1:-1] & padded[1:-1, :-2] & padded[1:-1, 2:]
+    )
+    perimeter = int((ink & ~interior).sum())
+    if perimeter == 0:
+        return 0.0
+    return float(4.0 * np.pi * area / (perimeter**2))
+
+
+def filter_circular_regions(
+    binary: np.ndarray,
+    regions: list[tuple[int, int, int, int]],
+    min_circularity: float = 0.4,
+    aspect: tuple[float, float] = (0.7, 1.3),
+) -> list[tuple[int, int, int, int]]:
+    """The reference's bubble-shape gate (extract_from_reference.py:253):
+    keep regions that are round enough AND near-square."""
+    out = []
+    for (x, y, w, h) in regions:
+        ar = w / h if h > 0 else 0.0
+        if not (aspect[0] < ar < aspect[1]):
+            continue
+        if region_circularity(binary[y : y + h, x : x + w]) > min_circularity:
+            out.append((x, y, w, h))
+    return out
+
+
 def merge_adjacent_regions(
     regions: list[tuple[int, int, int, int]], max_gap: int = 20
 ) -> list[tuple[int, int, int, int]]:

@@ -82,10 +82,21 @@ def test_audio_features_deterministic(spark):
     assert all(abs(f - 7071.0) < 150 for f in r1["features"])  # RMS of sine
 
 
-def test_compressed_codec_is_stubbed(spark):
-    png = spark.createDataFrame(
-        [("img_png", "image", "png", 8, 8, 1, 0, b"\x89PNG...")],
+def test_jpeg_codec_is_stubbed_png_is_real(spark):
+    # JPEG (DCT) stays stubbed in-sandbox; PNG decodes via functions/png.py
+    jpg = spark.createDataFrame(
+        [("img_jpg", "image", "jpeg", 8, 8, 1, 0, b"\xff\xd8...")],
         schema=multimodal.MULTIMODAL_SCHEMA,
     )
     with pytest.raises(Exception, match="stubbed|NotImplemented"):
-        multimodal.resize_images(png).collect()
+        multimodal.resize_images(jpg).collect()
+    from granulate_char_ocr_spark.functions.png import encode_png
+    import numpy as np
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    png = spark.createDataFrame(
+        [("img_png", "image", "png", 8, 8, 1, 0, encode_png(img))],
+        schema=multimodal.MULTIMODAL_SCHEMA,
+    )
+    [r] = multimodal.resize_images(png, out_h=4, out_w=4).collect()
+    assert (r["width"], r["height"]) == (4, 4)
