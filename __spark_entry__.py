@@ -21,8 +21,14 @@ from granulate_char_ocr_spark import driver_queries  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full OCR extraction (text normalize + media OCR + stitch)
-    on the deterministic synthetic interleaved corpus at sf0.001 scale."""
-    return driver_queries.ocr_extract_documents(spark, "/root/testdata/sf0.001")
+    on the deterministic synthetic interleaved corpus at sf0.001 scale.
+    Returns the NESTED document shape (doc_id, spans[order]) — the engine's
+    headline API; the queries() twin exposes the flat, canonicalizable
+    projection for the oracle gate."""
+    from granulate_char_ocr_spark.plans.pipeline import extract_documents
+
+    docs, media, _ = driver_queries._ocr_corpus(spark, "/root/testdata/sf0.001")
+    return extract_documents(docs, media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -6,9 +6,10 @@ The Spark-native restatement: ``spark.read.format("binaryFile")`` +
 ``regexp_extract(input_file_name(), ...)`` — a distributed scan with the
 label derivation as a column expression, no driver-side globbing.
 
-File payloads here are the engine's raw format (``<ref>.raw`` = uint8 buffer
-prefixed by two little-endian int32 dims); PNG decode is codec territory
-(operators/multimodal.py stub).
+Two payload formats: the engine's raw format (``<ref>.raw`` = uint8 buffer
+prefixed by two int32 dims, pure column-expression decode) and real PNG
+(``read_png_corpus`` — the reference's actual ``test_data/*_*.png`` glob,
+decoded by the pure-NumPy codec in functions/png.py).
 """
 
 from __future__ import annotations
@@ -52,6 +53,58 @@ def read_labeled_corpus(spark: SparkSession, glob_path: str) -> DataFrame:
         .cast("int")
         .alias("width"),
         F.expr("substring(content, 9)").alias("pixels"),
+    )
+
+
+_PNG_LABEL_RE = r"([A-Z]+)[!.]?_\d+\.png$"
+
+
+def read_png_corpus(spark: SparkSession, glob_path: str) -> DataFrame:
+    """(path, expected, width, height, pixels): the reference's REAL corpus
+    shape — a glob of ``<LABEL>_<n>.png`` files (evaluate_new_testdata.py:
+    28-44) — as a distributed binaryFile scan + Arrow-batched PNG decode
+    (functions/png.py). Decoded payloads land in the engine's raw layout so
+    the extraction operators consume them unchanged."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from granulate_char_ocr_spark.functions.kernels import to_grayscale
+    from granulate_char_ocr_spark.functions.png import decode_png
+
+    raw = spark.read.format("binaryFile").load(glob_path).select(
+        "path",
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1), _PNG_LABEL_RE, 1
+        ).alias("expected"),
+        "content",
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, labels, ws, hs, bufs = [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                img = decode_png(bytes(r.content))
+                if img.ndim == 3:
+                    img = to_grayscale(img[..., 2::-1])  # RGB(A) → luma
+                paths.append(r.path)
+                labels.append(r.expected)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                bufs.append(img.tobytes())
+            yield pd.DataFrame(
+                {
+                    "path": paths,
+                    "expected": labels,
+                    "width": ws,
+                    "height": hs,
+                    "pixels": bufs,
+                }
+            )
+
+    return raw.mapInPandas(
+        fn,
+        schema="path string, expected string, width int, height int, pixels binary",
     )
 
 

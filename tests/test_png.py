@@ -3,6 +3,7 @@ embeddings computed from PNG payloads must equal the raw-payload ones."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from granulate_char_ocr_spark.functions import kernels
 from granulate_char_ocr_spark.functions.png import decode_png, encode_png
@@ -45,6 +46,33 @@ def test_unsupported_rejected():
         decode_png(bytes(data))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"notapng" + bytes(10))
+
+
+def test_png_corpus_scan_end_to_end(spark, tmp_path):
+    """The reference's real corpus shape: a directory of <LABEL>_<n>.png
+    files → distributed scan → decode → recognize → 100% on clean glyphs."""
+    from granulate_char_ocr_spark.operators.extract import extract_media_spans
+    from granulate_char_ocr_spark.sources.binary_files import read_png_corpus
+
+    words = ["PLEASURE", "TEAM", "WE"]
+    for i, w in enumerate(words):
+        img = render_word(w, i % 3)
+        (tmp_path / f"{w}_{i + 1}.png").write_bytes(encode_png(img))
+    corpus = read_png_corpus(spark, str(tmp_path / "*.png"))
+    rec = extract_media_spans(
+        corpus.select(
+            corpus.path.alias("doc_id"),
+            corpus.path.alias("media_ref"),
+            "width",
+            "height",
+            "pixels",
+        ).withColumn("offset", F.lit(0)),
+        detail=False,
+    )
+    got = {r["media_ref"].rsplit("/", 1)[-1]: r["text"] for r in rec.collect()}
+    assert got == {f"{w}_{i + 1}.png": w for i, w in enumerate(words)}
+    labels = {r["expected"] for r in corpus.collect()}
+    assert labels == set(words)
 
 
 def test_png_media_embeddings_match_raw(spark):

@@ -167,6 +167,38 @@ def test_cascade_falls_back_to_vote_on_rejected_region():
     assert latin2 is None and method2 == "unknown"
 
 
+def test_method_histogram_shows_vote_tier(spark):
+    """VERDICT r1 item 7 'done' criterion: the method histogram over a noisy
+    corpus surfaces the new 'vote' tier (and the noisy path recognizes what
+    the clean path cannot)."""
+    from granulate_char_ocr_spark.operators.extract import extract_unique_media
+    import pyspark.sql.functions as F
+
+    img = _cut_word("A", 0, cut_w=5, frac=0.65)  # vote-recovered fixture
+    clean = render_word("WE", 0)
+    media = spark.createDataFrame(
+        [
+            ("m_cut", img.shape[1], img.shape[0], img.tobytes()),
+            ("m_we", clean.shape[1], clean.shape[0], clean.tobytes()),
+        ],
+        "media_ref string, width int, height int, pixels binary",
+    )
+    rec = extract_unique_media(media, noisy=True, detail=True)
+    hist = {
+        r["method"]: r["n"]
+        for r in rec.select(F.explode("chars").alias("c"))
+        .groupBy(F.col("c.method").alias("method"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert hist.get("vote", 0) >= 1
+    texts = {r["media_ref"]: r["text"] for r in rec.collect()}
+    # the split glyph is vote-recovered; robustness is a bound, not an
+    # equality contract (blur+otsu can degrade individual clean letters)
+    assert texts["m_cut"] == "A"
+    assert texts["m_we"].endswith("E")
+
+
 def test_vote_unknown_when_no_variant_recognizes():
     noise = np.random.default_rng(3).integers(
         0, 2, (64, 64), dtype=np.uint8
