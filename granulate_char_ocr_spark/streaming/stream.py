@@ -61,6 +61,28 @@ def assemble_stream(
     )
 
 
+def windowed_span_stats(
+    flat_stream: DataFrame,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window throughput over the recognized span
+    stream: (window, kind, n_spans, n_chars). The watermark bounds state
+    (windows older than max(event_time) − delay are finalized and evicted)
+    and defines the late-data contract: rows later than the delay are
+    dropped. This is the standard late-data posture for a 100 TB ingest
+    stream; the reference's camera loop has no event time, so this operator
+    is part of the training-pipeline surface, not reference parity."""
+    return (
+        flat_stream.withWatermark("event_time", watermark_delay)
+        .groupBy(F.window("event_time", window_duration), "kind")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("n_chars"),
+        )
+    )
+
+
 LAST_N_STATE_SCHEMA = "texts array<string>"
 LAST_N_OUT_SCHEMA = "doc_id string, history array<string>"
 

@@ -81,6 +81,46 @@ def test_keep_last_n_state(spark, tmp_path):
     assert rows[-1]["history"] == ["t2", "t3", "t4", "t5", "t6"]  # last 5
 
 
+def test_windowed_span_stats_watermark(spark, tmp_path):
+    """Watermarked tumbling-window agg: counts land in their event-time
+    window; append mode emits only watermark-finalized windows."""
+    src = str(tmp_path / "win_src")
+    rows = [
+        ("d1", "media", 4, "2026-01-01 00:00:10"),
+        ("d1", "media", 2, "2026-01-01 00:00:50"),
+        ("d2", "text", 9, "2026-01-01 00:01:10"),
+        # far-future row advances the watermark past the earlier windows
+        ("d3", "media", 1, "2026-01-01 00:30:00"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id string, kind string, n_chars int, ts string"
+    ).withColumn("event_time", F.col("ts").cast("timestamp")).drop(
+        "ts"
+    ).write.mode("overwrite").parquet(src)
+    flat = spark.readStream.schema(
+        "doc_id string, kind string, n_chars int, event_time timestamp"
+    ).parquet(src)
+    agg = gstream.windowed_span_stats(flat)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .start()
+    )
+    rows = _await_rows(
+        spark, q, "SELECT * FROM win_out WHERE n_spans IS NOT NULL", 2
+    )
+    got = {
+        (r["window"]["start"].strftime("%H:%M"), r["kind"]): (
+            r["n_spans"],
+            r["n_chars"],
+        )
+        for r in rows
+    }
+    assert got[("00:00", "media")] == (2, 6)  # both first-minute media spans
+    assert got[("00:01", "text")] == (1, 9)
+
+
 def test_assemble_stream_foreachbatch(spark, tmp_path):
     src = str(tmp_path / "fb_src")
     out = str(tmp_path / "fb_out")
