@@ -217,6 +217,80 @@ def gaussian_blur3(img: np.ndarray) -> np.ndarray:
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def bilateral_filter(
+    img: np.ndarray, d: int = 9, sigma_color: float = 75.0, sigma_space: float = 75.0
+) -> np.ndarray:
+    """Edge-preserving bilateral filter — the reference's denoise step
+    (``cv2.bilateralFilter(gray, 9, 75, 75)``, ocr_service.py:188),
+    reimplemented from the published definition: each output pixel is the
+    intensity-weighted Gaussian mean over a d×d window,
+    w = exp(-Δxy²/2σs²) · exp(-ΔI²/2σc²). Vectorized over the whole image
+    via d² shifted views (no per-pixel Python). Functional reproduction, not
+    bit-exact parity with cv2's fixed-point path (SURVEY §7 R2 — the
+    deterministic fixture contract still excludes it; the robust/noisy
+    pipeline may use it)."""
+    a = img.astype(np.float64)
+    r = d // 2
+    padded = np.pad(a, r, mode="edge")
+    h, w = a.shape
+    num = np.zeros_like(a)
+    den = np.zeros_like(a)
+    inv2ss = -0.5 / (sigma_space**2)
+    inv2sc = -0.5 / (sigma_color**2)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            shifted = padded[r + dy : r + dy + h, r + dx : r + dx + w]
+            wgt = np.exp((dy * dy + dx * dx) * inv2ss + (shifted - a) ** 2 * inv2sc)
+            num += wgt * shifted
+            den += wgt
+    return np.clip(np.round(num / den), 0, 255).astype(np.uint8)
+
+
+def clahe(
+    img: np.ndarray, clip_limit: float = 2.0, tiles: int = 8
+) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization — the reference's
+    contrast step (``cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8,8))``,
+    ocr_service.py:191), from the published algorithm: per-tile histograms
+    clipped at ``clip_limit × mean-bin-height`` with the excess
+    redistributed uniformly, per-tile equalization CDFs, and bilinear
+    interpolation between the four surrounding tile mappings per pixel.
+    Functional reproduction of the algorithm, not cv2-bit-exact."""
+    h, w = img.shape
+    th, tw = max(1, h // tiles), max(1, w // tiles)
+    ny, nx = (h + th - 1) // th, (w + tw - 1) // tw
+    # per-tile clipped-equalization lookup tables
+    luts = np.empty((ny, nx, 256), dtype=np.float64)
+    for ty in range(ny):
+        for tx in range(nx):
+            tile = img[ty * th : min((ty + 1) * th, h), tx * tw : min((tx + 1) * tw, w)]
+            hist = np.bincount(tile.reshape(-1), minlength=256).astype(np.float64)
+            limit = max(clip_limit * tile.size / 256.0, 1.0)
+            excess = np.maximum(hist - limit, 0.0).sum()
+            hist = np.minimum(hist, limit) + excess / 256.0
+            cdf = hist.cumsum()
+            cdf /= max(cdf[-1], 1.0)
+            luts[ty, tx] = np.round(cdf * 255.0)
+    # bilinear interpolation between the 4 surrounding tile LUTs
+    yy, xx = np.mgrid[0:h, 0:w]
+    fy = (yy + 0.5) / th - 0.5
+    fx = (xx + 0.5) / tw - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, ny - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, nx - 1)
+    y1 = np.minimum(y0 + 1, ny - 1)
+    x1 = np.minimum(x0 + 1, nx - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)
+    wx = np.clip(fx - x0, 0.0, 1.0)
+    v = img.astype(int)
+    out = (
+        luts[y0, x0, v] * (1 - wy) * (1 - wx)
+        + luts[y1, x0, v] * wy * (1 - wx)
+        + luts[y0, x1, v] * (1 - wy) * wx
+        + luts[y1, x1, v] * wy * wx
+    )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def _rotate_nn(img: np.ndarray, angle_deg: float) -> np.ndarray:
     """Nearest-neighbor rotation about the image center (zeros outside)."""
     theta = np.radians(-angle_deg)
@@ -327,6 +401,19 @@ def preprocess(img: np.ndarray) -> np.ndarray:
     gray = polarity_invert(gray)
     binary = threshold(gray, 128)
     return morph_close(binary, 2, 2)
+
+
+def preprocess_reference(img: np.ndarray) -> np.ndarray:
+    """The reference's LITERAL preprocessing chain (ocr_service.py:176-199):
+    grayscale → polarity → bilateral(9,75,75) → CLAHE(2.0, 8×8) →
+    threshold(128) → close(2×2). Kept as a variant, not the default: the
+    pinned prototypes were minted through ``preprocess`` (SURVEY §7 R2
+    excludes bilateral/CLAHE from the bit-exact contract), so this chain
+    classifies via the hamming/vote tiers where edges moved."""
+    gray = polarity_invert(to_grayscale(img))
+    den = bilateral_filter(gray)
+    enh = clahe(den)
+    return morph_close(threshold(enh, 128), 2, 2)
 
 
 def preprocess_noisy_pair(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -77,6 +77,53 @@ def test_empty_crops_score_zero():
 
 
 # ---------------------------------------------------------------------------
+# bilateral / CLAHE (F2/F3 — functional reproductions of the reference's
+# cv2.bilateralFilter(9,75,75) + createCLAHE(2.0, 8x8) chain)
+# ---------------------------------------------------------------------------
+
+
+def test_bilateral_preserves_edges_kills_gaussian_noise():
+    edge = np.zeros((20, 20), dtype=np.uint8)
+    edge[:, 10:] = 255
+    bf = kernels.bilateral_filter(edge)
+    gf = kernels.gaussian_blur3(edge)
+    # edge-preserving: the step stays near-vertical where a Gaussian smears
+    assert int(bf[10, 10]) - int(bf[10, 9]) > int(gf[10, 10]) - int(gf[10, 9])
+    # identity on constant regions
+    const = np.full((16, 16), 77, dtype=np.uint8)
+    assert np.array_equal(kernels.bilateral_filter(const), const)
+    # smooths small-amplitude noise
+    rng = np.random.default_rng(2)
+    noisy = np.clip(100 + rng.normal(0, 8, (32, 32)), 0, 255).astype(np.uint8)
+    assert kernels.bilateral_filter(noisy).std() < noisy.std() / 2
+
+
+def test_clahe_expands_local_contrast_monotonically():
+    rng = np.random.default_rng(1)
+    lo = rng.integers(100, 121, (64, 64), dtype=np.uint8)  # low contrast
+    ce = kernels.clahe(lo)
+    assert int(ce.max()) - int(ce.min()) > 2 * (int(lo.max()) - int(lo.min()))
+    # with a single tile (no bilinear blend) the mapping is one CDF LUT →
+    # strictly order-preserving
+    one = kernels.clahe(lo, tiles=1)
+    order = np.argsort(lo.reshape(-1), kind="stable")
+    assert (np.diff(one.reshape(-1)[order].astype(int)) >= 0).all()
+
+
+def test_reference_preprocess_chain_recognizes_clean_fixtures():
+    """grayscale → bilateral → CLAHE → threshold → close (the reference's
+    literal ocr_service.py:176-199 chain) recognizes the golden vocabulary —
+    on clean fixtures even via exact_hash."""
+    for w in ("TEAM", "PLEASURE", "WE"):
+        pre = kernels.preprocess_reference(render_word(w, 0))
+        regions = kernels.segment_regions(pre)
+        crops = [pre[y : y + h, x : x + wd] for (x, y, wd, h) in regions]
+        results = kernels.classify_batch(crops)
+        assert "".join(r[0] for r in results) == w
+        assert all(r[2] == "exact_hash" for r in results)
+
+
+# ---------------------------------------------------------------------------
 # debug image sink
 # ---------------------------------------------------------------------------
 
