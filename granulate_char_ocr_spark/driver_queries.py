@@ -872,6 +872,53 @@ def fingerprint_docs(spark, sf_dir):
     return textstats.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "bpe_token_count_docs",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} \t\r\n]+|[ \t\r\n]+')) AS INTEGER)
+             AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count_docs(spark, sf_dir):
+    """BPE-ish regex token budget (pipeline brief); leftmost-first
+    alternation matches identically in Java regex and RE2."""
+    return textstats.bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+def _winnow_sql(k: int = 5, w: int = 4) -> str:
+    return rf"""
+    WITH n AS (SELECT doc_id,
+                      lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+               FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(
+                   list_filter(
+                     list_transform(range(1, greatest(length(norm) - {k - 1}, 1) + 1),
+                                    i -> substr(norm, i, {k})),
+                     g -> length(g) = {k}),
+                   g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hashes
+          FROM n),
+    wv AS (SELECT doc_id,
+                  CASE WHEN len(hashes) >= {w}
+                       THEN list_distinct(list_transform(
+                              range(1, len(hashes) - {w - 1} + 1),
+                              j -> list_min(hashes[j:j + {w - 1}])))
+                       ELSE [] END AS fps
+           FROM h)
+    SELECT doc_id, unnest(fps) AS fp FROM wv
+    """
+
+
+@q("winnow_fingerprints_docs", _winnow_sql())
+def winnow_fingerprints_docs(spark, sf_dir):
+    """Winnowed k-gram rolling-hash fingerprints (MOSS primitive)."""
+    return textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def _alphabet_values_sql() -> str:
     from granulate_char_ocr_spark.alphabet import GRANULATE_TO_LATIN
 

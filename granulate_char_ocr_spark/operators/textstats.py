@@ -98,3 +98,58 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     text (the cheap exact-dup key; rolling/simhash variants in dedup.py)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+# BPE-style pre-tokenizer: letter runs / digit runs / punctuation runs, each
+# optionally glued to one leading space, else whitespace runs — the GPT-2
+# pre-tokenizer shape minus its trailing-space lookahead (RE2, the oracle
+# engine's regex, has no lookahead; leftmost-first alternation is identical
+# in Java regex and RE2, so both engines count the same matches).
+BPE_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} \t\r\n]+|[ \t\r\n]+"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_ws_tokens): subword-ish token budget (the
+    'BPE-ish regex' counter from the pipeline brief) next to the whitespace
+    count — the ratio is the classic over-tokenization signal."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
+    """(doc_id, fp): winnowed k-gram fingerprints (Schleimer/Wilkerson/Aiken
+    'Winnowing: Local Algorithms for Document Fingerprinting', SIGMOD'03 —
+    the rolling-hash fingerprint leg of the pipeline brief, and the MOSS
+    near-dup primitive).
+
+    Character k-grams over the case/whitespace-normalized text are hashed
+    (first 8 md5 hex digits as int64 — engine-portable rolling-hash stand-in
+    with identical selection properties), then each sliding window of ``w``
+    consecutive gram hashes keeps its minimum; the distinct kept hashes are
+    the document's fingerprints. Guarantees: any shared substring of length
+    >= k + w - 1 produces at least one shared fingerprint. Docs shorter than
+    that emit none (documented edge). Pure column expressions — one
+    explode, no UDF, exact DuckDB oracle."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    grams = (
+        f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)), "
+        f"i -> substring(_norm, i, {k}))"
+    )
+    hashes = (
+        f"transform(filter({grams}, g -> length(g) = {k}), "
+        "g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint))"
+    )
+    wins = (
+        f"case when size(_hashes) >= {w} then "
+        f"array_distinct(transform(sequence(1, size(_hashes) - {w - 1}), "
+        f"j -> array_min(slice(_hashes, j, {w})))) "
+        "else array() end"
+    )
+    return (
+        docs.withColumn("_norm", norm)
+        .withColumn("_hashes", F.expr(hashes))
+        .select("doc_id", F.explode(F.expr(wins)).alias("fp"))
+    )

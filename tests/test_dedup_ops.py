@@ -98,3 +98,38 @@ def test_token_count_and_fingerprint(spark):
     )
     fps = [r["fp"] for r in textstats.fingerprint(d2).orderBy("doc_id").collect()]
     assert fps[0] == fps[1]   # case/whitespace-insensitive
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= k + w - 1 (= 8 at k=5, w=4) share at least one fingerprint;
+    too-short docs emit none."""
+    d = spark.createDataFrame(
+        [
+            (1, "xxxx the common passage yyyy"),
+            (2, "zz the common passage qq"),
+            (3, "completely different words here"),
+            (4, "tiny"),  # < k + w - 1 chars -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    rows = textstats.winnow_fingerprints(d).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]          # shared passage -> shared fingerprint
+    assert not (fps[1] & fps[3])    # disjoint text -> disjoint prints
+    assert 4 not in fps
+
+
+def test_bpe_token_count_splits_subwords(spark):
+    d = spark.createDataFrame(
+        [(1, "hello world"), (2, "can't stop-me 123x")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_ws_tokens"])
+        for r in textstats.bpe_token_count(d).collect()
+    }
+    assert got[1] == (2, 2)  # "hello", " world"
+    # "can", "'", "t", " stop", "-", "me", " 123", "x"
+    assert got[2] == (8, 3)
