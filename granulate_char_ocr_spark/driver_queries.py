@@ -788,6 +788,79 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def _multiprobe_sql(n_queries: int = 10, k: int = 5, dims: int = 4) -> str:
+    def cell(flip: int | None) -> str:
+        return " || ".join(
+            (
+                f"CASE WHEN embedding[{j + 1}] >= 0 THEN '0' ELSE '1' END"
+                if j == flip
+                else f"CASE WHEN embedding[{j + 1}] >= 0 THEN '1' ELSE '0' END"
+            )
+            for j in range(dims)
+        )
+
+    probes = ", ".join([cell(None), *(cell(i) for i in range(dims))])
+    return f"""
+    WITH c AS (SELECT vec_id, embedding, {cell(None)} AS cell FROM embeddings),
+    q AS (SELECT vec_id, embedding, unnest([{probes}]) AS cell
+          FROM embeddings WHERE vec_id < {n_queries}),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cosine_sql_expr('q.embedding', 'c.embedding')} AS sim
+      FROM q JOIN c ON q.cell = c.cell AND q.vec_id != c.vec_id)
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs) t WHERE rank <= {k}
+    """
+
+
+@q("ann_ivf_multiprobe_topk", _multiprobe_sql())
+def ann_ivf_multiprobe_topk(spark, sf_dir):
+    """Multi-probe IVF (own cell + one-sign-flip cells): the recall fix for
+    quantization-boundary queries, still cell-equi-join pruned."""
+    return similarity.ivf_topk_multiprobe(_t(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "sample_hash_docs",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+    """,
+)
+def sample_hash_docs(spark, sf_dir):
+    """Deterministic ~10% corpus sample by key hash (partitioning-invariant,
+    retry-stable — Spark's RNG sample() can't be oracle-checked)."""
+    from granulate_char_ocr_spark.operators.sampling import hash_sample
+
+    return hash_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", 10
+    ).select("doc_id", "lang")
+
+
+@q(
+    "sample_stratified_docs",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < CASE WHEN lang = 'en' THEN 10 WHEN lang = 'zh' THEN 80 ELSE 40 END
+    """,
+)
+def sample_stratified_docs(spark, sf_dir):
+    """Per-language downsampling (squash the dominant language, keep the
+    tail) — the training-mix rebalancing op."""
+    from granulate_char_ocr_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 10, "zh": 80},
+        default_pct=40,
+    ).select("doc_id", "lang")
+
+
 @q("dedup_embedding_cosine", _embedding_cosine_pairs_sql())
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (semantic dedup leg). UNCAPPED

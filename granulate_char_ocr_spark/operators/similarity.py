@@ -156,6 +156,50 @@ def with_cell(embeddings: DataFrame, sign_dims: int) -> DataFrame:
     return embeddings.withColumn("cell", F.expr(_cell_expr("", sign_dims)))
 
 
+def ivf_topk_multiprobe(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    sign_dims: int = 4,
+) -> DataFrame:
+    """Multi-probe IVF top-k: each query probes its own sign-cell PLUS the
+    ``sign_dims`` cells one sign-flip away (the standard recall fix for
+    single-probe IVF — a query vector near a quantization boundary finds
+    neighbors that landed just across it). Corpus-side work grows only with
+    the probe count (cells are disjoint, so no candidate dedup is needed);
+    the corpus scan is still pruned by the cell equi-join."""
+    normed = with_norm(embeddings)
+    corpus = with_cell(normed, sign_dims).alias("r")
+    own = _cell_expr("", sign_dims)
+    flipped = []
+    for i in range(sign_dims):
+        bits = " || ".join(
+            (
+                f"case when element_at(embedding, {j + 1}) >= 0 then '0' else '1' end"
+                if j == i
+                else f"case when element_at(embedding, {j + 1}) >= 0 then '1' else '0' end"
+            )
+            for j in range(sign_dims)
+        )
+        flipped.append(bits)
+    probes = "array(" + ", ".join([own, *flipped]) + ")"
+    queries = (
+        normed.filter(F.col("vec_id") < n_queries)
+        .withColumn("cell", F.explode(F.expr(probes)))
+        .alias("l")
+    )
+    joined = (
+        queries.join(corpus.hint("shuffle_hash"), "cell")
+        .filter(F.col("l.vec_id") != F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("query_id"),
+            F.col("r.vec_id").alias("neighbor_id"),
+            F.round(F.expr(COSINE_EXPR), 5).alias("sim"),
+        )
+    )
+    return _ranked(joined, k)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 10,

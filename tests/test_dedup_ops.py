@@ -133,3 +133,41 @@ def test_bpe_token_count_splits_subwords(spark):
     assert got[1] == (2, 2)  # "hello", " world"
     # "can", "'", "t", " stop", "-", "me", " 123", "x"
     assert got[2] == (8, 3)
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """Multi-probe candidates are a superset of single-probe's, so every
+    query's top-1 similarity is >= the single-probe top-1."""
+    from granulate_char_ocr_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = {
+        (r["query_id"], r["rank"]): r["sim"]
+        for r in similarity.ivf_topk(emb, n_queries=5).collect()
+    }
+    multi = {
+        (r["query_id"], r["rank"]): r["sim"]
+        for r in similarity.ivf_topk_multiprobe(emb, n_queries=5).collect()
+    }
+    for q in {k[0] for k in one}:
+        assert multi[(q, 1)] >= one[(q, 1)]
+
+
+def test_hash_sample_partitioning_invariant(spark):
+    """The sample decision depends only on the key: any repartitioning
+    selects the identical row set (RNG sample() cannot promise this)."""
+    from granulate_char_ocr_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 10).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(17, "lang"), "doc_id", 10).collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+    s = stratified_sample(docs, "doc_id", "lang", {"en": 0}, default_pct=100)
+    langs = {r["lang"] for r in s.select("lang").distinct().collect()}
+    assert "en" not in langs and len(langs) >= 2
