@@ -368,6 +368,18 @@ def _block_mean(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
     return block / counts
 
 
+def ahash_bits_batch(stack: np.ndarray) -> np.ndarray:
+    """(B, H, W) uint8 -> (B, 64) {0,1} aHash bits: the batched twin of
+    ``ahash_bits`` (same pixel-aligned block-mean, reduceat over axes 1/2 of
+    the whole stack — one pair of NumPy calls for B images instead of B)."""
+    b, h, w = stack.shape
+    ys, xs, counts = _bm_geometry(h, w, alphabet.HASH_SIDE, alphabet.HASH_SIDE)
+    colsum = np.add.reduceat(stack.astype(np.int32), ys, axis=1)
+    block = np.add.reduceat(colsum, xs, axis=2) / counts[None, :, :]
+    flat = block.reshape(b, -1)
+    return (flat > flat.mean(axis=1, keepdims=True)).astype(np.uint8)
+
+
 def ahash_bits(img: np.ndarray) -> np.ndarray:
     """8×8 mean-threshold aHash -> uint8[64] of {0,1} (strict >, as the
     reference's ``'1' if pixel > avg else '0'``). Uses the pixel-aligned

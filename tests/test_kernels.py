@@ -285,3 +285,19 @@ def test_recognize_word_noisy_robustness():
     got = "".join(c["latin"] for c in chars)
     # at least most characters recovered under light salt-and-pepper
     assert len(got) >= 5
+
+
+def test_ahash_bits_batch_matches_scalar():
+    import numpy as np
+
+    from granulate_char_ocr_spark.functions.kernels import (
+        ahash_bits,
+        ahash_bits_batch,
+    )
+    from granulate_char_ocr_spark.sources.synthetic import render_word
+
+    imgs = [render_word(w, 0) for w in ("TO", "US", "WE", "BY")]  # same shape
+    stack = np.stack(imgs)
+    batched = ahash_bits_batch(stack)
+    for i, img in enumerate(imgs):
+        assert np.array_equal(batched[i], ahash_bits(img))
