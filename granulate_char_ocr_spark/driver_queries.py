@@ -597,6 +597,28 @@ def first3_docs_per_lang(spark, sf_dir):
     )
 
 
+@q(
+    "percentile_order_prices",
+    """
+    SELECT o_orderpriority AS priority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def percentile_order_prices(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation) — the distribution-summary
+    aggregate the reference's evaluation scripts compute in pandas."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
 # =============================================================================
 # B. training-data pipeline operators (dedup / ANN / text analysis)
 # =============================================================================

@@ -59,12 +59,21 @@ def read_labeled_corpus(spark: SparkSession, glob_path: str) -> DataFrame:
 _PNG_LABEL_RE = r"([A-Z]+)[!.]?_\d+\.png$"
 
 
-def read_png_corpus(spark: SparkSession, glob_path: str) -> DataFrame:
-    """(path, expected, width, height, pixels): the reference's REAL corpus
-    shape — a glob of ``<LABEL>_<n>.png`` files (evaluate_new_testdata.py:
-    28-44) — as a distributed binaryFile scan + Arrow-batched PNG decode
-    (functions/png.py). Decoded payloads land in the engine's raw layout so
-    the extraction operators consume them unchanged."""
+def read_png_corpus(
+    spark: SparkSession, glob_path: str, permissive: bool = True
+) -> DataFrame:
+    """(path, expected, width, height, pixels, decode_error): the reference's
+    REAL corpus shape — a glob of ``<LABEL>_<n>.png`` files
+    (evaluate_new_testdata.py:28-44) — as a distributed binaryFile scan +
+    Arrow-batched PNG decode (functions/png.py). Decoded payloads land in
+    the engine's raw layout so the extraction operators consume them
+    unchanged.
+
+    ``permissive=True`` (the production default, mirroring Spark's
+    PERMISSIVE JSON mode): a corrupt/unsupported file yields a row with null
+    pixels and the reason in ``decode_error`` instead of failing the task —
+    at 100 TB some files ARE broken, and one of them must not kill a stage.
+    ``permissive=False`` raises, for corpora that must be clean."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -82,29 +91,34 @@ def read_png_corpus(spark: SparkSession, glob_path: str) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            paths, labels, ws, hs, bufs = [], [], [], [], []
+            out = []
             for r in pdf.itertuples(index=False):
-                img = decode_png(bytes(r.content))
-                if img.ndim == 3:
-                    img = to_grayscale(img[..., 2::-1])  # RGB(A) → luma
-                paths.append(r.path)
-                labels.append(r.expected)
-                hs.append(img.shape[0])
-                ws.append(img.shape[1])
-                bufs.append(img.tobytes())
+                try:
+                    img = decode_png(bytes(r.content))
+                    if img.ndim == 3:
+                        img = to_grayscale(img[..., 2::-1])  # RGB(A) → luma
+                    out.append(
+                        (r.path, r.expected, img.shape[1], img.shape[0],
+                         img.tobytes(), None)
+                    )
+                except Exception as ex:
+                    if not permissive:
+                        raise
+                    out.append((r.path, r.expected, None, None, None, str(ex)))
             yield pd.DataFrame(
-                {
-                    "path": paths,
-                    "expected": labels,
-                    "width": ws,
-                    "height": hs,
-                    "pixels": bufs,
-                }
+                out,
+                columns=[
+                    "path", "expected", "width", "height", "pixels",
+                    "decode_error",
+                ],
             )
 
     return raw.mapInPandas(
         fn,
-        schema="path string, expected string, width int, height int, pixels binary",
+        schema=(
+            "path string, expected string, width int, height int, "
+            "pixels binary, decode_error string"
+        ),
     )
 
 

@@ -83,6 +83,22 @@ def windowed_span_stats(
     )
 
 
+def dedupe_stream(
+    spans: DataFrame,
+    keys: list[str] | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming once-per-key dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts key
+    state once the watermark passes it (a naive streaming ``distinct`` on
+    the key alone grows state forever — the classic unbounded-state failure
+    at ingest scale). The streaming twin of the batch engine's content-keyed
+    compute dedup (pipeline.py dedup_media)."""
+    return spans.withWatermark(
+        "event_time", watermark_delay
+    ).dropDuplicatesWithinWatermark(keys or ["media_ref"])
+
+
 LAST_N_STATE_SCHEMA = "texts array<string>"
 LAST_N_OUT_SCHEMA = "doc_id string, history array<string>"
 

@@ -75,6 +75,25 @@ def test_png_corpus_scan_end_to_end(spark, tmp_path):
     assert labels == set(words)
 
 
+def test_png_corpus_permissive_mode(spark, tmp_path):
+    """A corrupt file yields a decode_error row, never a task failure
+    (permissive=True); strict mode raises."""
+    from granulate_char_ocr_spark.sources.binary_files import read_png_corpus
+
+    (tmp_path / "GOOD_1.png").write_bytes(encode_png(render_word("WE", 0)))
+    (tmp_path / "BAD_2.png").write_bytes(b"\x89PNG but truncated garbage")
+    rows = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in read_png_corpus(spark, str(tmp_path / "*.png")).collect()
+    }
+    assert rows["GOOD_1.png"]["decode_error"] is None
+    assert rows["GOOD_1.png"]["pixels"] is not None
+    assert rows["BAD_2.png"]["pixels"] is None
+    assert "signature" in rows["BAD_2.png"]["decode_error"]
+    with pytest.raises(Exception):
+        read_png_corpus(spark, str(tmp_path / "*.png"), permissive=False).collect()
+
+
 def test_png_media_embeddings_match_raw(spark):
     """The multimodal pipeline over PNG payloads = over raw payloads."""
     from granulate_char_ocr_spark.operators import multimodal

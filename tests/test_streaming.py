@@ -121,6 +121,31 @@ def test_windowed_span_stats_watermark(spark, tmp_path):
     assert got[("00:01", "text")] == (1, 9)
 
 
+def test_dedupe_stream_once_per_key(spark, tmp_path):
+    src = str(tmp_path / "dd_src")
+    rows = [
+        ("m1", "2026-01-01 00:00:01"),
+        ("m1", "2026-01-01 00:00:02"),  # duplicate key within watermark
+        ("m2", "2026-01-01 00:00:03"),
+        ("m2", "2026-01-01 00:00:03"),
+    ]
+    spark.createDataFrame(rows, "media_ref string, ts string").withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    ).drop("ts").write.mode("overwrite").parquet(src)
+    spans = spark.readStream.schema(
+        "media_ref string, event_time timestamp"
+    ).parquet(src)
+    q = (
+        gstream.dedupe_stream(spans)
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .start()
+    )
+    rows = _await_rows(spark, q, "SELECT * FROM dd_out", 2)
+    assert sorted(r["media_ref"] for r in rows) == ["m1", "m2"]
+
+
 def test_assemble_stream_foreachbatch(spark, tmp_path):
     src = str(tmp_path / "fb_src")
     out = str(tmp_path / "fb_out")
