@@ -598,6 +598,30 @@ def first3_docs_per_lang(spark, sf_dir):
 
 
 @q(
+    "customer_order_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1) t
+    GROUP BY 1
+    """,
+)
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H q13 shape — outer join preserving empty groups, then a second
+    aggregation over the group sizes (the two-level aggregate no single
+    groupBy can express; zero-order customers must survive the join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@q(
     "percentile_order_prices",
     """
     SELECT o_orderpriority AS priority,

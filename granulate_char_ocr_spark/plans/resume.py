@@ -60,10 +60,12 @@ def run_with_resume(
     n_buckets: int = 16,
     only_buckets: Sequence[int] | None = None,
     n_salts: int = 8,
+    **extract_kwargs,
 ) -> list[int]:
     """Run extraction for all not-yet-committed buckets; returns the buckets
     processed this invocation. ``only_buckets`` restricts the run (used by
-    tests to simulate a mid-job kill)."""
+    tests to simulate a mid-job kill). Extra keyword args (noisy,
+    dedup_media, segmenter, ...) pass through to ``extract_documents``."""
     os.makedirs(out_dir, exist_ok=True)
     committed = set(read_ledger(out_dir))
     target = set(range(n_buckets)) - committed
@@ -75,7 +77,9 @@ def run_with_resume(
 
     bucketed = with_bucket(docs, n_buckets)
     pending = bucketed.filter(F.col(BUCKET_COL).isin(todo))
-    result = extract_documents(pending.drop(BUCKET_COL), media, n_salts=n_salts)
+    result = extract_documents(
+        pending.drop(BUCKET_COL), media, n_salts=n_salts, **extract_kwargs
+    )
     result = with_bucket(result, n_buckets)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--noisy", action="store_true")
+    ap.add_argument(
+        "--segmenter",
+        choices=["projection", "cc"],
+        default="projection",
+        help="region segmentation strategy (cc = connected components, "
+        "for multi-row layouts)",
+    )
     ap.add_argument("--no-dedup-media", action="store_true")
     args = ap.parse_args()
 
@@ -57,6 +64,9 @@ def main() -> None:
         args.output,
         n_buckets=args.n_buckets,
         n_salts=args.n_salts,
+        noisy=args.noisy,
+        dedup_media=not args.no_dedup_media,
+        segmenter=args.segmenter,
     )
     elapsed_ms = int((time.monotonic() - t0) * 1000)
     print(f"processed buckets: {done}")

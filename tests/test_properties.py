@@ -116,3 +116,23 @@ def test_normalize_no_forbidden_output(s):
     assert "!" not in out and "." not in out
     assert "  " not in out
     assert out == out.strip()
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([1, 3, 4]),
+    st.integers(0, 4),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, channels, ftype, seed):
+    """decode(encode(img, any filter)) == img for arbitrary shapes/content
+    across grey/RGB/RGBA."""
+    import numpy as np
+
+    from granulate_char_ocr_spark.functions.png import decode_png, encode_png
+
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    img = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, ftype)), img)
