@@ -75,8 +75,14 @@ def _nfc_udf():
     return _nfc_cached
 
 
-def normalize_expr(col: Column) -> Column:
-    """Spark-side normalization: JVM built-ins, then one NFC pandas UDF.
+# ASCII is NFC-invariant (no ASCII string changes under NFC, and every
+# normalization step maps ASCII into ASCII), so rows matching this never
+# need the Python hop — the basis of the plan-level split below
+ASCII_ONLY_RE = r"^[\x00-\x7F]*$"
+
+
+def normalize_jvm_expr(col: Column) -> Column:
+    """Everything except NFC — pure JVM built-ins, whole-stage codegen.
 
     The whitespace collapse uses the explicit WHITESPACE class (Java \\s is
     ASCII-only); after it, every whitespace run is a single ASCII space, so
@@ -84,4 +90,15 @@ def normalize_expr(col: Column) -> Column:
     c = F.regexp_replace(col, f"[{ZERO_WIDTH}]", "")
     c = F.regexp_replace(c, r"[!.]", "")
     c = F.regexp_replace(c, f"[{WHITESPACE}]+", " ")
-    return _nfc_udf()(F.upper(F.trim(c)))
+    return F.upper(F.trim(c))
+
+
+def normalize_expr(col: Column) -> Column:
+    """Spark-side normalization: JVM built-ins, then one NFC pandas UDF.
+
+    Note for the hot path: a Python UDF inside when()/otherwise() is pulled
+    out and evaluated on EVERY row regardless of the condition, so skipping
+    NFC for ASCII rows cannot be expressed as a conditional here — the
+    pipeline splits the plan instead (pipeline.py: ASCII rows take
+    normalize_jvm_expr only, the rest union in through this full path)."""
+    return _nfc_udf()(normalize_jvm_expr(col))

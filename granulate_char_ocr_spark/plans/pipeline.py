@@ -34,7 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from granulate_char_ocr_spark.functions.text import normalize_expr
+from granulate_char_ocr_spark.functions.text import (
+    ASCII_ONLY_RE,
+    normalize_expr,
+    normalize_jvm_expr,
+)
 from granulate_char_ocr_spark.operators.extract import (
     extract_media_spans,
     extract_unique_media,
@@ -67,18 +71,27 @@ def extract_flat(
     per-char structs (cheaper Arrow encode; the stitch never reads them)."""
     spans = explode_spans(docs)
 
-    text_out = (
-        spans.filter(F.col("kind") == "text")
-        .withColumn("text", normalize_expr(F.col("text")))
-        .select(
-            "doc_id",
-            "offset",
-            "kind",
-            "text",
-            "media_ref",
-            F.length("text").alias("n_chars"),
-            F.lit(None).cast("double").alias("avg_confidence"),
-        )
+    # ASCII rows (the overwhelming majority of a real corpus) normalize
+    # entirely JVM-side: NFC is identity on ASCII, and a pandas UDF inside a
+    # when() is evaluated unconditionally, so the skip must be a PLAN split —
+    # two filters over the same exploded scan, unioned back. Only the
+    # non-ASCII residue pays the Arrow/Python round trip.
+    text_spans = spans.filter(F.col("kind") == "text")
+    is_ascii = F.col("text").rlike(ASCII_ONLY_RE)
+    ascii_norm = text_spans.filter(is_ascii).withColumn(
+        "text", normalize_jvm_expr(F.col("text"))
+    )
+    other_norm = text_spans.filter(
+        ~F.coalesce(is_ascii, F.lit(False))  # null text rides the NFC branch
+    ).withColumn("text", normalize_expr(F.col("text")))
+    text_out = ascii_norm.unionByName(other_norm).select(
+        "doc_id",
+        "offset",
+        "kind",
+        "text",
+        "media_ref",
+        F.length("text").alias("n_chars"),
+        F.lit(None).cast("double").alias("avg_confidence"),
     )
     if detail:
         text_out = text_out.withColumn(

@@ -104,3 +104,57 @@ def test_stitch_single_exchange(spark, corpus):
     # (media_ref) and the doc_id re-assembly
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 3, plan
+
+
+def test_ascii_text_rows_normalize_without_python(spark):
+    """The text branch is plan-split: an all-ASCII corpus produces NO
+    ArrowEvalPython in the text path (NFC is identity on ASCII and a pandas
+    UDF in a when() would run on every row), while non-ASCII rows still get
+    real NFC — outputs equal the single-path normalizer on mixed data."""
+    import pyspark.sql.functions as SF
+
+    from granulate_char_ocr_spark.functions.text import normalize_python
+    from granulate_char_ocr_spark.plans.pipeline import extract_flat
+
+    media = spark.createDataFrame(
+        [], "media_ref string, word string, width int, height int, pixels binary"
+    )
+    mixed = ["plain ascii!", "nfd: café", "  Tabs\tand SPACES  ", None, "über!"]
+    docs = spark.createDataFrame(
+        [
+            (
+                f"d{i}",
+                [{"kind": "text", "text": t, "media_ref": None, "offset": 1}],
+            )
+            for i, t in enumerate(mixed)
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    flat = extract_flat(docs, media, broadcast_media=False)
+    got = {r["doc_id"]: r["text"] for r in flat.collect()}
+    assert got == {f"d{i}": normalize_python(t) for i, t in enumerate(mixed)}
+
+    ascii_docs = docs.filter(SF.col("doc_id").isin("d0", "d2"))
+    plan = (
+        extract_flat(ascii_docs, media, broadcast_media=False)
+        .filter(SF.col("kind") == "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the union's NFC leg is present but receives zero rows for ASCII input;
+    # the fast leg itself must be UDF-free — verify by planning it alone
+    from granulate_char_ocr_spark.functions.text import (
+        ASCII_ONLY_RE,
+        normalize_jvm_expr,
+    )
+    from granulate_char_ocr_spark.plans.pipeline import explode_spans
+
+    fast = (
+        explode_spans(ascii_docs)
+        .filter(SF.col("text").rlike(ASCII_ONLY_RE))
+        .withColumn("text", normalize_jvm_expr(SF.col("text")))
+    )
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in fast_plan and "EvalPython" not in fast_plan
