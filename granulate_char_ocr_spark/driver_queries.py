@@ -1038,6 +1038,52 @@ def winnow_fingerprints_docs(spark, sf_dir):
     return textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "clean_corpus_manifest",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             round(least(length(text) / 500.0, 1.0) * 0.4
+                   + least(round(({_hits_sql('en')} + {_hits_sql('es')}
+                                  + {_hits_sql('fr')} + {_hits_sql('de')})
+                                 / greatest(len(string_split(text, ' ')), 1), 6)
+                           * 5.0, 1.0) * 0.4
+                   + (1.0 - least(round((length(text)
+                        - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                        / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2,
+                   6) AS quality
+      FROM documents),
+    keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    SELECT q.doc_id, q.lang, q.quality
+    FROM q
+    JOIN keep ON q.doc_id = keep.doc_id
+    WHERE q.quality >= 0.5
+      AND ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < CASE WHEN q.lang = 'en' THEN 30 ELSE 90 END
+    """,
+)
+def clean_corpus_manifest(spark, sf_dir):
+    """The training-data pipeline END TO END as one plan: quality scoring →
+    exact-dedup keeper join → per-language stratified downsampling — the
+    composition a real data-curation run executes, not just its individual
+    legs. All three stages are the operators above, so the whole manifest
+    keeps an exact oracle."""
+    from granulate_char_ocr_spark.operators.dedup import exact_dedup
+    from granulate_char_ocr_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = textstats.quality_score(docs).select("doc_id", "quality")
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    base = docs.select("doc_id", "lang").join(scored, "doc_id").join(keep, "doc_id")
+    return stratified_sample(
+        base.filter(F.col("quality") >= 0.5),
+        "doc_id",
+        "lang",
+        {"en": 30},
+        default_pct=90,
+    ).select("doc_id", "lang", "quality")
+
+
 def _alphabet_values_sql() -> str:
     from granulate_char_ocr_spark.alphabet import GRANULATE_TO_LATIN
 

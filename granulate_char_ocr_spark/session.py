@@ -32,6 +32,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime row-level join pruning: build a Bloom filter on the small
+        # side and push it into the big side's scan — at 100 TB this skips
+        # most of a fact scan when the dim filter is selective
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # pixel rows are ~60 KB each; 256/batch keeps an Arrow batch ≈ 15 MB
         # so 32 concurrent Python workers stay far from memory pressure
