@@ -75,7 +75,11 @@ def extract_flat(
     # entirely JVM-side: NFC is identity on ASCII, and a pandas UDF inside a
     # when() is evaluated unconditionally, so the skip must be a PLAN split —
     # two filters over the same exploded scan, unioned back. Only the
-    # non-ASCII residue pays the Arrow/Python round trip.
+    # non-ASCII residue pays the Arrow/Python round trip. Trade-off measured
+    # at sf0.1: the synthetic corpus is deliberately accent/zero-width heavy
+    # (35% ASCII) and there the split is noise-neutral (the double traversal
+    # offsets the saved transfer); on real corpora (ASCII fractions ~99%)
+    # the text stage becomes pure whole-stage codegen for the bulk.
     text_spans = spans.filter(F.col("kind") == "text")
     is_ascii = F.col("text").rlike(ASCII_ONLY_RE)
     ascii_norm = text_spans.filter(is_ascii).withColumn(
