@@ -45,10 +45,17 @@ def debug_images(media: DataFrame, noisy: bool = False) -> DataFrame:
                 img = np.frombuffer(r.pixels, dtype=np.uint8).reshape(
                     r.height, r.width
                 )
-                pre = (
-                    kernels.preprocess_noisy(img) if noisy else kernels.preprocess(img)
-                )
-                regions = kernels.segment_regions(pre)
+                # mirror the extraction operator's segmentation chain exactly
+                # (including the noisy path's adjacent-region merge) — the
+                # debug overlay must show the regions classification SEES
+                if noisy:
+                    pre = kernels.preprocess_noisy(img)
+                    regions = kernels.merge_adjacent_regions(
+                        kernels.segment_regions(pre), kernels.NOISY_MERGE_GAP
+                    )
+                else:
+                    pre = kernels.preprocess(img)
+                    regions = kernels.segment_regions(pre)
                 refs.append(r.media_ref)
                 counts.append(len(regions))
                 pngs.append(encode_png(_annotate(pre, regions)))

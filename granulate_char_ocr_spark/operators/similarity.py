@@ -92,6 +92,12 @@ def cosine_topk_gemm(
     k * n_batches rows per query, never the full pairwise product.
     Results are bit-compatible with cosine_topk at the pinned 5-decimal
     rounding (float64 gemm vs HOF sequential sum; pinned by tests).
+
+    NOTE: the query-set collect is EAGER — it runs a (pushdown-pruned,
+    n_queries-row) Spark job at DataFrame-construction time, unlike the
+    lazy plans elsewhere. Deliberate: the broadcast matrix must exist
+    before the mapInPandas closure is built, and the bounded query scan is
+    the price of replacing the pairwise join with one gemm per batch.
     """
     q_pd = (
         embeddings.filter(F.col("vec_id") < n_queries)
@@ -103,7 +109,9 @@ def cosine_topk_gemm(
         return embeddings.sparkSession.createDataFrame([], empty)
     q_ids = q_pd["vec_id"].to_numpy()
     q_mat = np.stack(q_pd["embedding"].to_numpy()).astype(np.float64)
-    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    np.maximum(qn, 1e-300, out=qn)  # zero-vector queries: sims → 0, not NaN
+    q_unit = q_mat / qn
     sc = embeddings.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_unit))
 

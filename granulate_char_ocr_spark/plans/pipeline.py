@@ -166,6 +166,7 @@ def extract_documents(
     broadcast_media: bool = True,
     dedup_media: bool = True,
     keep_empty_docs: bool = False,
+    segmenter: str = "projection",
 ) -> DataFrame:
     """The headline job: documents + glyph_media → (doc_id, spans[order]).
 
@@ -182,6 +183,7 @@ def extract_documents(
         broadcast_media=broadcast_media,
         dedup_media=dedup_media,
         detail=False,  # the stitch reads only (offset, kind, text, media_ref)
+        segmenter=segmenter,
     )
     assembled = assemble_documents(
         flat.select("doc_id", "offset", "kind", "text", "media_ref")

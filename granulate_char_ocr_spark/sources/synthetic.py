@@ -221,12 +221,22 @@ def expected_flat_pandas(n_docs: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def write_parquet_atomic(table: pa.Table, out_path: str, **kwargs) -> None:
+    """Write-then-rename so concurrent writers (two processes importing
+    driver_queries on a fresh checkout) never expose a truncated file —
+    os.replace is atomic on POSIX and last-writer-wins is fine because the
+    content is deterministic."""
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp = f"{out_path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp, **kwargs)
+    os.replace(tmp, out_path)
+
+
 def write_golden_flat(out_path: str, n_docs: int, seed: int = 42) -> None:
     """Materialize the flat golden spans as parquet for the DuckDB oracle
     side of the flagship driver queries (regenerable, deterministic)."""
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
     flat = expected_flat_pandas(n_docs, seed)
-    pq.write_table(
+    write_parquet_atomic(
         pa.Table.from_pandas(
             flat,
             schema=pa.schema(

@@ -61,3 +61,27 @@ def test_bucket_assignment_deterministic(spark, corpus):
     b = resume.with_bucket(docs.repartition(5), N_BUCKETS).select("doc_id", "bucket")
     assert {(r[0], r[1]) for r in a.collect()} == {(r[0], r[1]) for r in b.collect()}
     assert a.filter((F.col("bucket") < 0) | (F.col("bucket") >= N_BUCKETS)).count() == 0
+
+
+def test_run_with_resume_accepts_job_kwargs(spark, tmp_path):
+    """jobs/extract_job.py passes noisy/dedup_media/segmenter through
+    run_with_resume — the exact call the production entrypoint makes must
+    not TypeError (regression: extract_documents lacked the segmenter
+    parameter)."""
+    from granulate_char_ocr_spark.plans import resume
+    from granulate_char_ocr_spark.sources.synthetic import corpus_spark
+
+    docs, media, _ = corpus_spark(spark, 12, seed=42)
+    done = resume.run_with_resume(
+        spark,
+        docs,
+        media,
+        str(tmp_path / "out"),
+        n_buckets=4,
+        n_salts=2,
+        noisy=False,
+        dedup_media=True,
+        segmenter="projection",
+    )
+    assert sorted(done) == [0, 1, 2, 3]
+    assert resume.read_output(spark, str(tmp_path / "out")).count() > 0
