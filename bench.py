@@ -30,8 +30,11 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_multiprobe_topk",
     "lang_id_docs",
     "quality_score_docs",
+    "winnow_fingerprints_docs",
+    "clean_corpus_manifest",
 ]
 
 # OCR corpus size for the headline throughput number at each sf tier
