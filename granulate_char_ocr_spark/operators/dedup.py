@@ -216,6 +216,68 @@ def embedding_near_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component): connected components of the near-dup pair graph —
+    the leg that turns pairwise candidates into dedup CLUSTERS so a keeper
+    can be chosen per cluster (component id = min node id, so the keeper is
+    ``node == component``).
+
+    Iterative min-label propagation (the standard distributed CC: each node
+    repeatedly takes the minimum label in its closed neighborhood until a
+    fixpoint — what GraphX/GraphFrames run underneath). Every iteration is
+    one join + one aggregate, fully distributed; the driver loop only
+    orchestrates and checks convergence (a count, not data). localCheckpoint
+    every iteration cuts the lineage so the plan does not grow with the
+    iteration count. Iterations needed = graph diameter; near-dup clusters
+    are star-like (tiny diameter). Raises if ``max_iter`` is hit without
+    convergence rather than returning wrong labels.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.d == labels.node)
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("_nbr_min", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("_nbr_min", F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
 def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hd: int = 2) -> DataFrame:
     """(doc_a, doc_b, hd): SimHash pairs within Hamming distance ``max_hd``.
 

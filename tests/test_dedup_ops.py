@@ -171,3 +171,33 @@ def test_hash_sample_partitioning_invariant(spark):
     s = stratified_sample(docs, "doc_id", "lang", {"en": 0}, default_pct=100)
     langs = {r["lang"] for r in s.select("lang").distinct().collect()}
     assert "en" not in langs and len(langs) >= 2
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (diameter > 1 — exercises multiple propagation
+    rounds), a separate pair, and keeper-selection semantics."""
+    from granulate_char_ocr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(3, 2), (2, 1), (1, 0), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+    keepers = {n for n, c in got.items() if n == c}
+    assert keepers == {0, 10}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    from granulate_char_ocr_spark.operators.dedup import connected_components
+
+    # a 5-node path needs >1 iteration; max_iter=1 must refuse, not lie
+    pairs = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (1, 0)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=1)
