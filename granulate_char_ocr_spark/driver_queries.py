@@ -771,14 +771,9 @@ def simhash_near_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
-@q(
-    "dedup_clusters_simhash",
-    f"""
-    WITH RECURSIVE sim AS ({_simhash_sql()}),
-    pairs AS (
-      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM sim l JOIN sim r ON l.doc_id < r.doc_id
-      WHERE bit_count(xor(l.simhash, r.simhash)) <= 2),
+def _clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql()}),
     edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
               UNION SELECT doc_b AS s, doc_a AS d FROM pairs),
     nodes AS (SELECT DISTINCT s AS node FROM edges),
@@ -788,14 +783,19 @@ def simhash_near_pairs(spark, sf_dir):
         SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
     )
     SELECT node, min(label) AS component FROM reach GROUP BY node
-    """,
-)
-def dedup_clusters_simhash(spark, sf_dir):
-    """Near-dup pair graph → connected components (the cluster/keeper leg of
-    the dedup pipeline). Spark runs distributed min-label propagation; the
-    oracle computes the exact same components via a recursive CTE — an
-    iterative algorithm with an EXACT cross-engine check."""
-    pairs = dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+    """
+
+
+@q("dedup_clusters_lsh", _clusters_sql())
+def dedup_clusters_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pair graph → connected components (the
+    cluster/keeper leg of the dedup pipeline). LSH pairs, not the saturated
+    16-bit simhash pairs: near-dup graphs must be SPARSE for clustering to
+    mean anything (and for the transitive closure both engines compute to
+    stay bounded). Spark runs distributed min-label propagation; the oracle
+    computes identical components via a recursive CTE — an iterative
+    algorithm with an EXACT cross-engine check."""
+    pairs = dedup.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
     return dedup.connected_components(pairs)
 
 
