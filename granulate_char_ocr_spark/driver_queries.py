@@ -733,7 +733,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _simhash_sql(bits: int = 16, where: str = "") -> str:
-    sums = ", ".join(
+    hex_digits = (bits + 3) // 4  # token-hash width derives from bits,
+    sums = ", ".join(             # mirroring dedup.simhash (ADVICE r1)
         f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
         for i in range(bits)
     )
@@ -743,7 +744,9 @@ def _simhash_sql(bits: int = 16, where: str = "") -> str:
     return f"""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                  FROM documents {where}),
-    th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INT AS th FROM tok),
+    th AS (SELECT doc_id,
+                  ('0x' || substr(md5(tok), 1, {hex_digits}))::BIGINT AS th
+           FROM tok),
     s AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
     SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM s
     """
@@ -752,6 +755,15 @@ def _simhash_sql(bits: int = 16, where: str = "") -> str:
 @q("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@q("dedup_simhash32", _simhash_sql(bits=32))
+def dedup_simhash32(spark, sf_dir):
+    """Production-width SimHash (32 of the supported 60 bits): wider hashes
+    keep the near-pair graph sparse at corpus scale (the 16-bit space
+    saturates by sf0.1 — see dedup_clusters_lsh). Also the cross-engine
+    regression proof of the bits-derived token-hash width (ADVICE r1)."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
 
 
 @q(

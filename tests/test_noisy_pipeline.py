@@ -52,7 +52,9 @@ def test_noisy_path_recognizes_most_chars(spark, noisy_setup):
         text = got[media_ref_for(w, 0) + "_noisy"]
         # positional char accuracy (EP3 zip semantics)
         correct += sum(1 for a, b in zip(w, text) if a == b)
-    assert correct / total >= 0.8, got
+    # r1 pinned >= 0.8; with the r2 merge + vote tiers this seed set is
+    # fully recovered — pin it (deterministic input, deterministic kernels)
+    assert correct / total == 1.0, got
 
 
 def test_clean_path_degrades_on_noise_less_than_robust(spark, noisy_setup):
