@@ -44,6 +44,12 @@ SF_PINNED_ORACLES = frozenset(
 ORACLE_SF_NAME = "sf0.01"
 
 
+def sf_name_of(sf_dir: str) -> str:
+    """Canonical tier name of an sf directory (basename — the one parse
+    shared by _ocr_corpus and tools/check_oracles.py)."""
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1252,7 +1258,7 @@ _ensure_goldens()
 def _ocr_corpus(spark, sf_dir):
     from granulate_char_ocr_spark.sources.synthetic import corpus_spark
 
-    n = _SF_DOCS.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 400)
+    n = _SF_DOCS.get(sf_name_of(sf_dir), 400)
     return corpus_spark(spark, n, seed=42)
 
 
@@ -1390,20 +1396,15 @@ def ocr_result_json_roundtrip(spark, sf_dir):
     spans (clean corpus → every media_ref's text and confidence pinned)."""
     from granulate_char_ocr_spark.operators.extract import extract_unique_media
     from granulate_char_ocr_spark.operators.results import ocr_result_json
-    from granulate_char_ocr_spark.plans.pipeline import explode_spans
+    from granulate_char_ocr_spark.plans.pipeline import (
+        explode_spans,
+        unique_media_repartitioned,
+    )
 
     docs, media, _ = _ocr_corpus(spark, sf_dir)
-    # explicit kernel-stage repartition: the distinct output is key-only, so
-    # AQE's bytes-based sizing would coalesce the pixel-UDF stage to ~1
-    # partition (same blind spot pipeline.py:125 works around)
-    par = spark.sparkContext.defaultParallelism * 4
-    used = (
-        explode_spans(docs)
-        .filter(F.col("kind") == "media")
-        .select("media_ref")
-        .distinct()
-        .repartition(par, "media_ref")
-        .join(F.broadcast(media), "media_ref", "left")
+    used = unique_media_repartitioned(
+        explode_spans(docs).filter(F.col("kind") == "media"),
+        F.broadcast(media),
     )
     res = ocr_result_json(
         extract_unique_media(used), timestamp="2026-01-01T00:00:00.000000"

@@ -35,27 +35,35 @@ def _annotate(pre: np.ndarray, regions: list[tuple[int, int, int, int]]) -> np.n
     return img
 
 
-def debug_images(media: DataFrame, noisy: bool = False) -> DataFrame:
-    """(media_ref, width, height, pixels) → (media_ref, n_regions, png)."""
+def debug_images(
+    media: DataFrame, noisy: bool = False, segmenter: str = "projection"
+) -> DataFrame:
+    """(media_ref, width, height, pixels) → (media_ref, n_regions, png).
+    Takes the same (noisy, segmenter) options as the extraction operators so
+    the overlay always shows the regions classification actually sees."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        segment = (
+            kernels.segment_regions_cc
+            if segmenter == "cc"
+            else kernels.segment_regions
+        )
         for pdf in batches:
             refs, counts, pngs = [], [], []
             for r in pdf.itertuples(index=False):
                 img = np.frombuffer(r.pixels, dtype=np.uint8).reshape(
                     r.height, r.width
                 )
-                # mirror the extraction operator's segmentation chain exactly
-                # (including the noisy path's adjacent-region merge) — the
-                # debug overlay must show the regions classification SEES
+                # mirror extract._process_batch's segmentation chain exactly
+                # (including the noisy path's adjacent-region merge)
                 if noisy:
                     pre = kernels.preprocess_noisy(img)
                     regions = kernels.merge_adjacent_regions(
-                        kernels.segment_regions(pre), kernels.NOISY_MERGE_GAP
+                        segment(pre), kernels.NOISY_MERGE_GAP
                     )
                 else:
                     pre = kernels.preprocess(img)
-                    regions = kernels.segment_regions(pre)
+                    regions = segment(pre)
                 refs.append(r.media_ref)
                 counts.append(len(regions))
                 pngs.append(encode_png(_annotate(pre, regions)))

@@ -255,22 +255,20 @@ def connected_components(
             .groupBy(F.col("s").alias("node"))
             .agg(F.min("component").alias("_nbr_min"))
         )
+        # inner join: the symmetrized edge set guarantees every labeled node
+        # has at least one neighbor, so no left-join/null handling exists
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            labels.join(neighbor_min, "node")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("_nbr_min", F.col("component"))
-                ).alias("component"),
-                (
-                    F.coalesce("_nbr_min", F.col("component"))
-                    < F.col("component")
-                ).alias("_changed"),
+                F.least(F.col("component"), F.col("_nbr_min")).alias("component"),
+                (F.col("_nbr_min") < F.col("component")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
+        prev, labels = labels, updated.drop("_changed")
+        prev.unpersist()  # release the superseded checkpoint's storage
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -54,6 +54,29 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
 
 
+def unique_media_repartitioned(
+    media_refs: DataFrame,
+    media_side: DataFrame,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """distinct media_ref keys → EXPLICIT kernel-stage repartition → payload
+    join. The one place the partition policy for the extraction kernel
+    lives: the distinct output is key-only bytes, so AQE's bytes-based
+    sizing would coalesce the downstream pixel-UDF stage to ~1 partition
+    (the key-only-exchange blind spot) — hence cores × 4 unless overridden.
+    ``media_side`` should already be broadcast-wrapped when dim-sized."""
+    par = (
+        num_partitions
+        or media_refs.sparkSession.sparkContext.defaultParallelism * 4
+    )
+    return (
+        media_refs.select("media_ref")
+        .distinct()
+        .repartition(par, "media_ref")
+        .join(media_side, "media_ref", "left")
+    )
+
+
 def extract_flat(
     docs: DataFrame,
     media: DataFrame,
@@ -111,20 +134,9 @@ def extract_flat(
         "doc_id", "offset", "media_ref"
     )
     if dedup_media:
-        # classify each distinct image once; join tiny results back.
-        # Explicit repartition for the kernel stage: the distinct output is
-        # key-only bytes, so AQE would coalesce it below the parallelism the
-        # pixel work needs (same blind spot as in operators/skew.py).
-        par = (
-            num_partitions
-            or docs.sparkSession.sparkContext.defaultParallelism * 4
-        )
-        uniq = (
-            media_spans.select("media_ref")
-            .distinct()
-            .repartition(par, "media_ref")
-            .join(media_side, "media_ref", "left")
-        )
+        # classify each distinct image once; join tiny results back
+        # (kernel-stage partition policy lives in unique_media_repartitioned)
+        uniq = unique_media_repartitioned(media_spans, media_side, num_partitions)
         rec_uniq = extract_unique_media(
             uniq, noisy=noisy, detail=detail, segmenter=segmenter
         )

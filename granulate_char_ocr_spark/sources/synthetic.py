@@ -225,11 +225,17 @@ def write_parquet_atomic(table: pa.Table, out_path: str, **kwargs) -> None:
     """Write-then-rename so concurrent writers (two processes importing
     driver_queries on a fresh checkout) never expose a truncated file —
     os.replace is atomic on POSIX and last-writer-wins is fine because the
-    content is deterministic."""
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    content is deterministic. A failed write cleans up its temp file."""
+    parent = os.path.dirname(out_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     tmp = f"{out_path}.tmp.{os.getpid()}"
-    pq.write_table(table, tmp, **kwargs)
-    os.replace(tmp, out_path)
+    try:
+        pq.write_table(table, tmp, **kwargs)
+        os.replace(tmp, out_path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def write_golden_flat(out_path: str, n_docs: int, seed: int = 42) -> None:

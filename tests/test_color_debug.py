@@ -128,6 +128,23 @@ def test_reference_preprocess_chain_recognizes_clean_fixtures():
 # ---------------------------------------------------------------------------
 
 
+def test_debug_sink_mirrors_noisy_extraction_regions(spark):
+    """debug_images(noisy=True) must draw the MERGED regions classification
+    sees: a split glyph shows len(word) boxes, not len(word)+1."""
+    from granulate_char_ocr_spark.operators.debug_sink import debug_images
+    from granulate_char_ocr_spark.operators.extract import extract_unique_media
+
+    img = render_word("TEAM", 0).copy()
+    img[:, 6 + 22 : 6 + 25] = 0  # cut the T at 35% of its width
+    media = spark.createDataFrame(
+        [("m_cut", img.shape[1], img.shape[0], img.tobytes())],
+        "media_ref string, width int, height int, pixels binary",
+    )
+    [dbg] = debug_images(media, noisy=True).collect()
+    [rec] = extract_unique_media(media, noisy=True, detail=False).collect()
+    assert dbg["n_regions"] == rec["n_chars"] == 4
+
+
 def test_debug_sink_writes_annotated_pngs(spark, tmp_path):
     from granulate_char_ocr_spark.operators.debug_sink import (
         debug_images,

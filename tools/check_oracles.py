@@ -78,13 +78,19 @@ def main() -> int:
     from granulate_char_ocr_spark.driver_queries import (
         ORACLE_SF_NAME,
         SF_PINNED_ORACLES,
+        sf_name_of,
     )
 
-    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    sf_name = sf_name_of(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
     if sf_name != ORACLE_SF_NAME:
         # golden-backed oracles are pinned to the driver's compare tier —
         # at any other tier run them rows-only instead of false-failing
+        n_pinned = len(SF_PINNED_ORACLES & oracles.keys())
+        print(
+            f"NOTE: sf tier {sf_name!r} != {ORACLE_SF_NAME!r} — {n_pinned} "
+            "golden-pinned oracles downgraded to rows-only for this run"
+        )
         oracles = {k: v for k, v in oracles.items() if k not in SF_PINNED_ORACLES}
     failed = []
     for name, fn in qs.items():
