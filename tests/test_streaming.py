@@ -121,6 +121,47 @@ def test_windowed_span_stats_watermark(spark, tmp_path):
     assert got[("00:01", "text")] == (1, 9)
 
 
+def test_streaming_extraction_end_to_end_matches_golden(spark, tmp_path):
+    """The streaming twin of the batch verify: replay a corpus's media spans
+    as a file stream, recognize each span with the streaming operator,
+    stitch via foreachBatch, and the assembled spans must equal the golden
+    expectation exactly."""
+    from granulate_char_ocr_spark.sources.synthetic import corpus_spark
+
+    docs, media, expected = corpus_spark(spark, 20, seed=42)
+    src = str(tmp_path / "s_src")
+    out = str(tmp_path / "s_out")
+    ckpt = str(tmp_path / "s_ckpt")
+    spans = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    spans.filter(F.col("kind") == "media").join(
+        media.drop("word"), "media_ref"
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "media_ref string, doc_id string, offset int, "
+        "width int, height int, pixels binary"
+    ).parquet(src)
+    rec = gstream.recognize_stream(stream).select(
+        "doc_id", "offset", F.lit("media").alias("kind"), "text", "media_ref"
+    )
+    q = gstream.assemble_stream(rec, out, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("doc_id", F.explode("spans").alias("s"))
+    exp = expected.select("doc_id", F.explode("spans").alias("s")).filter(
+        F.col("s.kind") == "media"
+    )
+    got_rows = {
+        (r["doc_id"], r["s"]["media_ref"], r["s"]["text"]) for r in got.collect()
+    }
+    exp_rows = {
+        (r["doc_id"], r["s"]["media_ref"], r["s"]["text"]) for r in exp.collect()
+    }
+    assert got_rows == exp_rows and len(exp_rows) > 0
+
+
 def test_dedupe_stream_once_per_key(spark, tmp_path):
     src = str(tmp_path / "dd_src")
     rows = [
