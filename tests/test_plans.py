@@ -158,3 +158,24 @@ def test_ascii_text_rows_normalize_without_python(spark):
     )
     fast_plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in fast_plan and "EvalPython" not in fast_plan
+
+
+def test_kernel_stage_exchange_has_explicit_partition_count(spark, corpus):
+    """The extraction kernel's input exchange must carry the EXPLICIT
+    cores x 4 partition count (a plain key-only exchange would be coalesced
+    to ~1 partition by AQE's bytes-based sizing, serializing the pixel-UDF
+    stage — CLAUDE.md gotcha, pinned here at the plan level)."""
+    import re
+
+    from granulate_char_ocr_spark.plans.pipeline import extract_flat
+
+    docs, media = corpus
+    plan = (
+        extract_flat(docs, media)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    want = spark.sparkContext.defaultParallelism * 4
+    counts = re.findall(r"hashpartitioning\(media_ref[^)]*, (\d+)\)", plan)
+    assert str(want) in counts, (want, counts)
