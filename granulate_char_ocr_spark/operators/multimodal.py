@@ -39,12 +39,12 @@ def decode_payload(
 ) -> np.ndarray:
     """binary payload -> uint8 greyscale ndarray (H, W).
 
-    'raw' is the engine-native uint8 buffer; 'png' is a real pure-NumPy
-    decoder (functions/png.py — 8-bit grey/RGB/RGBA, all scanline filters),
+    'raw' is the engine-native uint8 buffer; 'png' (functions/png.py —
+    8-bit grey/RGB/RGBA, all scanline filters) and 'jpeg' (functions/
+    jpeg.py — baseline sequential grayscale) are real pure-NumPy decoders,
     matching the reference's PIL decode step (ocr_service.py:97-99). RGB(A)
-    decodes are luma-converted so every caller sees one channel. JPEG stays
-    stubbed (a DCT codec without a JPEG library is out of scope in-sandbox;
-    production swaps in turbojpeg behind this signature).
+    PNGs are luma-converted so every caller sees one channel. Video/audio
+    compressed codecs (H.264/MP3) remain out of scope in-sandbox.
     """
     if codec == "raw":
         return np.frombuffer(payload, dtype=np.uint8).reshape(height, width)
@@ -56,8 +56,13 @@ def decode_payload(
             # PNG is RGB-ordered; kernels.to_grayscale expects BGR weights
             img = kernels.to_grayscale(img[..., 2::-1])
         return img
+    if codec == "jpeg":
+        from granulate_char_ocr_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(payload))
     raise NotImplementedError(
-        f"decode for codec={codec!r} is stubbed in-sandbox (raw/png only)"
+        f"decode for codec={codec!r} is not available in-sandbox "
+        "(raw/png/jpeg only)"
     )
 
 

@@ -82,21 +82,26 @@ def test_audio_features_deterministic(spark):
     assert all(abs(f - 7071.0) < 150 for f in r1["features"])  # RMS of sine
 
 
-def test_jpeg_codec_is_stubbed_png_is_real(spark):
-    # JPEG (DCT) stays stubbed in-sandbox; PNG decodes via functions/png.py
-    jpg = spark.createDataFrame(
-        [("img_jpg", "image", "jpeg", 8, 8, 1, 0, b"\xff\xd8...")],
-        schema=multimodal.MULTIMODAL_SCHEMA,
-    )
-    with pytest.raises(Exception, match="stubbed|NotImplemented"):
-        multimodal.resize_images(jpg).collect()
-    from granulate_char_ocr_spark.functions.png import encode_png
+def test_compressed_codecs_decode_h264_rejected(spark):
+    # PNG and baseline JPEG decode for real; H.264 video stays out of scope
     import numpy as np
 
+    from granulate_char_ocr_spark.functions.jpeg import encode_jpeg
+    from granulate_char_ocr_spark.functions.png import encode_png
+
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
-    png = spark.createDataFrame(
-        [("img_png", "image", "png", 8, 8, 1, 0, encode_png(img))],
+    df = spark.createDataFrame(
+        [
+            ("img_png", "image", "png", 8, 8, 1, 0, encode_png(img)),
+            ("img_jpg", "image", "jpeg", 8, 8, 1, 0, encode_jpeg(img, 95)),
+        ],
         schema=multimodal.MULTIMODAL_SCHEMA,
     )
-    [r] = multimodal.resize_images(png, out_h=4, out_w=4).collect()
-    assert (r["width"], r["height"]) == (4, 4)
+    rows = {r["media_ref"]: r for r in multimodal.resize_images(df, 4, 4).collect()}
+    assert all((r["width"], r["height"]) == (4, 4) for r in rows.values())
+    h264 = spark.createDataFrame(
+        [("clip", "video", "h264", 8, 8, 2, 0, b"\x00\x00\x01...")],
+        schema=multimodal.MULTIMODAL_SCHEMA,
+    )
+    with pytest.raises(Exception, match="not available|NotImplemented"):
+        multimodal.resize_images(h264).collect()
