@@ -56,16 +56,18 @@ def read_labeled_corpus(spark: SparkSession, glob_path: str) -> DataFrame:
     )
 
 
-_PNG_LABEL_RE = r"([A-Z]+)[!.]?_\d+\.png$"
+_IMAGE_LABEL_RE = r"([A-Z]+)[!.]?_\d+\.(?:png|jpe?g)$"
 
 
-def read_png_corpus(
+def read_image_corpus(
     spark: SparkSession, glob_path: str, permissive: bool = True
 ) -> DataFrame:
     """(path, expected, width, height, pixels, decode_error): the reference's
-    REAL corpus shape — a glob of ``<LABEL>_<n>.png`` files
+    REAL corpus shape — a glob of ``<LABEL>_<n>.(png|jpg)`` files
     (evaluate_new_testdata.py:28-44) — as a distributed binaryFile scan +
-    Arrow-batched PNG decode (functions/png.py). Decoded payloads land in
+    Arrow-batched decode. The codec is sniffed from the payload signature
+    (PNG magic / JPEG SOI), not the extension, and decoded by the pure-NumPy
+    codecs (functions/png.py, functions/jpeg.py); decoded payloads land in
     the engine's raw layout so the extraction operators consume them
     unchanged.
 
@@ -78,25 +80,32 @@ def read_png_corpus(
 
     import pandas as pd
 
+    from granulate_char_ocr_spark.functions.jpeg import decode_jpeg
     from granulate_char_ocr_spark.functions.kernels import to_grayscale
     from granulate_char_ocr_spark.functions.png import decode_png
 
     raw = spark.read.format("binaryFile").load(glob_path).select(
         "path",
         F.regexp_extract(
-            F.element_at(F.split(F.col("path"), "/"), -1), _PNG_LABEL_RE, 1
+            F.element_at(F.split(F.col("path"), "/"), -1), _IMAGE_LABEL_RE, 1
         ).alias("expected"),
         "content",
     )
+
+    def _decode(buf: bytes) -> np.ndarray:
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(buf)
+            return to_grayscale(img[..., 2::-1]) if img.ndim == 3 else img
+        if buf[:2] == b"\xff\xd8":
+            return decode_jpeg(buf)
+        raise ValueError("unknown image signature (png/jpeg supported)")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
                 try:
-                    img = decode_png(bytes(r.content))
-                    if img.ndim == 3:
-                        img = to_grayscale(img[..., 2::-1])  # RGB(A) → luma
+                    img = _decode(bytes(r.content))
                     out.append(
                         (r.path, r.expected, img.shape[1], img.shape[0],
                          img.tobytes(), None)
@@ -120,6 +129,10 @@ def read_png_corpus(
             "pixels binary, decode_error string"
         ),
     )
+
+
+# backwards-compatible name (r2 early API)
+read_png_corpus = read_image_corpus
 
 
 def evaluate_corpus_files(spark: SparkSession, glob_path: str) -> DataFrame:

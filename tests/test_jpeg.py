@@ -86,3 +86,34 @@ def test_jpeg_media_embeddings_match_raw(spark):
     }
     for w in words:
         assert emb[f"jpeg_{w}"] == emb[f"raw_{w}"], w
+
+
+def test_mixed_image_corpus_scan(spark, tmp_path):
+    """One directory of PNGs AND JPEGs, codec sniffed from content, both
+    recognized exactly end-to-end."""
+    from granulate_char_ocr_spark.operators.extract import extract_media_spans
+    from granulate_char_ocr_spark.sources.binary_files import read_image_corpus
+    from granulate_char_ocr_spark.functions.png import encode_png
+    from pyspark.sql import functions as F
+
+    (tmp_path / "TEAM_1.png").write_bytes(encode_png(render_word("TEAM", 0)))
+    (tmp_path / "WORK_2.jpg").write_bytes(
+        encode_jpeg(render_word("WORK", 1), quality=95)
+    )
+    corpus = read_image_corpus(spark, str(tmp_path / "*"))
+    rec = extract_media_spans(
+        corpus.select(
+            corpus.path.alias("doc_id"),
+            corpus.path.alias("media_ref"),
+            "width",
+            "height",
+            "pixels",
+        ).withColumn("offset", F.lit(0)),
+        detail=False,
+    )
+    got = {r["media_ref"].rsplit("/", 1)[-1]: r["text"] for r in rec.collect()}
+    assert got == {"TEAM_1.png": "TEAM", "WORK_2.jpg": "WORK"}
+    labels = {
+        r["path"].rsplit("/", 1)[-1]: r["expected"] for r in corpus.collect()
+    }
+    assert labels == {"TEAM_1.png": "TEAM", "WORK_2.jpg": "WORK"}
