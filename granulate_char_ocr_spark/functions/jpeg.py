@@ -135,35 +135,52 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
 
 
-class _BitReader:
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self._acc = 0
-        self._n = 0
+def _destuff_scan(data: bytes, pos: int) -> bytes:
+    """Entropy-coded segment with stuffed zeros removed (stops at the first
+    real marker)."""
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b == 0xFF:
+            nxt = data[pos + 1] if pos + 1 < n else None
+            if nxt == 0x00:
+                out.append(0xFF)
+                pos += 2
+                continue
+            break  # real marker (EOI) ends the scan
+        out.append(b)
+        pos += 1
+    return bytes(out)
 
-    def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG: truncated entropy stream")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else None
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed zero
-                else:
-                    raise ValueError("JPEG: unexpected marker in scan")
-            self._acc = byte
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
 
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+def _window16(payload: bytes) -> np.ndarray:
+    """w[i] = the 16 bits starting at bit offset i, as one int per offset —
+    the whole entropy stream becomes one vectorized sliding-window array so
+    Huffman decode is ONE table lookup per symbol, not per bit."""
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+    bits = np.concatenate([bits, np.zeros(16, dtype=np.uint8)])
+    windows = np.lib.stride_tricks.sliding_window_view(bits, 16)
+    powers = (1 << np.arange(15, -1, -1)).astype(np.int64)
+    return windows @ powers
+
+
+def _build_lut(bits: list[int], vals: list[int]) -> np.ndarray:
+    """65536-entry decode table: LUT[next16bits] = (symbol << 8) | length.
+    Canonical codes are prefix-free, so every 16-bit window starting at a
+    code boundary resolves to exactly one (symbol, length)."""
+    lut = np.zeros(1 << 16, dtype=np.int32)  # 0 = invalid code
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut[lo:hi] = (vals[k] << 8) | length
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
 
 
 def _category(v: int) -> int:
@@ -189,6 +206,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     h, w = img.shape
     if h == 0 or w == 0:
         raise ValueError("encode_jpeg: empty image")
+    if h > 65535 or w > 65535:
+        raise ValueError("encode_jpeg: baseline dimensions cap at 65535")
     qt = _quant_table(quality)
     dc_enc, _ = _build_huffman(_DC_BITS, _DC_VALS)
     ac_enc, _ = _build_huffman(_AC_BITS, _AC_VALS)
@@ -205,7 +224,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         .astype(np.float64)
         - 128.0
     )
-    coefs = np.einsum("ux,bxy,vy->buv", _C, blocks, _C)
+    # F = C @ B @ C.T as two broadcast BLAS matmuls (einsum's naive
+    # contraction path costs ~4x here)
+    coefs = np.matmul(np.matmul(_C, blocks), _C.T)
     quant = np.round(coefs / qt).astype(np.int32)
     zz = quant.reshape(-1, 64)[:, _ZIGZAG]  # raster -> zigzag sequence
 
@@ -271,6 +292,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG: marker desync")
+        while data[pos + 1] == 0xFF:  # fill bytes before a marker (B.1.1.2)
+            pos += 1
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         if marker == 0xFFD9:
             break
@@ -296,8 +319,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(payload[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + n])
-                _, dec = _build_huffman(bits, vals)
-                htables[(tc, th)] = dec
+                htables[(tc, th)] = _build_lut(bits, vals)
                 p += 17 + n
         elif marker == 0xFFC0:  # SOF0 baseline
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
@@ -306,9 +328,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     "JPEG: decoder handles 8-bit single-component "
                     f"(got precision={precision}, components={ncomp})"
                 )
-            sampling, comp_q = payload[7], payload[8]
-            if sampling != 0x11:
-                raise ValueError("JPEG: subsampling unsupported for grayscale")
+            comp_q = payload[8]
+            # sampling factors are irrelevant in a non-interleaved
+            # single-component scan (T.81 A.2) — accept any
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
             raise ValueError("JPEG: only baseline sequential (SOF0) supported")
         elif marker == 0xFFDD:
@@ -321,48 +343,53 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if h is None or scan_start is None:
         raise ValueError("JPEG: missing SOF0/SOS")
     qt = qtables[comp_q]
-    dc_dec = htables[(0, dc_id)]
-    ac_dec = htables[(1, ac_id)]
-
-    def read_code(br: _BitReader, table: dict) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | br.read_bit()
-            length += 1
-            v = table.get((length, code))
-            if v is not None:
-                return v
-        raise ValueError("JPEG: invalid Huffman code")
+    dc_lut = htables[(0, dc_id)]
+    ac_lut = htables[(1, ac_id)]
+    w16 = _window16(_destuff_scan(data, scan_start))
 
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     n_blocks = (ph // 8) * (pw // 8)
     zz = np.zeros((n_blocks, 64), dtype=np.float64)
-    br = _BitReader(data, scan_start)
+    pos = 0
     prev_dc = 0
-    for b in range(n_blocks):
-        size = read_code(br, dc_dec)
-        diff = _decode_magnitude(br.read_bits(size), size)
-        prev_dc += diff
-        zz[b, 0] = prev_dc
-        k = 1
-        while k < 64:
-            rs = read_code(br, ac_dec)
-            run, size = rs >> 4, rs & 0xF
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("JPEG: AC index overflow")
-            zz[b, k] = _decode_magnitude(br.read_bits(size), size)
-            k += 1
+    try:
+        for b in range(n_blocks):
+            pack = int(dc_lut[w16[pos]])
+            if pack == 0:
+                raise ValueError("JPEG: invalid Huffman code")
+            size = pack >> 8
+            pos += pack & 0xFF
+            mag = (int(w16[pos]) >> (16 - size)) if size else 0
+            pos += size
+            prev_dc += _decode_magnitude(mag, size)
+            zz[b, 0] = prev_dc
+            k = 1
+            while k < 64:
+                pack = int(ac_lut[w16[pos]])
+                if pack == 0:
+                    raise ValueError("JPEG: invalid Huffman code")
+                rs = pack >> 8
+                pos += pack & 0xFF
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG: AC index overflow")
+                mag = int(w16[pos]) >> (16 - size)
+                pos += size
+                zz[b, k] = _decode_magnitude(mag, size)
+                k += 1
+    except IndexError:
+        raise ValueError("JPEG: truncated entropy stream") from None
     coefs = np.zeros((n_blocks, 64))
     coefs[:, _ZIGZAG] = zz  # de-zigzag
     coefs = coefs.reshape(-1, 8, 8) * qt
-    # B = C.T @ F @ C, i.e. B[x,y] = sum_uv C[u,x] * F[u,v] * C[v,y]
-    pixels = np.einsum("ux,buv,vy->bxy", _C, coefs, _C) + 128.0
+    # B = C.T @ F @ C as two broadcast BLAS matmuls
+    pixels = np.matmul(np.matmul(_C.T, coefs), _C) + 128.0
     out = (
         pixels.reshape(ph // 8, pw // 8, 8, 8)
         .transpose(0, 2, 1, 3)

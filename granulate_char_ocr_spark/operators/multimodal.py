@@ -2,14 +2,14 @@
 typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-shapes — is real and tested. Compressed-codec decode (PNG/JPEG/MP3/H.264) is
-STUBBED: the sandbox has no image/audio libraries (no PIL/cv2/ffmpeg), so
-``decode_payload`` handles the engine's native ``raw`` format (uint8
-grayscale buffer + width/height, the glyph_media layout) and raises a
-clearly-marked ``NotImplementedError`` for compressed codecs — swap in a real
-decoder (pyarrow + Pillow/torchcodec) behind the same signature in
-production. Feature extractors that don't need a codec (resize, frame
-sampling over raw buffers, aHash embeddings) are fully implemented in NumPy.
+shapes — is real and tested, and so are the image codecs: ``decode_payload``
+handles the engine's native ``raw`` format plus REAL pure-NumPy PNG
+(functions/png.py) and baseline JPEG (functions/jpeg.py) decoders; the
+``auto`` codec sniffs the payload signature. Only video/audio compressed
+codecs (H.264/MP3 — no ffmpeg in-sandbox) raise a clearly-marked
+``NotImplementedError``; swap in torchcodec/ffmpeg behind the same
+signature in production. Feature extractors (resize, frame sampling over
+raw buffers, aHash embeddings) are fully implemented in NumPy.
 
 Schema convention for a multimodal table:
     (media_ref string, modality string,      -- 'image' | 'audio' | 'video'
@@ -48,6 +48,14 @@ def decode_payload(
     """
     if codec == "raw":
         return np.frombuffer(payload, dtype=np.uint8).reshape(height, width)
+    if codec == "auto":  # sniff from the payload signature
+        head = bytes(payload[:8])
+        if head[:8] == b"\x89PNG\r\n\x1a\n":
+            codec = "png"
+        elif head[:2] == b"\xff\xd8":
+            codec = "jpeg"
+        else:
+            raise ValueError("unknown image signature (png/jpeg supported)")
     if codec == "png":
         from granulate_char_ocr_spark.functions.png import decode_png
 

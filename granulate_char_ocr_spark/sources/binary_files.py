@@ -6,10 +6,12 @@ The Spark-native restatement: ``spark.read.format("binaryFile")`` +
 ``regexp_extract(input_file_name(), ...)`` — a distributed scan with the
 label derivation as a column expression, no driver-side globbing.
 
-Two payload formats: the engine's raw format (``<ref>.raw`` = uint8 buffer
-prefixed by two int32 dims, pure column-expression decode) and real PNG
-(``read_png_corpus`` — the reference's actual ``test_data/*_*.png`` glob,
-decoded by the pure-NumPy codec in functions/png.py).
+Payload formats: the engine's raw format (``<ref>.raw`` = uint8 buffer
+prefixed by two int32 dims, pure column-expression decode) and real
+compressed images (``read_image_corpus`` — the reference's actual
+``test_data/*_*.png`` glob generalized to mixed PNG/JPEG directories,
+codec sniffed from the payload signature, decoded by the pure-NumPy codecs
+in functions/png.py and functions/jpeg.py).
 """
 
 from __future__ import annotations
@@ -80,9 +82,7 @@ def read_image_corpus(
 
     import pandas as pd
 
-    from granulate_char_ocr_spark.functions.jpeg import decode_jpeg
-    from granulate_char_ocr_spark.functions.kernels import to_grayscale
-    from granulate_char_ocr_spark.functions.png import decode_png
+    from granulate_char_ocr_spark.operators.multimodal import decode_payload
 
     raw = spark.read.format("binaryFile").load(glob_path).select(
         "path",
@@ -92,20 +92,12 @@ def read_image_corpus(
         "content",
     )
 
-    def _decode(buf: bytes) -> np.ndarray:
-        if buf[:8] == b"\x89PNG\r\n\x1a\n":
-            img = decode_png(buf)
-            return to_grayscale(img[..., 2::-1]) if img.ndim == 3 else img
-        if buf[:2] == b"\xff\xd8":
-            return decode_jpeg(buf)
-        raise ValueError("unknown image signature (png/jpeg supported)")
-
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
                 try:
-                    img = _decode(bytes(r.content))
+                    img = decode_payload(bytes(r.content), "auto", 0, 0)
                     out.append(
                         (r.path, r.expected, img.shape[1], img.shape[0],
                          img.tobytes(), None)
