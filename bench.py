@@ -25,12 +25,13 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
+    "dedup_simhash32",
     "simhash_near_pairs",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
-    "ann_ivf_topk",
     "ann_ivf_multiprobe_topk",
+    "ocr_extract_noisy",
+    "ocr_extract_multirow",
     "lang_id_docs",
     "quality_score_docs",
     "winnow_fingerprints_docs",

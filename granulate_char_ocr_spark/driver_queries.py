@@ -39,6 +39,8 @@ SF_PINNED_ORACLES = frozenset(
         "ocr_word_length_analysis",
         "ocr_method_histogram",
         "ocr_result_json_roundtrip",
+        "ocr_extract_noisy",
+        "ocr_extract_multirow",
     }
 )
 ORACLE_SF_NAME = "sf0.01"
@@ -248,24 +250,6 @@ def confusion_matrix_docs(spark, sf_dir):
 
 
 @q(
-    "topk_confusions",
-    """
-    SELECT lang, source, count(*) AS n FROM documents
-    GROUP BY lang, source ORDER BY n DESC, lang, source LIMIT 10
-    """,
-)
-def topk_confusions(spark, sf_dir):
-    """Top-10 by count with total-order tie-break (SURVEY §2.6 O3)."""
-    return (
-        _t(spark, sf_dir, "documents")
-        .groupBy("lang", "source")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "lang", "source")
-        .limit(10)
-    )
-
-
-@q(
     "anti_join_inactive_customers",
     """
     SELECT c_custkey, c_name FROM customer c
@@ -372,28 +356,6 @@ def corpus_stats_docs(spark, sf_dir):
             F.round(F.stddev_pop("n_chars"), 4).alias("sd_chars"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
-        )
-    )
-
-
-@q(
-    "doclen_histogram",
-    """
-    SELECT CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
-           count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
-    FROM documents GROUP BY 1
-    """,
-)
-def doclen_histogram(spark, sf_dir):
-    """Word-length grouped analysis (SURVEY §2.4 A7)."""
-    return (
-        _t(spark, sf_dir, "documents")
-        .groupBy(
-            F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_bucket")
-        )
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
 
@@ -600,27 +562,6 @@ def running_sum_per_user(spark, sf_dir):
 
 
 @q(
-    "first3_docs_per_lang",
-    """
-    SELECT lang, array_to_string(list_sort(list(doc_id))[1:3], ',') AS examples
-    FROM documents GROUP BY lang
-    """,
-)
-def first3_docs_per_lang(spark, sf_dir):
-    """Grouped bounded examples — slice(sort_array(collect_list(...)))
-    (SURVEY §2.4 A7's 'first-3 examples' analog, order pinned by sort)."""
-    return (
-        _t(spark, sf_dir, "documents")
-        .groupBy("lang")
-        .agg(
-            F.concat_ws(
-                ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 3)
-            ).alias("examples")
-        )
-    )
-
-
-@q(
     "customer_order_distribution",
     """
     SELECT n_orders, count(*) AS n_customers FROM (
@@ -758,11 +699,6 @@ def _simhash_sql(bits: int = 16, where: str = "") -> str:
     """
 
 
-@q("dedup_simhash", _simhash_sql())
-def dedup_simhash(spark, sf_dir):
-    return dedup.simhash(_t(spark, sf_dir, "documents"))
-
-
 @q("dedup_simhash32", _simhash_sql(bits=32))
 def dedup_simhash32(spark, sf_dir):
     """Production-width SimHash (32 of the supported 60 bits): wider hashes
@@ -775,7 +711,7 @@ def dedup_simhash32(spark, sf_dir):
 @q(
     "simhash_near_pairs",
     f"""
-    WITH sim AS ({_simhash_sql()})
+    WITH sim AS ({_simhash_sql(bits=32)})
     SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
            CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hd
     FROM sim l JOIN sim r ON l.doc_id < r.doc_id
@@ -783,10 +719,14 @@ def dedup_simhash32(spark, sf_dir):
     """,
 )
 def simhash_near_pairs(spark, sf_dir):
-    """UNCAPPED (r1's doc_id<1000 cap removed): the Spark side is the banded
-    pigeonhole equi-join — exact-equal to the oracle's brute-force quadratic,
-    which only DuckDB runs."""
-    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+    """UNCAPPED (r1's doc_id<1000 cap removed) and at production width
+    (bits=32, VERDICT r2 item 8 — the 16-bit space saturates by sf0.1, so
+    near-pairs over it stop meaning near-duplicate): the Spark side is the
+    banded pigeonhole equi-join — exact-equal to the oracle's brute-force
+    quadratic, which only DuckDB runs."""
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), bits=32
+    )
 
 
 def _clusters_sql() -> str:
@@ -876,27 +816,6 @@ def _cell_sql(side: str, dims: int = 4) -> str:
     )
 
 
-@q(
-    "ann_ivf_topk",
-    f"""
-    WITH q AS (SELECT vec_id, embedding, {_cell_sql('embeddings')} AS cell
-               FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id, embedding, {_cell_sql('embeddings')} AS cell
-          FROM embeddings),
-    pairs AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             {_cosine_sql_expr('q.embedding', 'c.embedding')} AS sim
-      FROM q JOIN c ON q.cell = c.cell AND q.vec_id != c.vec_id)
-    SELECT query_id, neighbor_id, rank, sim FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY sim DESC, neighbor_id) AS rank
-      FROM pairs) t WHERE rank <= 5
-    """,
-)
-def ann_ivf_topk(spark, sf_dir):
-    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
-
-
 def _multiprobe_sql(n_queries: int = 10, k: int = 5, dims: int = 4) -> str:
     def cell(flip: int | None) -> str:
         return " || ".join(
@@ -929,23 +848,6 @@ def ann_ivf_multiprobe_topk(spark, sf_dir):
     """Multi-probe IVF (own cell + one-sign-flip cells): the recall fix for
     quantization-boundary queries, still cell-equi-join pruned."""
     return similarity.ivf_topk_multiprobe(_t(spark, sf_dir, "embeddings"))
-
-
-@q(
-    "sample_hash_docs",
-    """
-    SELECT doc_id, lang FROM documents
-    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
-    """,
-)
-def sample_hash_docs(spark, sf_dir):
-    """Deterministic ~10% corpus sample by key hash (partitioning-invariant,
-    retry-stable — Spark's RNG sample() can't be oracle-checked)."""
-    from granulate_char_ocr_spark.operators.sampling import hash_sample
-
-    return hash_sample(
-        _t(spark, sf_dir, "documents"), "doc_id", 10
-    ).select("doc_id", "lang")
 
 
 @q(
@@ -983,9 +885,9 @@ def dedup_embedding_cosine(spark, sf_dir):
 def _hits_sql(lang: str) -> str:
     from granulate_char_ocr_spark.operators.textstats import LANG_MARKERS
 
-    return " + ".join(
-        f"len(list_filter(string_split(text, ' '), x -> x = '{w}'))"
-        for w in LANG_MARKERS[lang]
+    in_list = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({in_list})))"
     )
 
 
@@ -1202,15 +1104,66 @@ _GOLDEN_DIR = _os.path.join(
     "dist",
     "golden",
 )
+
+
+def _generator_fingerprint() -> str:
+    """Content key of every module the golden parquets are a function of
+    (ADVICE r2: a filename keyed only on n_docs lets a stale golden survive a
+    generator/kernel change silently). Any edit to these sources changes the
+    fingerprint → new filenames → goldens regenerate on next import."""
+    import hashlib as _hashlib
+
+    base = _os.path.dirname(_os.path.abspath(__file__))
+    h = _hashlib.md5()
+    for rel in (
+        "sources/synthetic.py",
+        "functions/kernels.py",
+        "functions/text.py",
+        "alphabet.py",
+    ):
+        with open(_os.path.join(base, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+_GOLDEN_FP = _generator_fingerprint()
 _GOLDEN_FLAT = _os.path.join(
-    _GOLDEN_DIR, f"ocr_expected_flat_{_ORACLE_N_DOCS}.parquet"
+    _GOLDEN_DIR, f"ocr_expected_flat_{_ORACLE_N_DOCS}_{_GOLDEN_FP}.parquet"
 )
-_GOLDEN_INK = _os.path.join(_GOLDEN_DIR, "media_ink_bits.parquet")
+_GOLDEN_INK = _os.path.join(
+    _GOLDEN_DIR, f"media_ink_bits_{_GOLDEN_FP}.parquet"
+)
+_GOLDEN_NOISY = _os.path.join(
+    _GOLDEN_DIR, f"ocr_expected_noisy_{_ORACLE_N_DOCS}_{_GOLDEN_FP}.parquet"
+)
+_GOLDEN_MULTIROW = _os.path.join(
+    _GOLDEN_DIR,
+    f"ocr_expected_multirow_{_ORACLE_N_DOCS}_{_GOLDEN_FP}.parquet",
+)
 
 
 def _ensure_goldens() -> None:
     """Materialize the golden parquets the oracle SQL reads (idempotent;
-    regenerated from the deterministic fixture generator when absent)."""
+    filenames carry the generator fingerprint, so a stale golden from an
+    older generator is simply never read — and is deleted here)."""
+    import glob as _glob
+
+    for old in _glob.glob(_os.path.join(_GOLDEN_DIR, "*.parquet")):
+        if _GOLDEN_FP not in _os.path.basename(old):
+            try:
+                _os.unlink(old)
+            except OSError:
+                pass
+    if not _os.path.exists(_GOLDEN_NOISY):
+        from granulate_char_ocr_spark.sources.synthetic import write_golden_noisy
+
+        write_golden_noisy(_GOLDEN_NOISY, _ORACLE_N_DOCS, seed=42)
+    if not _os.path.exists(_GOLDEN_MULTIROW):
+        from granulate_char_ocr_spark.sources.synthetic import (
+            write_golden_multirow,
+        )
+
+        write_golden_multirow(_GOLDEN_MULTIROW, _ORACLE_N_DOCS)
     if not _os.path.exists(_GOLDEN_FLAT):
         from granulate_char_ocr_spark.sources.synthetic import write_golden_flat
 
@@ -1454,4 +1407,65 @@ def ocr_method_histogram(spark, sf_dir):
             F.count("*").alias("n"),
             F.round(F.avg("c.confidence"), 6).alias("avg_confidence"),
         )
+    )
+
+
+@q(
+    "ocr_extract_noisy",
+    f"""
+    SELECT doc_id, "offset", media_ref, text, methods
+    FROM '{_GOLDEN_NOISY}'
+    """,
+)
+def ocr_extract_noisy(spark, sf_dir):
+    """The ROBUST extraction path at the driver gate (VERDICT r2 item 2):
+    salt-and-pepper media variants through ``extract_flat(noisy=True)`` —
+    Otsu/bilateral/deskew preprocess, adjacent-region merge, and the
+    multi-binarization vote tier for cascade rejects (reference
+    ocr_service_backup.py; extract_from_reference.py:352-356). ``methods``
+    lists the distinct cascade tiers each span used; 'vote' appears in the
+    golden. Oracle: engine-derived per distinct image via the local
+    ``recognize_word(noisy=True)`` kernel (accuracy is separately bounded by
+    tests/test_noisy_pipeline.py); this row pins distributed-plan parity —
+    Arrow batching, dedup join, span re-attach."""
+    from granulate_char_ocr_spark.plans.pipeline import extract_flat
+    from granulate_char_ocr_spark.sources.synthetic import noisy_corpus_spark
+
+    n = _SF_DOCS.get(sf_name_of(sf_dir), 400)
+    docs, media = noisy_corpus_spark(spark, n, seed=42)
+    flat = extract_flat(docs, media, noisy=True, detail=True)
+    return flat.filter(F.col("kind") == "media").select(
+        "doc_id",
+        "offset",
+        "media_ref",
+        "text",
+        F.concat_ws(
+            ",", F.sort_array(F.array_distinct(F.col("chars.method")))
+        ).alias("methods"),
+    )
+
+
+@q(
+    "ocr_extract_multirow",
+    f"""
+    SELECT doc_id, "offset", media_ref, text
+    FROM '{_GOLDEN_MULTIROW}'
+    """,
+)
+def ocr_extract_multirow(spark, sf_dir):
+    """Connected-component segmentation with row clustering at the driver
+    gate (VERDICT r2 item 3): stacked two-row word images — the layout a
+    pure column projection provably cannot separate (reference
+    extract_from_reference.py:108-132 y-gap row split) — through
+    ``extract_flat(segmenter='cc')``. Oracle: generator-derived (clean
+    corpus, cc reading-order recovery is exact: text = row1word+row2word,
+    pinned across all cycled pairs by tests/test_multirow.py)."""
+    from granulate_char_ocr_spark.plans.pipeline import extract_flat
+    from granulate_char_ocr_spark.sources.synthetic import multirow_corpus_spark
+
+    n = _SF_DOCS.get(sf_name_of(sf_dir), 400)
+    docs, media = multirow_corpus_spark(spark, n)
+    flat = extract_flat(docs, media, segmenter="cc", detail=False)
+    return flat.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref", "text"
     )

@@ -306,11 +306,21 @@ def _rotate_nn(img: np.ndarray, angle_deg: float) -> np.ndarray:
 
 
 def deskew_angle(
-    img: np.ndarray, max_angle: float = 15.0, step: float = 3.0
+    img: np.ndarray,
+    max_angle: float = 15.0,
+    step: float = 3.0,
+    min_gain: float = 1.5,
 ) -> float:
     """The angle ``deskew`` would apply (0.0 = keep as-is). Exposed so
     callers can rotate COMPANION planes (e.g. the grayscale the vote tier
-    re-binarizes) by the identical transform and keep bboxes aligned."""
+    re-binarizes) by the identical transform and keep bboxes aligned.
+
+    ``min_gain``: a candidate must beat the unrotated variance by this
+    factor. Genuine skew scores are multiples of base (a true 9° rotation
+    measures ≥5× at the correct angle); salt-noise perturbations of a
+    STRAIGHT image max out ≈1.4× (measured across the noisy corpus), and a
+    false rotation destroys downstream recognition — so the margin sits
+    between the two populations, not at the old noise-fooled 1.02."""
     if img.size == 0 or not img.any():
         return 0.0
     angles = np.arange(-max_angle, max_angle + step / 2, step)
@@ -322,7 +332,7 @@ def deskew_angle(
         score = float(np.var(_rotate_nn(img, a).sum(axis=1, dtype=np.int64)))
         if score > best_score:
             best_angle, best_score = float(a), score
-    if best_angle == 0.0 or best_score <= base * 1.02:
+    if best_angle == 0.0 or best_score <= base * min_gain:
         return 0.0
     return best_angle
 

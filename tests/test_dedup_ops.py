@@ -201,3 +201,27 @@ def test_connected_components_raises_without_convergence(spark):
     )
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(pairs, max_iter=1)
+
+
+def test_lang_id_mixed_language_fixture(spark):
+    """Accuracy pin for the top-50 stopword marker sets (VERDICT r2 item 9):
+    real sentences in each supported language, lowercase, must all classify
+    correctly — including es/fr, whose function words overlap heavily
+    ('la', 'de'), which the 4-word toy sets could not separate."""
+    sentences = [
+        (1, "en", "the quick brown fox jumped over the lazy dog and it was not seen again"),
+        (2, "en", "we have been there before but they will not say what all of this is about"),
+        (3, "es", "el perro corre por la calle y no se detiene porque tiene mucha prisa"),
+        (4, "es", "la casa de mi abuela es muy grande pero no hay nadie que viva en ella"),
+        (5, "fr", "le chien court dans la rue et il ne veut pas revenir avec nous ce soir"),
+        (6, "fr", "cette maison est plus grande que les autres mais elle ne nous plaît pas"),
+        (7, "de", "der hund läuft auf der straße und er will nicht mit uns nach hause gehen"),
+        (8, "de", "das haus ist sehr groß aber es gibt niemanden der darin wohnen möchte"),
+        (9, "und", "zzz qqq kwyjibo flurble"),
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, _, t in sentences], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in textstats.lang_id(d).collect()}
+    for i, expect, _ in sentences:
+        assert out[i] == expect, (i, out[i], expect)

@@ -39,7 +39,11 @@ def test_no_cartesian_or_nested_loop_join_anywhere(all_plans):
 
 def test_near_pair_ops_are_equi_joins(all_plans):
     """The r1 weak set must stay hash-join shaped."""
-    for name in ("simhash_near_pairs", "dedup_embedding_cosine", "ann_ivf_topk"):
+    for name in (
+        "simhash_near_pairs",
+        "dedup_embedding_cosine",
+        "ann_ivf_multiprobe_topk",
+    ):
         plan = all_plans[name]
         assert "HashJoin" in plan, f"{name} lost its equi-join:\n{plan[:500]}"
 

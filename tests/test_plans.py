@@ -68,7 +68,7 @@ def test_parquet_filter_pushdown(spark, tmp_path):
 def test_topk_compiles_to_take_ordered(spark, corpus):
     from granulate_char_ocr_spark import driver_queries as dq
 
-    q = dq.QUERIES["topk_confusions"](spark, "/root/testdata/sf0.001")
+    q = dq.QUERIES["q3_top_revenue_orders"](spark, "/root/testdata/sf0.001")
     assert "TakeOrderedAndProject" in _plan(q, "simple")
 
 
