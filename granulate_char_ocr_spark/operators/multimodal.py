@@ -40,11 +40,12 @@ def decode_payload(
     """binary payload -> uint8 greyscale ndarray (H, W).
 
     'raw' is the engine-native uint8 buffer; 'png' (functions/png.py —
-    8-bit grey/RGB/RGBA, all scanline filters) and 'jpeg' (functions/
-    jpeg.py — baseline sequential grayscale) are real pure-NumPy decoders,
-    matching the reference's PIL decode step (ocr_service.py:97-99). RGB(A)
-    PNGs are luma-converted so every caller sees one channel. Video/audio
-    compressed codecs (H.264/MP3) remain out of scope in-sandbox.
+    8-bit grey/RGB/RGBA + 1/2/4/8-bit palette, all scanline filters) and
+    'jpeg' (functions/jpeg.py — baseline sequential, grayscale and YCbCr
+    color at 4:4:4/4:2:2/4:2:0) are real pure-NumPy decoders, matching the
+    reference's PIL decode step (ocr_service.py:97-99). Color outputs are
+    luma-converted so every caller sees one channel. Video/audio compressed
+    codecs (H.264/MP3) remain out of scope in-sandbox.
     """
     if codec == "raw":
         return np.frombuffer(payload, dtype=np.uint8).reshape(height, width)
@@ -56,18 +57,20 @@ def decode_payload(
             codec = "jpeg"
         else:
             raise ValueError("unknown image signature (png/jpeg supported)")
-    if codec == "png":
-        from granulate_char_ocr_spark.functions.png import decode_png
+    if codec in ("png", "jpeg"):
+        if codec == "png":
+            from granulate_char_ocr_spark.functions.png import decode_png
 
-        img = decode_png(bytes(payload))
+            img = decode_png(bytes(payload))
+        else:
+            from granulate_char_ocr_spark.functions.jpeg import decode_jpeg
+
+            img = decode_jpeg(bytes(payload))
         if img.ndim == 3:
-            # PNG is RGB-ordered; kernels.to_grayscale expects BGR weights
+            # both codecs emit RGB(A)-ordered planes; kernels.to_grayscale
+            # expects BGR weights
             img = kernels.to_grayscale(img[..., 2::-1])
         return img
-    if codec == "jpeg":
-        from granulate_char_ocr_spark.functions.jpeg import decode_jpeg
-
-        return decode_jpeg(bytes(payload))
     raise NotImplementedError(
         f"decode for codec={codec!r} is not available in-sandbox "
         "(raw/png/jpeg only)"

@@ -129,7 +129,12 @@ def cosine_topk_gemm(
             for j, qid in enumerate(ids):
                 mask = vec_ids != qid  # exclude self
                 cand_ids = vec_ids[mask]
-                cand = np.round(sims[mask, j], 5)
+                # half-AWAY-from-zero to 5 decimals — np.round is half-to-
+                # even, but Spark's round() and the DuckDB oracle both round
+                # half away, and a sim landing exactly on a half-ulp would
+                # rank/hash differently (ADVICE r2)
+                s = sims[mask, j]
+                cand = np.sign(s) * np.floor(np.abs(s) * 1e5 + 0.5) / 1e5
                 # per-batch top-k under the EXACT final order (rounded sim
                 # desc, neighbor_id asc): top-k of a union equals top-k of
                 # the union of per-batch top-k's, so boundary ties at the

@@ -17,7 +17,7 @@ from granulate_char_ocr_spark.operators.stitch import explode_expected
 
 METRICS_SCHEMA_DOC = (
     "run_id, input_snapshot_id, partition_hash, n_docs, n_text_spans, "
-    "n_media_spans, n_chars, committed_at"
+    "n_media_spans, n_chars, p50_chars, p90_chars, committed_at"
 )
 
 
@@ -65,6 +65,16 @@ def partition_lineage(
             F.sum(F.coalesce(F.col("n_chars"), F.lit(0)).cast("long")).alias(
                 "n_chars"
             ),
+            # per-partition span-length distribution (reference evaluation
+            # record's distribution block, evaluate_new_testdata.py:86-95):
+            # exact interpolated percentiles, same machinery the oracled
+            # percentile_order_prices query pins cross-engine
+            F.round(
+                F.percentile(F.coalesce("n_chars", F.lit(0)), F.lit(0.5)), 2
+            ).alias("p50_chars"),
+            F.round(
+                F.percentile(F.coalesce("n_chars", F.lit(0)), F.lit(0.9)), 2
+            ).alias("p90_chars"),
             acc,
         )
         .select(
@@ -75,6 +85,8 @@ def partition_lineage(
             "n_text_spans",
             "n_media_spans",
             "n_chars",
+            "p50_chars",
+            "p90_chars",
             "char_accuracy",
             F.lit(elapsed_ms).cast("long").alias("elapsed_ms"),
             F.current_timestamp().alias("committed_at"),

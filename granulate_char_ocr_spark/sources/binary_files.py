@@ -58,7 +58,11 @@ def read_labeled_corpus(spark: SparkSession, glob_path: str) -> DataFrame:
     )
 
 
-_IMAGE_LABEL_RE = r"([A-Z]+)[!.]?_\d+\.(?:png|jpe?g)$"
+# case-insensitive: real corpora mix PLEASURE_1.png, pleasure_2.PNG,
+# Photo_3.JPG (ADVICE r2: a lowercase-only match silently dropped every
+# uppercase-extension file's label); the label folds to upper afterwards,
+# matching the reference's sanitization
+_IMAGE_LABEL_RE = r"(?i)([A-Z]+)[!.]?_\d+\.(?:png|jpe?g)$"
 
 
 def read_image_corpus(
@@ -86,8 +90,12 @@ def read_image_corpus(
 
     raw = spark.read.format("binaryFile").load(glob_path).select(
         "path",
-        F.regexp_extract(
-            F.element_at(F.split(F.col("path"), "/"), -1), _IMAGE_LABEL_RE, 1
+        F.upper(
+            F.regexp_extract(
+                F.element_at(F.split(F.col("path"), "/"), -1),
+                _IMAGE_LABEL_RE,
+                1,
+            )
         ).alias("expected"),
         "content",
     )
@@ -125,6 +133,18 @@ def read_image_corpus(
 
 # backwards-compatible name (r2 early API)
 read_png_corpus = read_image_corpus
+
+
+def decode_error_summary(corpus: DataFrame) -> DataFrame:
+    """(decode_error, n) over a ``read_image_corpus`` result — the aggregate
+    visibility ADVICE r2 asked for: mass decode failure (wrong codec family,
+    truncated uploads) must show up as one grouped count, not as silently
+    empty labels downstream. The null-error row counts the healthy files."""
+    return (
+        corpus.groupBy("decode_error")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc_nulls_first("decode_error"))
+    )
 
 
 def evaluate_corpus_files(spark: SparkSession, glob_path: str) -> DataFrame:

@@ -57,7 +57,9 @@ def test_unsupported_variants_rejected():
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(prog)
     with pytest.raises(ValueError, match="grayscale"):
-        encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8))
+        encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), subsampling="4:1:1")
 
 
 def test_jpeg_media_embeddings_match_raw(spark):
@@ -117,3 +119,87 @@ def test_mixed_image_corpus_scan(spark, tmp_path):
         r["path"].rsplit("/", 1)[-1]: r["expected"] for r in corpus.collect()
     }
     assert labels == {"TEAM_1.png": "TEAM", "WORK_2.jpg": "WORK"}
+
+
+# --- color (YCbCr) -----------------------------------------------------------
+
+
+def _smooth_rgb(h=80, w=96):
+    x = np.linspace(0, 4 * np.pi, w)
+    y = np.linspace(0, 3 * np.pi, h)
+    r = 127 + 120 * np.sin(x)[None, :] * np.cos(y)[:, None]
+    g = 127 + 120 * np.cos(x)[None, :] * np.sin(y)[:, None]
+    b = 127 + 120 * np.sin(x + 1)[None, :] * np.sin(y + 1)[:, None]
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("ss,min_psnr", [("4:4:4", 44), ("4:2:0", 33)])
+def test_color_roundtrip(ss, min_psnr):
+    img = _smooth_rgb()
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling=ss))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > min_psnr
+
+
+def test_color_roundtrip_odd_dims_420():
+    """4:2:0 with dims not divisible by 16 exercises the MCU edge padding
+    and the chroma crop/upsample path."""
+    img = _smooth_rgb(77, 93)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsampling="4:2:0"))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 30
+
+
+def test_color_quality_ladder():
+    img = _smooth_rgb()
+    lo = _psnr(img, decode_jpeg(encode_jpeg(img, 30, subsampling="4:4:4")))
+    hi = _psnr(img, decode_jpeg(encode_jpeg(img, 95, subsampling="4:4:4")))
+    assert hi > lo > 15
+
+
+def test_422_roundtrip():
+    """4:2:2 (Y 2×1, horizontally halved chroma — the broadcast-video
+    layout) through the generic MCU grid, including odd width."""
+    img = _smooth_rgb(33, 47)
+    out = decode_jpeg(encode_jpeg(img, quality=92, subsampling="4:2:2"))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 31
+
+
+def test_grayscale_bytes_unchanged_by_color_support():
+    """The gray path must stay byte-compatible (single component, luma
+    tables only) — golden parity for existing corpora."""
+    img = np.clip(
+        np.mgrid[0:32, 0:48][0] * 5 + np.mgrid[0:32, 0:48][1] * 3, 0, 255
+    ).astype(np.uint8)
+    data = encode_jpeg(img, quality=90)
+    # structure: SOI DQT(1 table) SOF0(1 comp) DHT(2 tables) SOS
+    assert data.count(b"\xff\xdb") >= 1
+    i = data.find(b"\xff\xc0")
+    assert data[i + 9] == 1  # ncomp byte
+    out = decode_jpeg(data)
+    assert _psnr(img, out) > 40
+
+
+def test_standalone_markers_skipped_in_header():
+    """TEM (0xFF01) and stray RSTn before SOS carry no length word; the
+    parser must skip them instead of reading garbage lengths (ADVICE r2)."""
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    data = encode_jpeg(img)
+    # inject TEM + RST3 right after SOI
+    patched = data[:2] + b"\xff\x01\xff\xd3" + data[2:]
+    assert np.array_equal(decode_jpeg(patched), decode_jpeg(data))
+
+
+def test_color_jpeg_through_multimodal_sniff(spark):
+    """A color JFIF payload sniffs as jpeg and luma-converts through
+    decode_payload — the reference's arbitrary-photo decode step."""
+    from granulate_char_ocr_spark.operators.multimodal import decode_payload
+
+    img = _smooth_rgb(40, 56)
+    payload = encode_jpeg(img, quality=95, subsampling="4:2:0")
+    gray = decode_payload(payload, "auto", 0, 0)
+    assert gray.shape == (40, 56)
+    # luma of the decoded RGB must track the BT.601 luma of the source
+    want = kernels.to_grayscale(img[..., 2::-1])
+    assert _psnr(want, gray) > 30

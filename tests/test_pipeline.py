@@ -124,6 +124,11 @@ def test_partition_lineage_covers_all_docs(spark, corpus):
     assert all(r["run_id"] == "t" and r["input_snapshot_id"] == "s" for r in rows)
     assert len({r["partition_hash"] for r in rows}) == len(rows)
     assert all(r["char_accuracy"] is None for r in rows)  # no expectation given
+    # distribution stats (evaluation-record parity): exact percentiles over
+    # the partition's span lengths, so p50 <= p90 and both within range
+    for r in rows:
+        assert r["p50_chars"] <= r["p90_chars"]
+        assert 0 <= r["p50_chars"] and r["p90_chars"] <= r["n_chars"]
 
     # with the golden expectation: every media-bearing partition scores 1.0
     rows2 = partition_lineage(
