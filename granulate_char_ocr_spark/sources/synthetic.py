@@ -191,11 +191,61 @@ EXPECTED_SCHEMA = f"doc_id string, spans {SPANS_OUT_TYPE}"
 MEDIA_SCHEMA = "media_ref string, word string, width int, height int, pixels binary"
 
 
+def _gen_spans_spark(
+    spark, n_docs: int, seed: int, which: int, spans_type: str,
+    media_ref_suffix: str = "",
+):
+    """DISTRIBUTED corpus generation: ``spark.range`` → ``mapInPandas``
+    emitting (doc_id, spans_json) → JVM-side ``from_json``. The driver-side
+    ``createDataFrame`` of a nested array<struct> pandas frame falls off the
+    Arrow path onto pickle (~2.5 s per 1 000 docs); generating on executors
+    makes corpus synthesis scale with cores — the shape a 10^12-doc
+    synthetic load test needs. ``which``: 0 = input spans, 1 = expected."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                doc = _doc(int(i), seed)[which]
+                spans = doc["spans"]
+                if media_ref_suffix:
+                    for s in spans:
+                        if s["kind"] == "media":
+                            s["media_ref"] += media_ref_suffix
+                rows.append((doc["doc_id"], _json.dumps(spans)))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans_json"])
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        spark.range(0, n_docs, 1, min(par, max(1, n_docs // 50)))
+        .mapInPandas(gen, "doc_id string, spans_json string")
+        .select(
+            "doc_id", F.from_json("spans_json", spans_type).alias("spans")
+        )
+    )
+
+
+def docs_spark(spark, n_docs: int, seed: int = 42, media_ref_suffix: str = ""):
+    """The documents table, generated ON the executors (see _gen_spans_spark)."""
+    return _gen_spans_spark(
+        spark, n_docs, seed, 0, SPANS_IN_TYPE, media_ref_suffix
+    )
+
+
+def expected_spark(spark, n_docs: int, seed: int = 42):
+    """The golden expected-spans table, generated ON the executors."""
+    return _gen_spans_spark(spark, n_docs, seed, 1, SPANS_OUT_TYPE)
+
+
 def corpus_spark(spark, n_docs: int, seed: int = 42):
-    """(documents, glyph_media, expected) as Spark DataFrames."""
-    docs_pd, exp_pd = corpus_pandas(n_docs, seed)
-    docs = spark.createDataFrame(docs_pd, schema=DOCS_SCHEMA)
-    expected = spark.createDataFrame(exp_pd, schema=EXPECTED_SCHEMA)
+    """(documents, glyph_media, expected) as Spark DataFrames — documents
+    and expected generate distributed; the bounded media store stays a
+    driver-built dimension table."""
+    docs = docs_spark(spark, n_docs, seed)
+    expected = expected_spark(spark, n_docs, seed)
     media = spark.createDataFrame(glyph_media_pandas(), schema=MEDIA_SCHEMA)
     return docs, media, expected
 
@@ -356,13 +406,9 @@ def noisy_media_pandas(noise_seed: int = NOISE_SEED) -> pd.DataFrame:
 
 def noisy_corpus_spark(spark, n_docs: int, seed: int = 42):
     """(documents, noisy_media): the standard corpus with every media span
-    re-pointed at the noisy variant of the same image."""
-    docs_pd, _ = corpus_pandas(n_docs, seed)
-    for spans in docs_pd["spans"]:
-        for s in spans:
-            if s["kind"] == "media":
-                s["media_ref"] += "_n"
-    docs = spark.createDataFrame(docs_pd, schema=DOCS_SCHEMA)
+    re-pointed at the noisy variant of the same image (documents generate
+    distributed — see _gen_spans_spark)."""
+    docs = docs_spark(spark, n_docs, seed, media_ref_suffix="_n")
     media = spark.createDataFrame(noisy_media_pandas(), schema=MEDIA_SCHEMA)
     return docs, media
 
@@ -453,10 +499,16 @@ def multirow_media_ref(w1: str, w2: str, variant: int) -> str:
 
 def multirow_corpus_spark(spark, n_docs: int):
     """(documents, media) where every doc has one media span referencing a
-    stacked two-row image."""
+    stacked two-row image. The document side is PURE column expressions over
+    ``spark.range`` (the (w1, w2, v) choice is modular arithmetic on the doc
+    index — no driver loop, no Python stage); only the bounded distinct-image
+    media store is driver-built."""
+    from pyspark.sql import functions as F
+
+    n = len(WORDS)
     seen: set[str] = set()
-    media_rows, doc_rows = [], []
-    for i in range(n_docs):
+    media_rows = []
+    for i in range(min(n_docs, n * N_VARIANTS)):
         w1, w2, v = _multirow_choice(i)
         ref = multirow_media_ref(w1, w2, v)
         if ref not in seen:
@@ -471,15 +523,25 @@ def multirow_corpus_spark(spark, n_docs: int):
                     "pixels": img.tobytes(),
                 }
             )
-        doc_rows.append(
-            {
-                "doc_id": f"mrdoc_{i:08d}",
-                "spans": [
-                    {"kind": "media", "text": None, "media_ref": ref, "offset": 1}
-                ],
-            }
-        )
-    docs = spark.createDataFrame(pd.DataFrame(doc_rows), schema=DOCS_SCHEMA)
+    words = F.array(*[F.lit(w) for w in WORDS])
+    i = F.col("id")
+    w1 = F.element_at(words, (i % n + 1).cast("int"))
+    w2 = F.element_at(words, ((i * 7 + 3) % n + 1).cast("int"))
+    v = F.expr(f"cast((id div {n}) % {N_VARIANTS} as int)")
+    ref = F.concat(
+        F.lit("img_mr_"), w1, F.lit("_"), w2, F.lit("_"), v.cast("string")
+    )
+    docs = spark.range(n_docs).select(
+        F.format_string("mrdoc_%08d", i).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                ref.alias("media_ref"),
+                F.lit(1).alias("offset"),
+            )
+        ).alias("spans"),
+    )
     media = spark.createDataFrame(pd.DataFrame(media_rows), schema=MEDIA_SCHEMA)
     return docs, media
 
