@@ -12,8 +12,10 @@ full-range BT.601) in one interleaved scan, any sampling-factor grid whose
 factors divide the maxima — which covers 4:4:4, 4:2:2 and 4:2:0, the
 layouts phone cameras and libjpeg actually emit (VERDICT r2 item 4: a
 photo corpus is ~100% color JPEG). Chroma upsampling is pixel replication
-(JFIF mandates no filter). Progressive, arithmetic coding, restart
-intervals stay rejected with the reason. The decoder reads quantization
+(JFIF mandates no filter). Restart intervals (DRI/RSTn, the camera
+resync convention) encode and decode: the entropy stream splits at RSTn
+markers into byte-aligned segments with DC predictors reset. Progressive
+and arithmetic coding stay rejected with the reason. The decoder reads quantization
 and Huffman tables FROM the stream (DQT/DHT), so third-party baseline
 files decode correctly; the encoder embeds its tables (Annex K luma +
 chroma), so its output decodes in any standard decoder. JPEG is lossy:
@@ -216,20 +218,40 @@ class _BitWriter:
 def _destuff_scan(data: bytes, pos: int) -> bytes:
     """Entropy-coded segment with stuffed zeros removed (stops at the first
     real marker)."""
+    return _destuff_scan_segments(data, pos)[0][0]
+
+
+def _destuff_scan_segments(
+    data: bytes, pos: int
+) -> tuple[list[bytes], int]:
+    """Entropy-coded scan split at RSTn markers: ([destuffed segment, ...],
+    position of the terminating marker). A scan without restarts is one
+    segment. 0xFF00 destuffs to 0xFF; runs of 0xFF fill bytes before a
+    marker are legal padding (B.1.1.2)."""
+    segments: list[bytes] = []
     out = bytearray()
     n = len(data)
     while pos < n:
         b = data[pos]
         if b == 0xFF:
-            nxt = data[pos + 1] if pos + 1 < n else None
-            if nxt == 0x00:
+            nxt = pos + 1
+            while nxt < n and data[nxt] == 0xFF:  # fill bytes
+                nxt += 1
+            m = data[nxt] if nxt < n else None
+            if m == 0x00 and nxt == pos + 1:
                 out.append(0xFF)
                 pos += 2
                 continue
-            break  # real marker (EOI) ends the scan
+            if m is not None and 0xD0 <= m <= 0xD7:  # RSTn: segment boundary
+                segments.append(bytes(out))
+                out = bytearray()
+                pos = nxt + 1
+                continue
+            break  # real marker (EOI / next SOS) ends the scan
         out.append(b)
         pos += 1
-    return bytes(out)
+    segments.append(bytes(out))
+    return segments, pos
 
 
 def _window16(payload: bytes) -> np.ndarray:
@@ -325,14 +347,19 @@ def _encode_block(bw: _BitWriter, row, prev_dc: int, dc_enc, ac_enc) -> int:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 90, subsampling: str = "4:2:0"
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:2:0",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline JPEG bytes.
 
     Color encodes as one interleaved YCbCr scan; ``subsampling`` is
     '4:4:4' (full-res chroma), '4:2:2' (horizontally halved) or '4:2:0'
     (2×2-decimated chroma, the phone-camera default). Grayscale output is
-    byte-compatible with the former single-component encoder."""
+    byte-compatible with the former single-component encoder.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    that many MCUs (the camera-firmware resync convention)."""
     gray = img.ndim == 2
     if not gray and not (img.ndim == 3 and img.shape[2] == 3):
         raise ValueError("encode_jpeg: (H, W) grayscale or (H, W, 3) RGB")
@@ -381,8 +408,18 @@ def encode_jpeg(
 
     bw = _BitWriter()
     prev_dc = [0] * len(comps)
+    mcu_count = 0
+    rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                bw.flush()  # 1-fill to byte boundary, then RSTn (E.1.4)
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                prev_dc = [0] * len(comps)
+            mcu_count += 1
             for ci, (_cid, hi, vi, _qid, _plane, _qt, huff) in enumerate(comps):
                 nbx = mcus_x * hi
                 for v in range(vi):
@@ -423,8 +460,13 @@ def encode_jpeg(
     sos = seg(
         0xFFDA, bytes([len(comps)]) + sos_comps + bytes([0, 63, 0])
     )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
-        b"\xff\xd8" + seg(0xFFDB, dqt) + sof0 + seg(0xFFC4, dht) + sos
+        b"\xff\xd8" + seg(0xFFDB, dqt) + sof0 + seg(0xFFC4, dht) + dri + sos
         + bytes(bw.out) + b"\xff\xd9"
     )
 
@@ -488,6 +530,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], np.ndarray] = {}  # (class, id) -> LUT
     h = w = None
+    restart_interval = 0
     sof_comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
     scan_sel: dict[int, tuple[int, int]] = {}  # comp id -> (dc_id, ac_id)
     scan_order: list[int] = []
@@ -541,8 +584,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 sof_comps.append((cid, hv >> 4, hv & 0xF, tq))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
             raise ValueError("JPEG: only baseline sequential (SOF0) supported")
-        elif marker == 0xFFDD:
-            raise ValueError("JPEG: restart intervals unsupported")
+        elif marker == 0xFFDD:  # DRI: MCUs between RSTn markers (0 = none)
+            (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xFFDA:  # SOS
             ns = payload[0]
             for c in range(ns):
@@ -572,7 +615,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    w16 = _window16(_destuff_scan(data, scan_start))
+    segments, _ = _destuff_scan_segments(data, scan_start)
+    w16 = _window16(segments[0])
     comps = []  # (hi, vi, qt, dc_lut, ac_lut, zz, nbx)
     for (cid, hi, vi, tq) in sof_comps:
         dc_id, ac_id = scan_sel[cid]
@@ -590,10 +634,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         )
 
     pos = 0
+    seg_idx = 0
+    mcu_count = 0
     prev_dc = [0] * len(comps)
     try:
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                if restart_interval and mcu_count and (
+                    mcu_count % restart_interval == 0
+                ):
+                    # RSTn boundary: byte-realign to the next entropy
+                    # segment, DC predictors reset (T.81 E.2.4)
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("JPEG: missing restart marker")
+                    w16 = _window16(segments[seg_idx])
+                    pos = 0
+                    prev_dc = [0] * len(comps)
+                mcu_count += 1
                 for ci, (hi, vi, _qt, dc_lut, ac_lut, zz, nbx) in enumerate(
                     comps
                 ):

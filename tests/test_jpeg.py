@@ -203,3 +203,54 @@ def test_color_jpeg_through_multimodal_sniff(spark):
     # luma of the decoded RGB must track the BT.601 luma of the source
     want = kernels.to_grayscale(img[..., 2::-1])
     assert _psnr(want, gray) > 30
+
+
+def test_restart_interval_roundtrip_pixel_identical():
+    """DRI/RSTn streams must decode to EXACTLY the pixels of the ri=0
+    encode: restarts only re-align the entropy stream (byte pad + DC
+    predictor reset), they never change coefficients."""
+    rng = np.random.default_rng(7)
+    gray = (rng.integers(0, 4, (57, 43)) * 60).astype(np.uint8)
+    color = rng.integers(0, 256, (61, 45, 3)).astype(np.uint8)
+    for img, kw in [
+        (gray, {}),
+        (color, {"subsampling": "4:2:0"}),
+        (color, {"subsampling": "4:4:4"}),
+    ]:
+        base = decode_jpeg(encode_jpeg(img, quality=92, **kw))
+        for ri in (1, 3, 100):
+            data = encode_jpeg(img, quality=92, restart_interval=ri, **kw)
+            assert np.array_equal(decode_jpeg(data), base), (kw, ri)
+
+
+def test_restart_markers_emitted_and_cycle():
+    """80x64 4:2:0 => 5x4 = 20 MCUs; ri=2 => 9 interior RSTn markers
+    cycling D0..D7 then wrapping (T.81 E.1.4)."""
+    img = np.random.default_rng(3).integers(0, 256, (64, 80, 3)).astype(
+        np.uint8
+    )
+    data = encode_jpeg(img, subsampling="4:2:0", restart_interval=2)
+    assert data.count(b"\xff\xdd") == 1  # one DRI segment
+    markers = [
+        data[i + 1] - 0xD0
+        for i in range(len(data) - 1)
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+    ]
+    assert markers == [0, 1, 2, 3, 4, 5, 6, 7, 0]
+
+
+def test_restart_stream_missing_segment_rejected():
+    """Dropping a restart segment leaves too few entropy segments for the
+    MCU count — a clean error, not garbage pixels."""
+    img = np.random.default_rng(5).integers(0, 256, (64, 80, 3)).astype(
+        np.uint8
+    )
+    data = encode_jpeg(img, subsampling="4:2:0", restart_interval=2)
+    starts = [
+        i
+        for i in range(len(data) - 1)
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+    ]
+    bad = data[: starts[3]] + data[starts[5] :]
+    with pytest.raises(ValueError, match="restart|Huffman|truncated"):
+        decode_jpeg(bad)
