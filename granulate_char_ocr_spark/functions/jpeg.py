@@ -7,15 +7,20 @@ implemented from the published standard (ITU-T T.81): 8×8 DCT blocks,
 libjpeg-style quality-scaled quantization, zigzag, differential DC +
 run-length AC, Huffman coding with the Annex K tables.
 
-Scope: BASELINE SEQUENTIAL. Grayscale and 3-component YCbCr (JFIF
-full-range BT.601) in one interleaved scan, any sampling-factor grid whose
-factors divide the maxima — which covers 4:4:4, 4:2:2 and 4:2:0, the
-layouts phone cameras and libjpeg actually emit (VERDICT r2 item 4: a
-photo corpus is ~100% color JPEG). Chroma upsampling is pixel replication
-(JFIF mandates no filter). Restart intervals (DRI/RSTn, the camera
-resync convention) encode and decode: the entropy stream splits at RSTn
-markers into byte-aligned segments with DC predictors reset. Progressive
-and arithmetic coding stay rejected with the reason. The decoder reads quantization
+Scope: BASELINE SEQUENTIAL (SOF0) and PROGRESSIVE (SOF2, Annex G:
+spectral selection + successive approximation, EOB runs, per-scan table
+redefinition) — the two modes web and camera corpora actually contain.
+Grayscale and 3-component YCbCr (JFIF full-range BT.601), any
+sampling-factor grid whose factors divide the maxima — which covers
+4:4:4, 4:2:2 and 4:2:0, the layouts phone cameras and libjpeg actually
+emit (VERDICT r2 item 4: a photo corpus is ~100% color JPEG). Chroma
+upsampling is pixel replication (JFIF mandates no filter). Restart
+intervals (DRI/RSTn, the camera resync convention) encode and decode in
+both modes: the entropy stream splits at RSTn markers into byte-aligned
+segments with DC predictors and EOB runs reset. The progressive encoder
+uses the IJG-style default scan script with per-scan optimal Huffman
+tables built by the Annex K.2 procedure. Arithmetic coding and
+hierarchical mode stay rejected with the reason. The decoder reads quantization
 and Huffman tables FROM the stream (DQT/DHT), so third-party baseline
 files decode correctly; the encoder embeds its tables (Annex K luma +
 chroma), so its output decodes in any standard decoder. JPEG is lossy:
@@ -283,6 +288,30 @@ def _build_lut(bits: list[int], vals: list[int]) -> np.ndarray:
     return lut
 
 
+class _SegReader:
+    """Bit reader over one destuffed entropy segment: Huffman symbols via
+    the 16-bit sliding-window LUT (one lookup per symbol), raw bits for
+    magnitudes / successive-approximation corrections."""
+
+    def __init__(self, segment: bytes) -> None:
+        self.w16 = _window16(segment)
+        self.pos = 0
+
+    def sym(self, lut: np.ndarray) -> int:
+        pack = int(lut[self.w16[self.pos]])
+        if pack == 0:
+            raise ValueError("JPEG: invalid Huffman code")
+        self.pos += pack & 0xFF
+        return pack >> 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = int(self.w16[self.pos]) >> (16 - n)
+        self.pos += n
+        return v
+
+
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
@@ -346,6 +375,51 @@ def _encode_block(bw: _BitWriter, row, prev_dc: int, dc_enc, ac_enc) -> int:
     return dc
 
 
+def _prepare_frame(img: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder frame setup (baseline + progressive): validate,
+    color-transform, subsample, and DCT-quantize every component.
+    Returns (gray, h, w, comps[(cid, hi, vi, qid)], qt_luma, qt_chroma,
+    mcus_x, mcus_y, zz_per_comp)."""
+    gray = img.ndim == 2
+    if not gray and not (img.ndim == 3 and img.shape[2] == 3):
+        raise ValueError("encode_jpeg: (H, W) grayscale or (H, W, 3) RGB")
+    h, w = img.shape[0], img.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg: empty image")
+    if h > 65535 or w > 65535:
+        raise ValueError("encode_jpeg: baseline dimensions cap at 65535")
+    qt_l = _quant_table(quality)
+    qt_c = None
+    if gray:
+        planes = [(1, 1, 1, 0, img.astype(np.float64), qt_l)]
+    else:
+        if subsampling == "4:4:4":
+            cf = (1, 1)
+        elif subsampling == "4:2:2":
+            cf = (2, 1)
+        elif subsampling == "4:2:0":
+            cf = (2, 2)
+        else:
+            raise ValueError(f"encode_jpeg: subsampling {subsampling!r}")
+        qt_c = _quant_table(quality, _QTBL_CHROMA)
+        y, cb, cr = _rgb_to_ycbcr(img)
+        planes = [
+            (1, cf[0], cf[1], 0, y, qt_l),
+            (2, 1, 1, 1, _box_downsample(cb, cf[1], cf[0]), qt_c),
+            (3, 1, 1, 1, _box_downsample(cr, cf[1], cf[0]), qt_c),
+        ]
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    zz_per_comp = [
+        _zz_blocks(plane, qt, mcus_y * vi, mcus_x * hi)
+        for (_cid, hi, vi, _qid, plane, qt) in planes
+    ]
+    comps = [(cid, hi, vi, qid) for (cid, hi, vi, qid, _p, _q) in planes]
+    return gray, h, w, comps, qt_l, qt_c, mcus_x, mcus_y, zz_per_comp
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 90,
@@ -360,51 +434,27 @@ def encode_jpeg(
     byte-compatible with the former single-component encoder.
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
     that many MCUs (the camera-firmware resync convention)."""
-    gray = img.ndim == 2
-    if not gray and not (img.ndim == 3 and img.shape[2] == 3):
-        raise ValueError("encode_jpeg: (H, W) grayscale or (H, W, 3) RGB")
-    h, w = img.shape[0], img.shape[1]
-    if h == 0 or w == 0:
-        raise ValueError("encode_jpeg: empty image")
-    if h > 65535 or w > 65535:
-        raise ValueError("encode_jpeg: baseline dimensions cap at 65535")
-    qt_l = _quant_table(quality)
+    (gray, h, w, frame_comps, qt_l, qt_c, mcus_x, mcus_y, zz_per_comp) = (
+        _prepare_frame(img, quality, subsampling)
+    )
     luma_huff = (
         _build_huffman(_DC_BITS, _DC_VALS)[0],
         _build_huffman(_AC_BITS, _AC_VALS)[0],
     )
-    if gray:
-        # comp: (id, hi, vi, qid, plane, qt, (dc_enc, ac_enc))
-        comps = [(1, 1, 1, 0, img.astype(np.float64), qt_l, luma_huff)]
-    else:
-        if subsampling == "4:4:4":
-            cf = (1, 1)
-        elif subsampling == "4:2:2":
-            cf = (2, 1)
-        elif subsampling == "4:2:0":
-            cf = (2, 2)
-        else:
-            raise ValueError(f"encode_jpeg: subsampling {subsampling!r}")
-        qt_c = _quant_table(quality, _QTBL_CHROMA)
-        chroma_huff = (
+    chroma_huff = (
+        (
             _build_huffman(_DC_BITS_C, _DC_VALS_C)[0],
             _build_huffman(_AC_BITS_C, _AC_VALS_C)[0],
         )
-        y, cb, cr = _rgb_to_ycbcr(img)
-        comps = [
-            (1, cf[0], cf[1], 0, y, qt_l, luma_huff),
-            (2, 1, 1, 1, _box_downsample(cb, cf[1], cf[0]), qt_c, chroma_huff),
-            (3, 1, 1, 1, _box_downsample(cr, cf[1], cf[0]), qt_c, chroma_huff),
-        ]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-
-    zz_per_comp = []
-    for (_cid, hi, vi, _qid, plane, qt, _huff) in comps:
-        nby, nbx = mcus_y * vi, mcus_x * hi
-        zz_per_comp.append(_zz_blocks(plane, qt, nby, nbx))
+        if not gray
+        else None
+    )
+    # comp: (id, hi, vi, qid, plane, qt, (dc_enc, ac_enc))
+    comps = [
+        (cid, hi, vi, qid, None, qt_l if qid == 0 else qt_c,
+         luma_huff if qid == 0 else chroma_huff)
+        for (cid, hi, vi, qid) in frame_comps
+    ]
 
     bw = _BitWriter()
     prev_dc = [0] * len(comps)
@@ -506,6 +556,155 @@ def _decode_block(w16, pos: int, prev_dc: int, dc_lut, ac_lut, zz_row):
     return pos, prev_dc
 
 
+def _refine_nonzero(rdr: _SegReader, block, k: int, p1: int) -> None:
+    """AC successive-approximation correction bit for an already-nonzero
+    coefficient crossed by a run/EOB (T.81 G.1.2.3): a 1-bit appends p1 to
+    the magnitude (guarded like the reference implementations: never
+    re-set a bit that is somehow already present)."""
+    if rdr.bits(1):
+        v = int(block[k])
+        if (v & p1) == 0:
+            block[k] = v + p1 if v >= 0 else v - p1
+
+
+def _decode_prog_ac_first(rdr, block, Ss, Se, Al, ac_lut, eobrun):
+    """One block of an AC first-pass scan (Ah=0): baseline run-length
+    semantics plus EOBn block runs; decoded values enter at << Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = rdr.sym(ac_lut)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            return (1 << r) + rdr.bits(r) - 1  # EOBn: run covers this block
+        k += r
+        if k > Se:
+            raise ValueError("JPEG: AC index overflow")
+        block[k] = _decode_magnitude(rdr.bits(s), s) << Al
+        k += 1
+    return 0
+
+
+def _decode_prog_ac_refine(rdr, block, Ss, Se, Al, ac_lut, eobrun):
+    """One block of an AC refinement scan (Ah>0, T.81 G.1.2.3): symbols
+    address ZERO-history positions only; every nonzero-history coefficient
+    crossed consumes one correction bit."""
+    p1 = 1 << Al
+    if eobrun > 0:
+        for k in range(Ss, Se + 1):
+            if block[k]:
+                _refine_nonzero(rdr, block, k, p1)
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = rdr.sym(ac_lut)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0 and r != 15:  # EOBn: correct the rest of this block
+            run = (1 << r) + rdr.bits(r)
+            for kk in range(k, Se + 1):
+                if block[kk]:
+                    _refine_nonzero(rdr, block, kk, p1)
+            return run - 1
+        if s == 0:  # ZRL: cross 16 zero-history positions
+            newval, target = 0, 16
+        else:  # s == 1: place ±p1 after skipping r zero-history positions
+            newval = p1 if rdr.bits(1) else -p1
+            target = r
+        zeros = 0
+        while k <= Se:
+            if block[k]:
+                _refine_nonzero(rdr, block, k, p1)
+                k += 1
+            elif newval == 0:
+                zeros += 1
+                k += 1
+                if zeros == target:
+                    break
+            elif zeros == target:  # the landing zero-history position
+                block[k] = newval
+                k += 1
+                break
+            else:
+                zeros += 1
+                k += 1
+    return 0
+
+
+def _decode_prog_scan(
+    segments, scan, Ss, Se, Ah, Al, restart_interval, mcus_x, mcus_y
+):
+    """Decode one progressive scan into the per-component coefficient
+    arrays. ``scan`` is a list of per-component dicts (scan order):
+    {coef, stride, nbw, nbh, hi, vi, dc_lut, ac_lut}. DC predictors and
+    EOB runs reset at scan start and at every restart boundary."""
+    rdr = _SegReader(segments[0])
+    seg_idx = 0
+    unit = 0
+    pred = [0] * len(scan)
+    eobrun = 0
+
+    def maybe_restart():
+        nonlocal rdr, seg_idx, pred, eobrun, unit
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG: missing restart marker")
+            rdr = _SegReader(segments[seg_idx])
+            pred = [0] * len(scan)
+            eobrun = 0
+        unit += 1
+
+    if Ss == 0:  # DC scan (interleaved when ns > 1)
+        if len(scan) > 1:
+            units = [
+                (ci, (my * c["vi"] + v) * c["stride"] + (mx * c["hi"] + u))
+                for my in range(mcus_y)
+                for mx in range(mcus_x)
+                for ci, c in enumerate(scan)
+                for v in range(c["vi"])
+                for u in range(c["hi"])
+            ]
+            per_mcu = sum(c["hi"] * c["vi"] for c in scan)
+        else:
+            c = scan[0]
+            units = [
+                (0, by * c["stride"] + bx)
+                for by in range(c["nbh"])
+                for bx in range(c["nbw"])
+            ]
+            per_mcu = 1
+        for i, (ci, b) in enumerate(units):
+            if i % per_mcu == 0:
+                maybe_restart()
+            block = scan[ci]["coef"][b]
+            if Ah == 0:
+                s = rdr.sym(scan[ci]["dc_lut"])
+                pred[ci] += _decode_magnitude(rdr.bits(s), s)
+                block[0] = pred[ci] << Al
+            else:
+                block[0] = int(block[0]) | (rdr.bits(1) << Al)
+        return
+
+    c = scan[0]  # AC scans are always single-component (T.81 B.2.3)
+    decode = _decode_prog_ac_first if Ah == 0 else _decode_prog_ac_refine
+    for by in range(c["nbh"]):
+        for bx in range(c["nbw"]):
+            maybe_restart()
+            eobrun = decode(
+                rdr,
+                c["coef"][by * c["stride"] + bx],
+                Ss,
+                Se,
+                Al,
+                c["ac_lut"],
+                eobrun,
+            )
+
+
 def _idct_plane(zz: np.ndarray, qt: np.ndarray, nby: int, nbx: int) -> np.ndarray:
     """(nby*nbx, 64) zigzag coefficients -> (nby*8, nbx*8) float plane."""
     coefs = np.zeros((len(zz), 64))
@@ -519,11 +718,14 @@ def _idct_plane(zz: np.ndarray, qt: np.ndarray, nby: int, nbx: int) -> np.ndarra
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 (H, W) grayscale or (H, W, 3) RGB.
+    """JPEG bytes -> uint8 (H, W) grayscale or (H, W, 3) RGB.
 
-    One interleaved scan, 1 or 3 components, any sampling-factor grid whose
-    factors divide the maxima (4:4:4 / 4:2:2 / 4:2:0 and the grayscale
-    degenerate case); chroma upsampling is pixel replication."""
+    Baseline sequential (SOF0, one interleaved scan) and progressive
+    (SOF2, any number of spectral-selection / successive-approximation
+    scans, T.81 Annex G). 1 or 3 components, any sampling-factor grid
+    whose factors divide the maxima (4:4:4 / 4:2:2 / 4:2:0 and the
+    grayscale degenerate case); chroma upsampling is pixel replication;
+    restart intervals supported in both modes."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("JPEG: bad SOI")
     pos = 2
@@ -535,6 +737,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_sel: dict[int, tuple[int, int]] = {}  # comp id -> (dc_id, ac_id)
     scan_order: list[int] = []
     scan_start = None
+    progressive = False
+    prog = None  # progressive coefficient store (allocated at first SOS)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG: marker desync")
@@ -572,7 +776,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _build_lut(bits, vals)
                 p += 17 + n
-        elif marker == 0xFFC0:  # SOF0 baseline
+        elif marker in (0xFFC0, 0xFFC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xFFC2
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8 or ncomp not in (1, 3):
                 raise ValueError(
@@ -582,18 +787,81 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
                 sof_comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
-            raise ValueError("JPEG: only baseline sequential (SOF0) supported")
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
+            raise ValueError(
+                "JPEG: only baseline (SOF0) and progressive (SOF2) supported"
+            )
         elif marker == 0xFFDD:  # DRI: MCUs between RSTn markers (0 = none)
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xFFDA:  # SOS
             ns = payload[0]
+            scan_cids = []
             for c in range(ns):
                 cid, tt = payload[1 + 2 * c : 3 + 2 * c]
                 scan_sel[cid] = (tt >> 4, tt & 0xF)
-                scan_order.append(cid)
-            scan_start = pos
-            break
+                scan_cids.append(cid)
+            if not progressive:
+                scan_order = scan_cids
+                scan_start = pos
+                break
+            # progressive: decode this scan into the coefficient store,
+            # then keep walking markers (DHT/DQT/DRI may change between
+            # scans) until EOI
+            if h is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if (
+                se > 63
+                or se < ss
+                or (ss == 0 and se != 0)  # DC scans carry DC only (G.1.1.1)
+                or (ss > 0 and ns != 1)  # AC scans are non-interleaved
+                or al > 13
+                or (ah and ah != al + 1)  # refinement drops one bit at a time
+            ):
+                raise ValueError("JPEG: invalid progressive scan header")
+            if prog is None:
+                prog = _alloc_prog_store(sof_comps, h, w)
+            segments, pos = _destuff_scan_segments(data, pos)
+            scan = []
+            for cid in scan_cids:
+                if cid not in prog["comps"]:
+                    raise ValueError("JPEG: scan/frame component mismatch")
+                dc_id, ac_id = scan_sel[cid]
+                scan.append(
+                    dict(
+                        prog["comps"][cid],
+                        dc_lut=htables.get((0, dc_id)),
+                        ac_lut=htables.get((1, ac_id)),
+                    )
+                )
+            try:
+                _decode_prog_scan(
+                    segments, scan, ss, se, ah, al,
+                    restart_interval, prog["mcus_x"], prog["mcus_y"],
+                )
+            except IndexError:
+                raise ValueError("JPEG: truncated entropy stream") from None
+            continue
+    if progressive:
+        if prog is None:
+            raise ValueError("JPEG: missing SOS")
+        return _reconstruct(
+            [
+                (
+                    c["hi"],
+                    c["vi"],
+                    qtables[c["tq"]],
+                    None,
+                    None,
+                    c["coef"].astype(np.float64),
+                    c["stride"],
+                )
+                for c in (prog["comps"][cid] for cid, *_ in sof_comps)
+            ],
+            h, w, prog["hmax"], prog["vmax"],
+            prog["mcus_x"], prog["mcus_y"],
+        )
     if h is None or scan_start is None or not sof_comps:
         raise ValueError("JPEG: missing SOF0/SOS")
     if set(scan_order) != {c[0] for c in sof_comps}:
@@ -664,6 +932,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     except IndexError:
         raise ValueError("JPEG: truncated entropy stream") from None
 
+    return _reconstruct(comps, h, w, hmax, vmax, mcus_x, mcus_y)
+
+
+def _reconstruct(comps, h, w, hmax, vmax, mcus_x, mcus_y) -> np.ndarray:
+    """Dequantize + IDCT each component's coefficient grid, crop to its own
+    resolution, replicate-upsample subsampled chroma, color-convert."""
     planes = []
     for (hi, vi, qt, _dc, _ac, zz, nbx) in comps:
         nby = mcus_y * vi
@@ -679,3 +953,405 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(*planes)
+
+
+def _alloc_prog_store(sof_comps, h: int, w: int) -> dict:
+    """Per-component int coefficient grids + geometry for a progressive
+    frame. Storage uses the interleaved MCU-aligned grid (stride nbx);
+    non-interleaved scans address the nbh x nbw prefix of it (T.81 A.2.2:
+    a component's own block grid covers ceil(comp_dim / 8))."""
+    hmax = max(c[1] for c in sof_comps)
+    vmax = max(c[2] for c in sof_comps)
+    for (_cid, hi, vi, _tq) in sof_comps:
+        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+            raise ValueError(
+                f"JPEG: unsupported sampling grid h={hi} v={vi} "
+                f"(max {hmax}x{vmax})"
+            )
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    comps = {}
+    for (cid, hi, vi, tq) in sof_comps:
+        nby, nbx = mcus_y * vi, mcus_x * hi
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        comps[cid] = {
+            "coef": np.zeros((nby * nbx, 64), dtype=np.int64),
+            "stride": nbx,
+            "nbw": -(-cw // 8),
+            "nbh": -(-ch // 8),
+            "hi": hi,
+            "vi": vi,
+            "tq": tq,
+        }
+    return {
+        "comps": comps,
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+    }
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G encoding procedures + Annex K.2 optimal
+# Huffman table generation)
+# ---------------------------------------------------------------------------
+
+def _optimal_huffman(freq256: list[int]) -> tuple[list[int], list[int]]:
+    """Optimal length-limited Huffman table from symbol frequencies, per
+    T.81 Annex K.2 (Figures K.1-K.4): code-size assignment by pairwise
+    merge with the ``others`` chain, BITS counting, the >16-bit
+    redistribution, and removal of the reserved all-ones pseudo-symbol
+    (index 256). Returns (bits[16], huffval) for a DHT segment."""
+    if not any(freq256[:256]):
+        return [1] + [0] * 15, [0]  # degenerate: one dummy 1-bit code
+    freq = list(freq256[:256]) + [1]  # reserve the pseudo-symbol
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        nz = [(f, -i) for i, f in enumerate(freq) if f > 0]
+        if len(nz) < 2:
+            break
+        nz.sort()
+        v1, v2 = -nz[0][1], -nz[1][1]  # two least-frequent; largest index wins ties
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for s in range(257):
+        if codesize[s]:
+            bits[codesize[s]] += 1
+    i = 32  # K.3: fold code lengths > 16 back into the tree
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the pseudo-symbol (it held the all-ones code)
+    vals = sorted(
+        (s for s in range(256) if codesize[s]),
+        key=lambda s: (codesize[s], s),
+    )
+    return bits[1:17], vals
+
+
+def _tok_flush_eob(tokens: list, tid: int, eobrun: int, pend: list) -> int:
+    """Emit an EOBn symbol for the accumulated block run (run length
+    2^n + extension bits, T.81 G.1.2.2) followed by any buffered
+    refinement correction bits."""
+    if eobrun:
+        n = eobrun.bit_length() - 1
+        tokens.append(("s", 1, tid, n << 4))
+        if n:
+            tokens.append(("b", eobrun - (1 << n), n))
+        for bit in pend:
+            tokens.append(("b", bit, 1))
+        pend.clear()
+    return 0
+
+
+def _tok_dc_scan(tokens, scan, zz_of, ah, al, restart_interval, mcus_x, mcus_y):
+    """DC scan tokens: first pass (Ah=0) Huffman-codes diffs of the
+    point-transformed DC (arithmetic shift, G.1.2.1); refinement emits the
+    single next-lower bit per block."""
+    if len(scan) > 1:
+        units = [
+            (ci, (my * c["vi"] + v) * c["stride"] + (mx * c["hi"] + u))
+            for my in range(mcus_y)
+            for mx in range(mcus_x)
+            for ci, c in enumerate(scan)
+            for v in range(c["vi"])
+            for u in range(c["hi"])
+        ]
+        per_mcu = sum(c["hi"] * c["vi"] for c in scan)
+    else:
+        c = scan[0]
+        units = [
+            (0, by * c["stride"] + bx)
+            for by in range(c["nbh"])
+            for bx in range(c["nbw"])
+        ]
+        per_mcu = 1
+    pred = [0] * len(scan)
+    for i, (ci, b) in enumerate(units):
+        if i % per_mcu == 0:
+            mcu = i // per_mcu
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                tokens.append(("r",))
+                pred = [0] * len(scan)
+        dc = int(zz_of(ci)[b][0])
+        if ah == 0:
+            v = dc >> al
+            diff = v - pred[ci]
+            pred[ci] = v
+            s = _category(diff)
+            tokens.append(("s", 0, scan[ci]["dc_tid"], s))
+            if s:
+                tokens.append(("b", _encode_magnitude(diff, s), s))
+        else:
+            tokens.append(("b", (dc >> al) & 1, 1))
+
+
+def _tok_ac_first(tokens, c, zz, ss, se, al, restart_interval):
+    """AC first-pass scan tokens (Ah=0): run-length + EOBn block runs over
+    the point-transformed band (magnitude truncation toward zero,
+    G.1.2.2)."""
+    tid = c["ac_tid"]
+    eobrun = 0
+    pend: list = []
+    unit = 0
+    for by in range(c["nbh"]):
+        for bx in range(c["nbw"]):
+            if restart_interval and unit and unit % restart_interval == 0:
+                eobrun = _tok_flush_eob(tokens, tid, eobrun, pend)
+                tokens.append(("r",))
+            unit += 1
+            row = zz[by * c["stride"] + bx]
+            nz = []
+            for k in range(ss, se + 1):
+                cv = int(row[k])
+                v = (abs(cv) >> al) * (1 if cv >= 0 else -1)
+                if v:
+                    nz.append((k, v))
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _tok_flush_eob(tokens, tid, eobrun, pend)
+                continue
+            eobrun = _tok_flush_eob(tokens, tid, eobrun, pend)
+            prev = ss - 1
+            for k, v in nz:
+                run = k - prev - 1
+                while run > 15:
+                    tokens.append(("s", 1, tid, 0xF0))
+                    run -= 16
+                s = _category(v)
+                tokens.append(("s", 1, tid, (run << 4) | s))
+                tokens.append(("b", _encode_magnitude(v, s), s))
+                prev = k
+            if prev < se:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _tok_flush_eob(tokens, tid, eobrun, pend)
+    _tok_flush_eob(tokens, tid, eobrun, pend)
+
+
+def _tok_ac_refine(tokens, c, zz, ss, se, al, restart_interval):
+    """AC refinement scan tokens (Ah=Al+1, G.1.2.3): symbols address
+    zero-history positions; correction bits for crossed nonzero-history
+    coefficients are emitted positionally after each symbol, and EOB-run
+    correction bits are buffered until the EOBn flush — mirroring exactly
+    the consumption order of the decode procedure."""
+    tid = c["ac_tid"]
+    eobrun = 0
+    pend: list = []
+    unit = 0
+    for by in range(c["nbh"]):
+        for bx in range(c["nbw"]):
+            if restart_interval and unit and unit % restart_interval == 0:
+                eobrun = _tok_flush_eob(tokens, tid, eobrun, pend)
+                tokens.append(("r",))
+            unit += 1
+            row = zz[by * c["stride"] + bx]
+            band = [int(row[k]) for k in range(ss, se + 1)]
+            absv = [abs(v) >> al for v in band]
+            new_pos = [i for i, a in enumerate(absv) if a == 1]
+            if not new_pos:
+                # whole block joins the EOB run; buffer its correction bits
+                pend.extend(a & 1 for a in absv if a > 1)
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _tok_flush_eob(tokens, tid, eobrun, pend)
+                continue
+            eobrun = _tok_flush_eob(tokens, tid, eobrun, pend)
+            cursor = 0
+            for kn in new_pos:
+                events = [
+                    (absv[i] & 1) if absv[i] > 1 else None  # None = zero-history
+                    for i in range(cursor, kn)
+                ]
+                zeros = sum(1 for e in events if e is None)
+                idx = 0
+                while zeros > 15:
+                    tokens.append(("s", 1, tid, 0xF0))
+                    crossed = 0
+                    while crossed < 16:
+                        e = events[idx]
+                        idx += 1
+                        if e is None:
+                            crossed += 1
+                        else:
+                            tokens.append(("b", e, 1))
+                    zeros -= 16
+                tokens.append(("s", 1, tid, (zeros << 4) | 1))
+                tokens.append(("b", 1 if band[kn] > 0 else 0, 1))
+                for e in events[idx:]:
+                    if e is not None:
+                        tokens.append(("b", e, 1))
+                cursor = kn + 1
+            if cursor <= se - ss:
+                pend.extend(
+                    absv[i] & 1
+                    for i in range(cursor, se - ss + 1)
+                    if absv[i] > 1
+                )
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _tok_flush_eob(tokens, tid, eobrun, pend)
+    _tok_flush_eob(tokens, tid, eobrun, pend)
+
+
+# IJG-style default progressive scan script: DC first at Al=1, luma AC in
+# two spectral bands at Al=2 with two refinement passes, chroma AC in one
+# band at Al=1 with one refinement, DC refinement for all components.
+# (component indices, Ss, Se, Ah, Al)
+_PROG_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:2:0",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 image -> progressive JPEG (SOF2) with the IJG-style default
+    scan script (spectral selection + successive approximation) and
+    per-scan optimal Huffman tables (Annex K.2), re-declared via DHT
+    before each scan. Coefficient-exact vs the baseline encoder: decoding
+    yields pixel-identical output to ``decode_jpeg(encode_jpeg(img))`` at
+    the same quality/subsampling."""
+    (gray, h, w, frame_comps, qt_l, qt_c, mcus_x, mcus_y, zz_per_comp) = (
+        _prepare_frame(img, quality, subsampling)
+    )
+    hmax = max(c[1] for c in frame_comps)
+    vmax = max(c[2] for c in frame_comps)
+    comps = []
+    for i, (cid, hi, vi, qid) in enumerate(frame_comps):
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        comps.append(
+            {
+                "cid": cid,
+                "hi": hi,
+                "vi": vi,
+                "qid": qid,
+                "stride": mcus_x * hi,
+                "nbw": -(-cw // 8),
+                "nbh": -(-ch // 8),
+                "dc_tid": 0 if qid == 0 else 1,
+                "ac_tid": 0 if qid == 0 else 1,
+            }
+        )
+    script = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = bytes([0x00]) + qt_l.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+    if not gray:
+        dqt += (
+            bytes([0x01])
+            + qt_c.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+        )
+    sof = seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, len(comps))
+        + b"".join(
+            bytes([c["cid"], (c["hi"] << 4) | c["vi"], c["qid"]])
+            for c in comps
+        ),
+    )
+    out = bytearray(b"\xff\xd8" + seg(0xFFDB, dqt) + sof)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    for (cis, ss, se, ah, al) in script:
+        scan = [comps[ci] for ci in cis]
+        tokens: list = []
+        if ss == 0:
+            _tok_dc_scan(
+                tokens, scan, lambda ci: zz_per_comp[cis[ci]], ah, al,
+                restart_interval, mcus_x, mcus_y,
+            )
+        elif ah == 0:
+            _tok_ac_first(
+                tokens, scan[0], zz_per_comp[cis[0]], ss, se, al,
+                restart_interval,
+            )
+        else:
+            _tok_ac_refine(
+                tokens, scan[0], zz_per_comp[cis[0]], ss, se, al,
+                restart_interval,
+            )
+        # per-scan optimal tables from this scan's symbol stream
+        freqs: dict[tuple[int, int], list[int]] = {}
+        for t in tokens:
+            if t[0] == "s":
+                freqs.setdefault((t[1], t[2]), [0] * 257)[t[3]] += 1
+        dht = b""
+        enc_tables: dict[tuple[int, int], dict] = {}
+        for (tc, tid), fr in sorted(freqs.items()):
+            bits, vals = _optimal_huffman(fr)
+            dht += bytes([(tc << 4) | tid]) + bytes(bits) + bytes(vals)
+            enc_tables[(tc, tid)] = _build_huffman(bits, vals)[0]
+        if dht:
+            out += seg(0xFFC4, dht)
+        sos = seg(
+            0xFFDA,
+            bytes([len(scan)])
+            + b"".join(
+                bytes([c["cid"], (c["dc_tid"] << 4) | c["ac_tid"]])
+                for c in scan
+            )
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+        out += sos
+        bw = _BitWriter()
+        rst = 0
+        for t in tokens:
+            if t[0] == "s":
+                code, length = enc_tables[(t[1], t[2])][t[3]]
+                bw.write(code, length)
+            elif t[0] == "b":
+                bw.write(t[1], t[2])
+            else:  # restart boundary
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

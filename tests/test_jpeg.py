@@ -51,10 +51,15 @@ def test_unsupported_variants_rejected():
     good = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"notajpeg")
-    # flip SOF0 (C0) to SOF2 (C2, progressive)
+    # flip SOF0 (C0) to SOF1 (C1, extended sequential)
     i = bytes(good).find(b"\xff\xc0")
+    ext = bytes(good[:i]) + b"\xff\xc1" + bytes(good[i + 2 :])
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(ext)
+    # flipping to SOF2 leaves a baseline-shaped scan (Ss=0, Se=63) that is
+    # ILLEGAL in progressive mode — must reject, not misparse as a DC scan
     prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="progressive scan"):
         decode_jpeg(prog)
     with pytest.raises(ValueError, match="grayscale"):
         encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
@@ -254,3 +259,102 @@ def test_restart_stream_missing_segment_rejected():
     bad = data[: starts[3]] + data[starts[5] :]
     with pytest.raises(ValueError, match="restart|Huffman|truncated"):
         decode_jpeg(bad)
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2)
+# --------------------------------------------------------------------------
+
+from granulate_char_ocr_spark.functions.jpeg import encode_jpeg_progressive
+
+
+def _prog_case(shape, sub):
+    rng = np.random.default_rng(11)
+    base = np.linspace(0, 255, num=int(np.prod(shape))).reshape(shape)
+    return np.clip(base + rng.normal(0, 40, shape), 0, 255).astype(np.uint8), (
+        {"subsampling": sub} if sub else {}
+    )
+
+
+@pytest.mark.parametrize(
+    "shape,sub",
+    [
+        ((64, 80), None),
+        ((57, 43), None),
+        ((64, 80, 3), "4:2:0"),
+        ((61, 45, 3), "4:2:2"),
+        ((40, 40, 3), "4:4:4"),
+        ((17, 23, 3), "4:2:0"),
+    ],
+)
+def test_progressive_pixel_identical_to_baseline(shape, sub):
+    """Successive approximation recovers every coefficient bit, so the
+    progressive stream must decode to EXACTLY the baseline pixels at the
+    same quality/subsampling — not merely near-equal."""
+    img, kw = _prog_case(shape, sub)
+    for q in (50, 90):
+        want = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+        got = decode_jpeg(encode_jpeg_progressive(img, quality=q, **kw))
+        assert np.array_equal(got, want), (shape, sub, q)
+
+
+def test_progressive_edge_cases():
+    """Flat blocks (maximal EOB runs with extension bits), dense noise at
+    low quality (ZRL + correction-bit crossings in refinement scans), and
+    isolated spikes (long zero runs in first-pass scans)."""
+    rng = np.random.default_rng(23)
+    cases = [
+        (np.full((128, 128), 130, np.uint8), None, 90),
+        (rng.integers(0, 256, (120, 88), dtype=np.uint8), None, 35),
+        (rng.integers(0, 256, (80, 80, 3), dtype=np.uint8), "4:2:0", 25),
+    ]
+    spikes = np.zeros((200, 168), np.uint8)
+    spikes[::17, ::13] = 255
+    cases.append((spikes, None, 95))
+    for img, sub, q in cases:
+        kw = {"subsampling": sub} if sub else {}
+        want = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+        got = decode_jpeg(encode_jpeg_progressive(img, quality=q, **kw))
+        assert np.array_equal(got, want)
+
+
+def test_progressive_with_restart_intervals():
+    """DRI applies per scan in progressive mode (EOB runs and DC
+    predictors reset at each RSTn); decoded pixels stay identical."""
+    rng = np.random.default_rng(31)
+    color = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (57, 43), dtype=np.uint8)
+    for img, sub, ri in [(color, "4:2:0", 2), (gray, None, 1)]:
+        kw = {"subsampling": sub} if sub else {}
+        want = decode_jpeg(encode_jpeg(img, quality=90, **kw))
+        data = encode_jpeg_progressive(
+            img, quality=90, restart_interval=ri, **kw
+        )
+        assert sum(
+            data.count(bytes([0xFF, 0xD0 + i])) for i in range(8)
+        ) > 0
+        assert np.array_equal(decode_jpeg(data), want)
+
+
+def test_progressive_stream_structure():
+    """SOF2 frame, one SOS per script scan, DHT re-declared before every
+    Huffman-coded scan (DC refinement scans are raw bits: no DHT)."""
+    img, kw = _prog_case((64, 80, 3), "4:2:0")
+    data = encode_jpeg_progressive(img, quality=90, **kw)
+    assert data.count(b"\xff\xc2") == 1 and b"\xff\xc0" not in data
+    n_sos = data.count(b"\xff\xda")
+    assert n_sos == 10  # the color script's scan count
+    assert data.count(b"\xff\xc4") == 9  # all but the DC refinement scan
+
+
+def test_progressive_through_multimodal_sniff(spark):
+    """A progressive JFIF payload sniffs as jpeg and decodes through
+    decode_payload like any other compressed image."""
+    from granulate_char_ocr_spark.operators.multimodal import decode_payload
+
+    img = _smooth_rgb(40, 56)
+    payload = encode_jpeg_progressive(img, quality=95, subsampling="4:2:0")
+    gray = decode_payload(payload, "auto", 0, 0)
+    want = kernels.to_grayscale(img[..., 2::-1])
+    assert gray.shape == (40, 56)
+    assert _psnr(want, gray) > 30
