@@ -1,13 +1,18 @@
 """Pure-NumPy + stdlib-zlib PNG codec (no PIL/cv2 in this sandbox).
 
-Implements the subset a real OCR corpus needs — 8-bit greyscale (color type
-0), RGB (2) and RGBA (6), non-interlaced, all five scanline filters — so the
-reference's very first production step (PIL PNG decode,
-``backend/application/services/ocr_service.py:97-99``) is real here, not a
-stub. The encoder exists for tests and accepts a per-row ``filter_type`` so
-round-trips cover every unfilter branch.
+Implements the slice of the format a real OCR corpus needs — and now the
+whole static-image core of the spec: color types 0 (grey, depths
+1/2/4/8/16), 2 (RGB, 8/16), 3 (palette, 1/2/4/8 with tRNS), 4
+(grey+alpha, 8/16), 6 (RGBA, 8/16), all five scanline filters, and both
+interlace methods (none + Adam7) — so the reference's very first
+production step (PIL PNG decode,
+``backend/application/services/ocr_service.py:97-99``) is real here, not
+a stub. The encoder exists for tests and accepts a per-row
+``filter_type``, ``depth`` and ``interlace`` so round-trips cover every
+unfilter branch, every sample geometry, and every Adam7 pass.
 
-Spec: https://www.w3.org/TR/png-3/ (chunk layout §5, filters §9).
+Spec: https://www.w3.org/TR/png-3/ (chunk layout §5, filters §9,
+interlacing §8.2).
 """
 
 from __future__ import annotations
@@ -18,7 +23,37 @@ import zlib
 import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+# Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _passes(w: int, h: int, interlace: int):
+    """[(x0, y0, dx, dy, pass_w, pass_h)] — one entry for interlace 0,
+    the seven Adam7 sub-images for interlace 1 (empty passes included
+    with zero size; they contribute no bytes, spec §8.2)."""
+    if interlace == 0:
+        return [(0, 0, 1, 1, w, h)]
+    return [
+        (
+            x0,
+            y0,
+            dx,
+            dy,
+            (w - x0 + dx - 1) // dx if w > x0 else 0,
+            (h - y0 + dy - 1) // dy if h > y0 else 0,
+        )
+        for (x0, y0, dx, dy) in _ADAM7
+    ]
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -57,27 +92,64 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """uint8 (H,W) grey / (H,W,3) RGB / (H,W,4) RGBA -> PNG bytes."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+def _filter_rows(rows: np.ndarray, filter_type: int, bpp: int) -> bytes:
+    """Filter a (n, stride) byte matrix into PNG scanlines (one filter
+    byte + filtered bytes per row); each pass restarts with a zero
+    previous row (spec §9: filtering is per-pass under Adam7)."""
+    prev = np.zeros(rows.shape[1], dtype=np.uint8)
+    out = []
+    for y in range(rows.shape[0]):
+        filtered = _apply_filter(filter_type, rows[y], prev, bpp)
+        out.append(bytes([filter_type]) + filtered.tobytes())
+        prev = rows[y]
+    return b"".join(out)
+
+
+def _pack_subbyte(vals: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) small ints -> (h, ceil(w*depth/8)) bytes, fields packed
+    big-endian-first within each byte (spec §7.2)."""
+    h, w = vals.shape
+    shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    bits = ((vals[:, :, None] >> shifts) & 1).reshape(h, w * depth)
+    return np.packbits(bits, axis=1)  # zero-padded to byte boundary
+
+
+def encode_png(
+    img: np.ndarray,
+    filter_type: int = 0,
+    interlace: int = 0,
+    depth: int = 8,
+) -> bytes:
+    """(H,W[,C]) image -> PNG bytes. C of 2/3/4 maps to grey+alpha / RGB /
+    RGBA; ``depth`` 8 takes uint8, 16 takes uint16 (big-endian samples on
+    the wire); ``interlace`` 1 writes the seven Adam7 passes."""
+    if depth not in (8, 16):
+        raise ValueError("encode_png: depth must be 8 or 16")
+    dt = np.uint8 if depth == 8 else np.uint16
+    img = np.ascontiguousarray(img, dtype=dt)
     if img.ndim == 2:
         color, channels = 0, 1
-        flat = img
-    elif img.ndim == 3 and img.shape[2] in (3, 4):
+    elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
         channels = img.shape[2]
-        color = 2 if channels == 3 else 6
-        flat = img.reshape(img.shape[0], -1)
+        color = {2: 4, 3: 2, 4: 6}[channels]
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
     h, w = img.shape[0], img.shape[1]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    prev = np.zeros(flat.shape[1], dtype=np.uint8)
-    rows = []
-    for y in range(h):
-        filtered = _apply_filter(filter_type, flat[y], prev, channels)
-        rows.append(bytes([filter_type]) + filtered.tobytes())
-        prev = flat[y]
-    idat = zlib.compress(b"".join(rows), 6)
+    bpp = channels * depth // 8
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    body = []
+    for (x0, y0, dx, dy, pw, ph) in _passes(w, h, interlace):
+        if pw == 0 or ph == 0:
+            continue
+        sub = img[y0::dy, x0::dx]
+        if depth == 8:
+            rows = sub.reshape(ph, pw * channels)
+        else:
+            rows = (
+                sub.astype(">u2").reshape(ph, pw * channels).view(np.uint8)
+            )
+        body.append(_filter_rows(rows, filter_type, bpp))
+    idat = zlib.compress(b"".join(body), 6)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -92,6 +164,7 @@ def encode_png_palette(
     trns: np.ndarray | None = None,
     filter_type: int = 0,
     depth: int = 8,
+    interlace: int = 0,
 ) -> bytes:
     """Indexed-color (type 3) PNG: uint8 (H,W) palette indices + (N,3)
     RGB palette [+ per-entry alpha] -> PNG bytes. ``depth`` 1/2/4/8 packs
@@ -105,25 +178,20 @@ def encode_png_palette(
     if int(indices.max(initial=0)) >= min(len(palette), 1 << depth):
         raise ValueError("PNG: palette index out of range for depth")
     h, w = indices.shape
-    if depth == 8:
-        packed = indices
-    else:
-        shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
-        bits = ((indices[:, :, None] >> shifts) & 1).reshape(h, w * depth)
-        packed = np.packbits(bits, axis=1)  # zero-padded to byte boundary
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
-    prev = np.zeros(packed.shape[1], dtype=np.uint8)
-    rows = []
-    for y in range(h):
-        filtered = _apply_filter(filter_type, packed[y], prev, 1)
-        rows.append(bytes([filter_type]) + filtered.tobytes())
-        prev = packed[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, interlace)
+    body = []
+    for (x0, y0, dx, dy, pw, ph) in _passes(w, h, interlace):
+        if pw == 0 or ph == 0:
+            continue
+        sub = indices[y0::dy, x0::dx]
+        packed = sub if depth == 8 else _pack_subbyte(sub, depth)
+        body.append(_filter_rows(packed, filter_type, 1))
     chunks = [_chunk(b"IHDR", ihdr), _chunk(b"PLTE", palette.tobytes())]
     if trns is not None:
         chunks.append(
             _chunk(b"tRNS", np.ascontiguousarray(trns, np.uint8).tobytes())
         )
-    chunks.append(_chunk(b"IDAT", zlib.compress(b"".join(rows), 6)))
+    chunks.append(_chunk(b"IDAT", zlib.compress(b"".join(body), 6)))
     chunks.append(_chunk(b"IEND", b""))
     return _SIGNATURE + b"".join(chunks)
 
@@ -147,21 +215,31 @@ def _unfilter(
     if ftype == 2:  # Up
         return (cur.astype(np.int16) + prev).astype(np.uint8)
     if ftype == 1:  # Sub: per-lane prefix sum mod 256
-        return (
-            np.cumsum(cur.reshape(-1, bpp), axis=0, dtype=np.uint8)
-            .reshape(-1)
-        )
+        n = len(cur)
+        full = n - n % bpp
+        head = np.cumsum(
+            cur[:full].reshape(-1, bpp), axis=0, dtype=np.uint8
+        ).reshape(-1)
+        if full == n:
+            return head
+        # ragged tail (stride not a bpp multiple never happens for our
+        # geometries, but stay exact): finish scalar
+        out = np.empty(n, dtype=np.uint8)
+        out[:full] = head
+        for i in range(full, n):
+            out[i] = (int(cur[i]) + int(out[i - bpp])) & 0xFF
+        return out
     n = len(cur)
     cur_l = cur.tolist()
     prev_l = prev.tolist()
     out_l = [0] * n
     if ftype == 3:  # Average
-        for i in range(bpp):
+        for i in range(min(bpp, n)):
             out_l[i] = (cur_l[i] + (prev_l[i] >> 1)) & 0xFF
         for i in range(bpp, n):
             out_l[i] = (cur_l[i] + ((out_l[i - bpp] + prev_l[i]) >> 1)) & 0xFF
     elif ftype == 4:  # Paeth
-        for i in range(bpp):
+        for i in range(min(bpp, n)):
             out_l[i] = (cur_l[i] + prev_l[i]) & 0xFF
         for i in range(bpp, n):
             a = out_l[i - bpp]
@@ -178,12 +256,23 @@ def _unfilter(
     return np.asarray(out_l, dtype=np.uint8)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array: (H,W) for greyscale, (H,W,3/4) for RGB(A).
+def _unpack_subbyte(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride) packed bytes -> (h, w) field values (spec §7.2:
+    big-endian-first within each byte)."""
+    h = rows.shape[0]
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits.reshape(h, w, depth) * weights).sum(axis=2).astype(np.uint8)
 
-    Supports bit depth 8, color types 0/2/6, interlace 0 — the slice of the
-    format OCR corpora actually use; anything else raises with the reason.
-    """
+
+def decode_png(data: bytes, scale_16bit: bool = True) -> np.ndarray:
+    """PNG bytes -> array: (H,W) for greyscale, (H,W,C) for grey+alpha /
+    RGB / RGBA / palette-expanded output.
+
+    Color types 0/2/4/6 at depth 8/16 (plus 1/2/4-bit greyscale, scaled
+    to full 0-255 range) and palette type 3 at 1/2/4/8; interlace 0 and
+    Adam7. 16-bit samples return as the uint8 high byte by default
+    (``scale_16bit=False`` keeps the uint16 array)."""
     if data[:8] != _SIGNATURE:
         raise ValueError("PNG: bad signature")
     pos, ihdr, idat = 8, None, []
@@ -207,47 +296,86 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG: missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
     paletted = color == 3
-    ok_depth = depth in (1, 2, 4, 8) if paletted else depth == 8
+    if paletted:
+        ok_depth = depth in (1, 2, 4, 8)
+    elif color == 0:
+        ok_depth = depth in (1, 2, 4, 8, 16)
+    else:
+        ok_depth = depth in (8, 16)
     if (
         not ok_depth
         or (color not in _CHANNELS and not paletted)
-        or interlace != 0
+        or interlace not in (0, 1)
         or comp != 0
+        or filt != 0
     ):
         raise ValueError(
             f"PNG: unsupported (depth={depth}, color={color}, "
-            f"interlace={interlace}) — decoder handles 8-bit grey/RGB/RGBA "
-            "and 1/2/4/8-bit palette"
+            f"interlace={interlace}) — decoder handles grey 1-16 bit, "
+            "RGB(A)/grey+alpha 8/16 bit, 1/2/4/8-bit palette, Adam7"
         )
     if paletted and plte is None:
         raise ValueError("PNG: color type 3 without PLTE")
-    if paletted:
-        bpp, stride = 1, (w * depth + 7) // 8
-    else:
-        bpp = _CHANNELS[color]
-        stride = w * bpp
+    spp = 1 if paletted else _CHANNELS[color]
+    bits_pp = depth * spp
+    bpp = max(1, bits_pp // 8)  # filter byte distance (spec §9.2)
+    subbyte = depth < 8
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+
+    if paletted or (color == 0 and subbyte):
+        out = np.zeros((h, w), dtype=np.uint8)  # field values
+    elif depth == 8:
+        out = np.zeros((h, w, spp), dtype=np.uint8)
+    else:
+        out = np.zeros((h, w, spp), dtype=np.uint16)
+    offset = 0
+    for (x0, y0, dx, dy, pw, ph) in _passes(w, h, interlace):
+        if pw == 0 or ph == 0:
+            continue
+        stride = (pw * bits_pp + 7) // 8
+        need = ph * (stride + 1)
+        if offset + need > len(raw):
+            raise ValueError("PNG: IDAT length mismatch")
+        mat = np.frombuffer(
+            raw[offset : offset + need], dtype=np.uint8
+        ).reshape(ph, stride + 1)
+        offset += need
+        rec = np.empty((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(ph):
+            prev = _unfilter(int(mat[y, 0]), mat[y, 1:], prev, bpp)
+            rec[y] = prev
+        if subbyte:
+            out[y0::dy, x0::dx] = _unpack_subbyte(rec, pw, depth)
+        elif paletted:  # 8-bit palette indices: rec is the (ph, pw) field
+            out[y0::dy, x0::dx] = rec
+        elif depth == 8:
+            out[y0::dy, x0::dx] = rec.reshape(ph, pw, spp)
+        else:
+            out[y0::dy, x0::dx] = (
+                rec.reshape(ph, pw * spp * 2)
+                .view(">u2")
+                .astype(np.uint16)
+                .reshape(ph, pw, spp)
+            )
+    if offset != len(raw):
         raise ValueError("PNG: IDAT length mismatch")
-    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        prev = _unfilter(int(mat[y, 0]), mat[y, 1:], prev, bpp)
-        out[y] = prev
-    if not paletted:
-        return out if bpp == 1 else out.reshape(h, w, bpp)
-    if depth == 8:
+
+    if paletted:
         idx = out
-    else:  # unpack big-endian-first ``depth``-bit fields (spec §7.2)
-        bits = np.unpackbits(out, axis=1)[:, : w * depth]
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-        idx = (bits.reshape(h, w, depth) * weights).sum(axis=2).astype(np.uint8)
-    if int(idx.max(initial=0)) >= len(plte):
-        raise ValueError("PNG: palette index out of range")
-    rgb = plte[idx]  # (h, w, 3)
-    if trns is None:
-        return rgb
-    alpha = np.full(256, 255, dtype=np.uint8)
-    alpha[: len(trns)] = trns
-    return np.dstack([rgb, alpha[idx]])
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG: palette index out of range")
+        rgb = plte[idx]  # (h, w, 3)
+        if trns is None:
+            return rgb
+        alpha = np.full(256, 255, dtype=np.uint8)
+        alpha[: len(trns)] = trns
+        return np.dstack([rgb, alpha[idx]])
+    if color == 0 and subbyte:
+        # replicate to the full 0-255 range: v * 255 / (2^d - 1), exact
+        return (out.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    if depth == 16 and scale_16bit:
+        out = (out >> 8).astype(np.uint8)
+    return out if spp > 1 else out[:, :, 0] if out.ndim == 3 else out

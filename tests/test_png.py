@@ -41,7 +41,11 @@ def test_glyph_roundtrip_preserves_ahash():
 
 def test_unsupported_rejected():
     data = bytearray(encode_png(_rng_img((4, 4))))
-    data[24] = 16  # bit depth byte inside IHDR
+    data[24] = 3  # invalid bit depth byte inside IHDR
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(bytes(data))
+    data[24] = 8
+    data[28] = 2  # invalid interlace method
     with pytest.raises(ValueError, match="unsupported"):
         decode_png(bytes(data))
     with pytest.raises(ValueError, match="signature"):
@@ -235,3 +239,91 @@ def test_image_corpus_case_insensitive_labels_and_error_summary(spark, tmp_path)
     by_err = {r["decode_error"]: r["n"] for r in summary}
     assert by_err[None] == 2
     assert sum(n for e, n in by_err.items() if e is not None) == 1
+
+
+# --------------------------------------------------------------------------
+# Adam7 interlace, 16-bit depth, grey+alpha, sub-byte greyscale
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("shape", [(13, 21), (13, 21, 2), (13, 21, 3), (13, 21, 4)])
+def test_adam7_roundtrip_all_filters(shape, ftype):
+    """Every filter under Adam7: filtering restarts per pass with its own
+    zero previous-row, so the unfilter state machine must too."""
+    img = _rng_img(shape)
+    assert np.array_equal(
+        decode_png(encode_png(img, filter_type=ftype, interlace=1)), img
+    )
+
+
+@pytest.mark.parametrize("hw", [(1, 1), (2, 2), (3, 5), (7, 7), (8, 1), (1, 9)])
+def test_adam7_tiny_images_with_empty_passes(hw):
+    """Images smaller than the 8x8 Adam7 grid leave some passes empty —
+    empty passes contribute zero bytes (spec §8.2), not zero-size rows."""
+    img = _rng_img(hw)
+    assert np.array_equal(
+        decode_png(encode_png(img, filter_type=2, interlace=1)), img
+    )
+
+
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_16bit_roundtrip(interlace):
+    rng = np.random.default_rng(7)
+    gray16 = rng.integers(0, 65536, (9, 14), dtype=np.uint16)
+    rgb16 = rng.integers(0, 65536, (9, 14, 3), dtype=np.uint16)
+    for img in (gray16, rgb16):
+        data = encode_png(img, filter_type=4, interlace=interlace, depth=16)
+        # full precision survives the byte-level filters (bpp = 2*spp)
+        assert np.array_equal(decode_png(data, scale_16bit=False), img)
+        # default output is the uint8 high byte (corpus normalization)
+        assert np.array_equal(decode_png(data), (img >> 8).astype(np.uint8))
+
+
+def test_palette_adam7_with_trns():
+    from granulate_char_ocr_spark.functions.png import encode_png_palette
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (3, 3), dtype=np.uint8)
+    trns = np.array([0, 128, 255], dtype=np.uint8)
+    idx = rng.integers(0, 3, (10, 10), dtype=np.uint8)
+    got = decode_png(
+        encode_png_palette(idx, pal, trns=trns, depth=2, interlace=1)
+    )
+    assert np.array_equal(got, np.dstack([pal[idx], trns[idx]]))
+
+
+def test_subbyte_grayscale_scales_to_full_range():
+    """1/2/4-bit greyscale (color type 0) decodes with exact range
+    replication: v * 255 / (2^d - 1)."""
+    import struct
+    import zlib
+
+    from granulate_char_ocr_spark.functions.png import (
+        _SIGNATURE, _chunk, _filter_rows, _pack_subbyte)
+
+    rng = np.random.default_rng(3)
+    for d in (1, 2, 4):
+        vals = rng.integers(0, 1 << d, (6, 11), dtype=np.uint8)
+        ihdr = struct.pack(">IIBBBBB", 11, 6, d, 0, 0, 0, 0)
+        body = _filter_rows(_pack_subbyte(vals, d), 0, 1)
+        data = (
+            _SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(body))
+            + _chunk(b"IEND", b"")
+        )
+        want = (vals.astype(np.uint16) * 255 // ((1 << d) - 1)).astype(
+            np.uint8
+        )
+        assert np.array_equal(decode_png(data), want)
+
+
+def test_glyph_adam7_preserves_recognition():
+    """An interlaced glyph PNG flows through decode -> recognize exactly
+    like its non-interlaced twin."""
+    img = render_word("WORK", 2)
+    back = decode_png(encode_png(img, filter_type=4, interlace=1))
+    assert np.array_equal(back, img)
+    chars = kernels.recognize_word(back)
+    assert "".join(c["latin"] for c in chars) == "WORK"
