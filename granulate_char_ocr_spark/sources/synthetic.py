@@ -235,18 +235,67 @@ def docs_spark(spark, n_docs: int, seed: int = 42, media_ref_suffix: str = ""):
     )
 
 
+def _gen_media_spark(spark, n_items: int, make_row):
+    """Media dimension tables rendered ON the executors: ``spark.range``
+    over item indices → ``mapInPandas`` calling ``make_row(i)``. A
+    driver-built local relation ships its pixel bytes inside every task
+    binary (the 'task of very large size' warning); distributing the
+    render keeps tasks key-only and scales with cores."""
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "word", "width", "height", "pixels"],
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    return spark.range(
+        0, n_items, 1, min(par, max(1, n_items // 16))
+    ).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _media_row_clean(i: int):
+    word, v = WORDS[i // N_VARIANTS], i % N_VARIANTS
+    img = render_word(word, v)
+    return (
+        media_ref_for(word, v), word, img.shape[1], img.shape[0],
+        img.tobytes(),
+    )
+
+
+def _media_row_noisy(i: int):
+    word, v = WORDS[i // N_VARIANTS], i % N_VARIANTS
+    img = render_word_noisy(word, v, seed=NOISE_SEED)
+    return (
+        media_ref_for(word, v) + "_n", word, img.shape[1], img.shape[0],
+        img.tobytes(),
+    )
+
+
+def _media_row_multirow(i: int):
+    w1, w2, v = _multirow_choice(i)
+    img = render_multirow(w1, w2, v)
+    return (
+        multirow_media_ref(w1, w2, v), w1 + w2, img.shape[1], img.shape[0],
+        img.tobytes(),
+    )
+
+
 def expected_spark(spark, n_docs: int, seed: int = 42):
     """The golden expected-spans table, generated ON the executors."""
     return _gen_spans_spark(spark, n_docs, seed, 1, SPANS_OUT_TYPE)
 
 
 def corpus_spark(spark, n_docs: int, seed: int = 42):
-    """(documents, glyph_media, expected) as Spark DataFrames — documents
-    and expected generate distributed; the bounded media store stays a
-    driver-built dimension table."""
+    """(documents, glyph_media, expected) as Spark DataFrames — documents,
+    expected AND the media store all generate distributed (no driver-side
+    pixel bytes in task binaries)."""
     docs = docs_spark(spark, n_docs, seed)
     expected = expected_spark(spark, n_docs, seed)
-    media = spark.createDataFrame(glyph_media_pandas(), schema=MEDIA_SCHEMA)
+    media = _gen_media_spark(
+        spark, len(WORDS) * N_VARIANTS, _media_row_clean
+    )
     return docs, media, expected
 
 
@@ -406,10 +455,12 @@ def noisy_media_pandas(noise_seed: int = NOISE_SEED) -> pd.DataFrame:
 
 def noisy_corpus_spark(spark, n_docs: int, seed: int = 42):
     """(documents, noisy_media): the standard corpus with every media span
-    re-pointed at the noisy variant of the same image (documents generate
-    distributed — see _gen_spans_spark)."""
+    re-pointed at the noisy variant of the same image (documents AND the
+    noisy media store generate distributed)."""
     docs = docs_spark(spark, n_docs, seed, media_ref_suffix="_n")
-    media = spark.createDataFrame(noisy_media_pandas(), schema=MEDIA_SCHEMA)
+    media = _gen_media_spark(
+        spark, len(WORDS) * N_VARIANTS, _media_row_noisy
+    )
     return docs, media
 
 
@@ -501,28 +552,15 @@ def multirow_corpus_spark(spark, n_docs: int):
     """(documents, media) where every doc has one media span referencing a
     stacked two-row image. The document side is PURE column expressions over
     ``spark.range`` (the (w1, w2, v) choice is modular arithmetic on the doc
-    index — no driver loop, no Python stage); only the bounded distinct-image
-    media store is driver-built."""
+    index — no driver loop, no Python stage); the bounded distinct-image
+    media store renders distributed too. Indices below |WORDS|·N_VARIANTS
+    map to distinct (w1 index, variant) pairs, so no dedup is needed."""
     from pyspark.sql import functions as F
 
     n = len(WORDS)
-    seen: set[str] = set()
-    media_rows = []
-    for i in range(min(n_docs, n * N_VARIANTS)):
-        w1, w2, v = _multirow_choice(i)
-        ref = multirow_media_ref(w1, w2, v)
-        if ref not in seen:
-            seen.add(ref)
-            img = render_multirow(w1, w2, v)
-            media_rows.append(
-                {
-                    "media_ref": ref,
-                    "word": w1 + w2,
-                    "width": img.shape[1],
-                    "height": img.shape[0],
-                    "pixels": img.tobytes(),
-                }
-            )
+    media = _gen_media_spark(
+        spark, min(n_docs, n * N_VARIANTS), _media_row_multirow
+    )
     words = F.array(*[F.lit(w) for w in WORDS])
     i = F.col("id")
     w1 = F.element_at(words, (i % n + 1).cast("int"))
@@ -542,7 +580,6 @@ def multirow_corpus_spark(spark, n_docs: int):
             )
         ).alias("spans"),
     )
-    media = spark.createDataFrame(pd.DataFrame(media_rows), schema=MEDIA_SCHEMA)
     return docs, media
 
 
