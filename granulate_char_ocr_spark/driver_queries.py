@@ -35,6 +35,7 @@ SF_PINNED_ORACLES = frozenset(
     {
         "ocr_extract_documents",
         "ocr_extract_salted",
+        "ocr_extract_compressed",
         "ocr_eval_metrics",
         "ocr_word_length_analysis",
         "ocr_method_histogram",
@@ -945,15 +946,10 @@ def quality_score_docs(spark, sf_dir):
     return textstats.quality_score(_t(spark, sf_dir, "documents"))
 
 
-@q(
-    "fingerprint_docs",
-    r"""
-    SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-    FROM documents
-    """,
-)
-def fingerprint_docs(spark, sf_dir):
-    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+# (fingerprint_docs was retired from the 50-entry gate window in r3 in
+# favor of ocr_extract_compressed: textstats.fingerprint stays
+# pytest-covered, and its md5-key semantics are gate-covered by
+# dedup_exact + winnow_fingerprints_docs.)
 
 
 @q(
@@ -1247,6 +1243,30 @@ def ocr_extract_salted(spark, sf_dir):
     return explode_expected(
         extract_documents(docs, media, dedup_media=False, n_salts=8)
     )
+
+
+@q("ocr_extract_compressed", _FLAT_SPAN_ORACLE)
+def ocr_extract_compressed(spark, sf_dir):
+    """The flagship extraction over a COMPRESSED media store: PNG payloads
+    (filter type and Adam7 interlace cycling per image) sniff-decode
+    through multimodal.decode_media_store before the kernel stage — the
+    real corpus shape, where images arrive as encoded files, not raw
+    buffers. PNG is lossless, so the output must equal
+    ocr_extract_documents exactly (same golden oracle)."""
+    from granulate_char_ocr_spark.operators.multimodal import (
+        decode_media_store,
+    )
+    from granulate_char_ocr_spark.operators.stitch import explode_expected
+    from granulate_char_ocr_spark.plans.pipeline import extract_documents
+    from granulate_char_ocr_spark.sources.synthetic import (
+        docs_spark,
+        png_media_spark,
+    )
+
+    n = _SF_DOCS.get(sf_name_of(sf_dir), 400)
+    docs = docs_spark(spark, n, seed=42)
+    media = decode_media_store(png_media_spark(spark))
+    return explode_expected(extract_documents(docs, media))
 
 
 @q(

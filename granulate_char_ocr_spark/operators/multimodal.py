@@ -40,12 +40,14 @@ def decode_payload(
     """binary payload -> uint8 greyscale ndarray (H, W).
 
     'raw' is the engine-native uint8 buffer; 'png' (functions/png.py —
-    8-bit grey/RGB/RGBA + 1/2/4/8-bit palette, all scanline filters) and
-    'jpeg' (functions/jpeg.py — baseline sequential, grayscale and YCbCr
-    color at 4:4:4/4:2:2/4:2:0) are real pure-NumPy decoders, matching the
-    reference's PIL decode step (ocr_service.py:97-99). Color outputs are
-    luma-converted so every caller sees one channel. Video/audio compressed
-    codecs (H.264/MP3) remain out of scope in-sandbox.
+    grey 1-16 bit, RGB(A)/grey+alpha 8/16 bit, palette, all scanline
+    filters, Adam7 interlace) and 'jpeg' (functions/jpeg.py — baseline
+    sequential AND progressive SOF2, grayscale and YCbCr color at
+    4:4:4/4:2:2/4:2:0, restart intervals) are real pure-NumPy decoders,
+    matching the reference's PIL decode step (ocr_service.py:97-99).
+    Color outputs are luma-converted so every caller sees one channel.
+    Video/audio compressed codecs (H.264/MP3) remain out of scope
+    in-sandbox.
     """
     if codec == "raw":
         return np.frombuffer(payload, dtype=np.uint8).reshape(height, width)
@@ -75,6 +77,44 @@ def decode_payload(
         f"decode for codec={codec!r} is not available in-sandbox "
         "(raw/png/jpeg only)"
     )
+
+
+# ---------------------------------------------------------------------------
+# image: media-store decompression
+# ---------------------------------------------------------------------------
+
+MEDIA_STORE_SCHEMA = (
+    "media_ref string, word string, width int, height int, pixels binary"
+)
+
+
+def decode_media_store(media: DataFrame) -> DataFrame:
+    """Decompress a media dimension table in place: (media_ref, word,
+    width, height, pixels=PNG/JPEG/raw bytes) → the same shape with raw
+    grayscale pixel buffers, codec sniffed from the payload signature.
+    This is the decode stage a compressed corpus runs before the
+    extraction kernel (which takes raw buffers only); width/height are
+    re-derived from the decoded plane, so mismatched metadata cannot
+    corrupt the downstream reshape."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_payload(r.pixels, "auto", r.width, r.height)
+                rows.append(
+                    (
+                        r.media_ref, r.word, img.shape[1], img.shape[0],
+                        img.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "word", "width", "height", "pixels"],
+            )
+
+    cols = ["media_ref", "word", "width", "height", "pixels"]
+    return media.select(*cols).mapInPandas(fn, schema=MEDIA_STORE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -273,6 +273,32 @@ def _media_row_noisy(i: int):
     )
 
 
+def _media_row_png(i: int):
+    """Clean glyph media, PNG-compressed on the executor. Filter type and
+    interlace vary by index so the corpus exercises every unfilter branch
+    and Adam7 at the gate; JPEG is excluded here because the gate golden
+    requires bit-exact pixels (JPEG q=95 survives hashing — pinned by
+    tests — but lossless is the right fixture contract)."""
+    from granulate_char_ocr_spark.functions.png import encode_png
+
+    word, v = WORDS[i // N_VARIANTS], i % N_VARIANTS
+    img = render_word(word, v)
+    data = encode_png(
+        img, filter_type=i % 5, interlace=1 if i % 7 == 0 else 0
+    )
+    return (
+        media_ref_for(word, v), word, img.shape[1], img.shape[0], data,
+    )
+
+
+def png_media_spark(spark):
+    """The clean media store with PNG payloads in the pixels column — the
+    compressed-corpus input to operators/multimodal.decode_media_store."""
+    return _gen_media_spark(
+        spark, len(WORDS) * N_VARIANTS, _media_row_png
+    )
+
+
 def _media_row_multirow(i: int):
     w1, w2, v = _multirow_choice(i)
     img = render_multirow(w1, w2, v)

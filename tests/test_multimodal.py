@@ -105,3 +105,35 @@ def test_compressed_codecs_decode_h264_rejected(spark):
     )
     with pytest.raises(Exception, match="not available|NotImplemented"):
         multimodal.resize_images(h264).collect()
+
+
+def test_decode_media_store_matches_raw_extraction(spark):
+    """The compressed-corpus decode stage: a PNG-payload media store
+    (filters + Adam7 cycling) decompressed through decode_media_store
+    yields byte-identical pixel buffers to the raw store, so extraction
+    output is identical (the ocr_extract_compressed gate contract)."""
+    from granulate_char_ocr_spark.operators.multimodal import (
+        decode_media_store,
+    )
+    from granulate_char_ocr_spark.sources.synthetic import (
+        _gen_media_spark,
+        _media_row_clean,
+        _media_row_png,
+    )
+
+    n = 12
+    raw = {
+        r["media_ref"]: r
+        for r in _gen_media_spark(spark, n, _media_row_clean).collect()
+    }
+    dec = {
+        r["media_ref"]: r
+        for r in decode_media_store(
+            _gen_media_spark(spark, n, _media_row_png)
+        ).collect()
+    }
+    assert raw.keys() == dec.keys()
+    for ref, r in raw.items():
+        d = dec[ref]
+        assert (d["width"], d["height"]) == (r["width"], r["height"]), ref
+        assert bytes(d["pixels"]) == bytes(r["pixels"]), ref
