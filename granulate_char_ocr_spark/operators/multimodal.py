@@ -88,20 +88,29 @@ MEDIA_STORE_SCHEMA = (
 )
 
 
-def decode_media_store(media: DataFrame) -> DataFrame:
+def decode_media_store(media: DataFrame, permissive: bool = False) -> DataFrame:
     """Decompress a media dimension table in place: (media_ref, word,
     width, height, pixels=PNG/JPEG/raw bytes) → the same shape with raw
     grayscale pixel buffers, codec sniffed from the payload signature.
     This is the decode stage a compressed corpus runs before the
     extraction kernel (which takes raw buffers only); width/height are
     re-derived from the decoded plane, so mismatched metadata cannot
-    corrupt the downstream reshape."""
+    corrupt the downstream reshape. ``permissive`` turns a per-image
+    decode failure into a null-pixel row (the extraction kernel already
+    collapses those to empty results — the reference's error contract,
+    ocr_service.py:164-171) instead of failing the task."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                img = decode_payload(r.pixels, "auto", r.width, r.height)
+                try:
+                    img = decode_payload(r.pixels, "auto", r.width, r.height)
+                except Exception:
+                    if not permissive:
+                        raise
+                    rows.append((r.media_ref, r.word, 0, 0, None))
+                    continue
                 rows.append(
                     (
                         r.media_ref, r.word, img.shape[1], img.shape[0],

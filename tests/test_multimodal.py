@@ -137,3 +137,36 @@ def test_decode_media_store_matches_raw_extraction(spark):
         d = dec[ref]
         assert (d["width"], d["height"]) == (r["width"], r["height"]), ref
         assert bytes(d["pixels"]) == bytes(r["pixels"]), ref
+
+
+def test_decode_media_store_permissive_vs_strict(spark):
+    """Corrupt payloads: strict mode fails the job; permissive mode emits
+    a null-pixel row that the extraction kernel collapses to an empty
+    result (reference error contract, ocr_service.py:164-171)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from granulate_char_ocr_spark.functions.png import encode_png
+    from granulate_char_ocr_spark.operators.multimodal import (
+        MEDIA_STORE_SCHEMA,
+        decode_media_store,
+    )
+    from granulate_char_ocr_spark.sources.synthetic import render_word
+
+    good = render_word("WE", 0)
+    pdf = pd.DataFrame(
+        [
+            ("ok", "WE", good.shape[1], good.shape[0], encode_png(good)),
+            ("bad", "X", 4, 4, b"\x89PNG truncated garbage"),
+        ],
+        columns=["media_ref", "word", "width", "height", "pixels"],
+    )
+    store = spark.createDataFrame(pdf, schema=MEDIA_STORE_SCHEMA)
+    with _pytest.raises(Exception):
+        decode_media_store(store).collect()
+    rows = {
+        r["media_ref"]: r
+        for r in decode_media_store(store, permissive=True).collect()
+    }
+    assert bytes(rows["ok"]["pixels"]) == good.tobytes()
+    assert rows["bad"]["pixels"] is None and rows["bad"]["width"] == 0

@@ -136,3 +136,64 @@ def test_png_roundtrip_property(h, w, channels, ftype, seed):
     shape = (h, w) if channels == 1 else (h, w, channels)
     img = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
     assert np.array_equal(decode_png(encode_png(img, ftype)), img)
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 4),
+    st.sampled_from([8, 16]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_adam7_16bit_roundtrip_property(h, w, channels, ftype, depth, seed):
+    """decode(encode(img, any filter, Adam7, depth 8/16)) == img for
+    arbitrary shapes/content across grey / grey+alpha / RGB / RGBA —
+    including shapes smaller than the Adam7 pass grid."""
+    import numpy as np
+
+    from granulate_char_ocr_spark.functions.png import decode_png, encode_png
+
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    hi = 256 if depth == 8 else 65536
+    dt = np.uint8 if depth == 8 else np.uint16
+    img = np.random.default_rng(seed).integers(0, hi, shape, dtype=dt)
+    data = encode_png(img, filter_type=ftype, interlace=1, depth=depth)
+    assert np.array_equal(decode_png(data, scale_16bit=False), img)
+
+
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.booleans(),
+    st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+    st.sampled_from([25, 60, 92]),
+    st.sampled_from([0, 1, 3]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(
+    h, w, gray, sub, quality, ri, seed
+):
+    """Progressive decode == baseline decode, pixel-exact, for arbitrary
+    shapes/content/subsampling/quality/restart-interval: successive
+    approximation must recover every coefficient bit."""
+    import numpy as np
+
+    from granulate_char_ocr_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    shape = (h, w) if gray else (h, w, 3)
+    img = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+    kw = {} if gray else {"subsampling": sub}
+    want = decode_jpeg(encode_jpeg(img, quality=quality, **kw))
+    got = decode_jpeg(
+        encode_jpeg_progressive(
+            img, quality=quality, restart_interval=ri, **kw
+        )
+    )
+    assert np.array_equal(got, want)
