@@ -225,6 +225,11 @@ def _gen_spans_spark(
         .select(
             "doc_id", F.from_json("spans_json", spans_type).alias("spans")
         )
+        # the extraction plan scans docs three times (two text-normalize
+        # branches + the media-span leg); a parquet source re-scans for
+        # free, but re-running this Python generation stage per branch
+        # triples the synthesis cost — cache the generated table instead
+        .persist()
     )
 
 
@@ -250,9 +255,11 @@ def _gen_media_spark(spark, n_items: int, make_row):
             )
 
     par = spark.sparkContext.defaultParallelism
-    return spark.range(
-        0, n_items, 1, min(par, max(1, n_items // 16))
-    ).mapInPandas(gen, MEDIA_SCHEMA)
+    return (
+        spark.range(0, n_items, 1, min(par, max(1, n_items // 16)))
+        .mapInPandas(gen, MEDIA_SCHEMA)
+        .persist()  # dimension table: broadcast builds re-scan it per job
+    )
 
 
 def _media_row_clean(i: int):
