@@ -1,0 +1,108 @@
+"""Pure-stdlib/NumPy WAV (RIFF) codec.
+
+The audio leg of the multimodal column family previously accepted only
+engine-native raw int16 PCM buffers; real corpora carry containers. This
+implements the PCM slice of the format uncompressed corpora actually
+use — RIFF/WAVE with a ``fmt `` chunk of format 1 (integer PCM, 8-bit
+unsigned / 16-bit signed / 24-bit signed / 32-bit signed) or format 3
+(IEEE float32/64), any channel count — decoded to int16 mono (channel
+mean) plus the container's sample rate. Compressed audio (MP3/AAC)
+remains honestly out of scope in-sandbox (no codec library).
+
+Spec: Microsoft/IBM "Multimedia Programming Interface and Data
+Specifications 1.0" (the RIFF/WAVE chunk layout); unknown chunks are
+skipped by their declared size, and a truncated data chunk raises.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int, bits: int = 16
+) -> bytes:
+    """int16 (n,) mono or (n, ch) multi-channel samples -> WAV bytes.
+    ``bits`` 8 (unsigned PCM), 16 (signed PCM) or 32 (IEEE float)."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if bits == 16:
+        fmt, data = 1, samples.astype("<i2").tobytes()
+    elif bits == 8:
+        fmt = 1
+        data = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    elif bits == 32:
+        fmt = 3
+        data = (samples.astype(np.float64) / 32768.0).astype("<f4").tobytes()
+    else:
+        raise ValueError("encode_wav: bits must be 8, 16 or 32")
+    block = ch * bits // 8
+    fmt_chunk = struct.pack(
+        "<HHIIHH", fmt, ch, sample_rate, sample_rate * block, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (int16 mono samples, sample_rate). Multi-channel input
+    downmixes by channel mean; 8/24/32-bit and float samples rescale to
+    the int16 range."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("WAV: bad RIFF/WAVE signature")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV: short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", payload[:16])
+        elif tag == b"data":
+            if len(payload) < size:
+                raise ValueError("WAV: truncated data chunk")
+            raw = payload
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    audio_format, ch, rate, _byte_rate, _block, bits = fmt
+    if ch < 1:
+        raise ValueError("WAV: zero channels")
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif audio_format == 1 and bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) * 256.0
+    elif audio_format == 1 and bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        x = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float64) / 256.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 65536.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(raw, dtype="<f4").astype(np.float64) * 32768.0
+    elif audio_format == 3 and bits == 64:
+        x = np.frombuffer(raw, dtype="<f8").astype(np.float64) * 32768.0
+    else:
+        raise ValueError(
+            f"WAV: unsupported (format={audio_format}, bits={bits}) — "
+            "PCM 8/16/24/32 and IEEE float32/64 only (MP3/AAC need a codec "
+            "library)"
+        )
+    n = len(x) - len(x) % ch
+    mono = x[:n].reshape(-1, ch).mean(axis=1)
+    return np.clip(np.round(mono), -32768, 32767).astype(np.int16), int(rate)

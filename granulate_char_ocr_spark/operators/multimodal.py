@@ -2,14 +2,17 @@
 typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-shapes — is real and tested, and so are the image codecs: ``decode_payload``
-handles the engine's native ``raw`` format plus REAL pure-NumPy PNG
-(functions/png.py) and baseline JPEG (functions/jpeg.py) decoders; the
-``auto`` codec sniffs the payload signature. Only video/audio compressed
+shapes — is real and tested, and so are the containers and codecs:
+``decode_payload`` handles the engine's native ``raw`` format plus REAL
+pure-NumPy PNG (functions/png.py, incl. palette/Adam7/16-bit) and JPEG
+(functions/jpeg.py, baseline + progressive) decoders; audio accepts WAV
+containers (functions/wav.py, PCM + IEEE float) and video accepts
+MJPEG-AVI (functions/avi.py — every frame a standalone JPEG). The
+``auto`` codec sniffs the payload signature. Only temporal/perceptual
 codecs (H.264/MP3 — no ffmpeg in-sandbox) raise a clearly-marked
 ``NotImplementedError``; swap in torchcodec/ffmpeg behind the same
-signature in production. Feature extractors (resize, frame sampling over
-raw buffers, aHash embeddings) are fully implemented in NumPy.
+signature in production. Feature extractors (resize, frame sampling,
+aHash embeddings) are fully implemented in NumPy.
 
 Schema convention for a multimodal table:
     (media_ref string, modality string,      -- 'image' | 'audio' | 'video'
@@ -204,17 +207,43 @@ FRAME_SCHEMA = (
 
 
 def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
-    """1→N frame sampler: a raw 'video' payload is n_frames concatenated
-    (height×width) uint8 frames; emit every k-th frame as its own row (the
-    mapInPandas UDTF shape — one input row fans out to many output rows)."""
+    """1→N frame sampler (the mapInPandas UDTF shape — one input row fans
+    out to many output rows). 'raw' payloads are n_frames concatenated
+    (height×width) uint8 frames; 'mjpeg'/'avi' payloads are REAL MJPEG-AVI
+    containers (functions/avi.py — each frame a standalone JPEG, decoded
+    to grayscale). Temporal codecs (H.264) stay stubbed in-sandbox."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.avi import decode_avi_mjpeg
+
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                if r.codec != "raw":
+                codec = r.codec
+                if codec == "auto":
+                    head = bytes(r.payload[:12])
+                    codec = (
+                        "avi"
+                        if head[:4] == b"RIFF" and head[8:12] == b"AVI "
+                        else "raw"
+                    )
+                if codec in ("avi", "mjpeg"):
+                    for i, frame in enumerate(decode_avi_mjpeg(bytes(r.payload))):
+                        if i % every_k:
+                            continue
+                        if frame.ndim == 3:
+                            frame = kernels.to_grayscale(frame[..., 2::-1])
+                        out.append(
+                            (
+                                r.media_ref, i, frame.shape[1],
+                                frame.shape[0], frame.tobytes(),
+                            )
+                        )
+                    continue
+                if codec != "raw":
                     raise NotImplementedError(
-                        f"video decode for codec={r.codec!r} is stubbed"
+                        f"video decode for codec={r.codec!r} is stubbed "
+                        "(raw / mjpeg-avi only in-sandbox)"
                     )
                 frame_bytes = r.width * r.height
                 for i in range(0, int(r.n_frames), every_k):
@@ -239,23 +268,42 @@ AUDIO_FEAT_SCHEMA = "media_ref string, duration_sec double, features array<float
 
 
 def audio_features(audio: DataFrame, n_mels: int = 16) -> DataFrame:
-    """Audio featurizer: duration is real (len/sample_rate over raw int16
-    PCM); the 'mel' vector is a DETERMINISTIC FAKE (block-RMS over the raw
-    samples) standing in for a mel spectrogram — the sandbox has no audio
-    DSP library. Batch shape, schema and partitioning are production-real."""
+    """Audio featurizer over raw int16 PCM or REAL WAV containers
+    (functions/wav.py — PCM 8/16/24/32 + IEEE float, any channel count,
+    sniffed under codec 'auto'): duration is real (samples/rate, the WAV
+    container's own rate when present); the 'mel' vector is a
+    DETERMINISTIC FAKE (block-RMS over the samples) standing in for a mel
+    spectrogram — the sandbox has no audio DSP library. Batch shape,
+    schema and partitioning are production-real. MP3/AAC stay stubbed."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.wav import decode_wav
+
         for pdf in batches:
             refs, durs, feats = [], [], []
             for r in pdf.itertuples(index=False):
-                if r.codec != "raw":
-                    raise NotImplementedError(
-                        f"audio decode for codec={r.codec!r} is stubbed"
+                codec = r.codec
+                if codec == "auto":
+                    head = bytes(r.payload[:12])
+                    codec = (
+                        "wav"
+                        if head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+                        else "raw"
                     )
-                samples = np.frombuffer(r.payload, dtype=np.int16).astype(
-                    np.float64
-                )
-                durs.append(len(samples) / float(r.sample_rate))
+                if codec == "wav":
+                    mono, rate = decode_wav(bytes(r.payload))
+                    samples = mono.astype(np.float64)
+                elif codec == "raw":
+                    samples = np.frombuffer(r.payload, dtype=np.int16).astype(
+                        np.float64
+                    )
+                    rate = r.sample_rate
+                else:
+                    raise NotImplementedError(
+                        f"audio decode for codec={r.codec!r} is stubbed "
+                        "(raw / wav only in-sandbox)"
+                    )
+                durs.append(len(samples) / float(rate))
                 blocks = np.array_split(samples, n_mels)
                 feats.append(
                     np.array(
