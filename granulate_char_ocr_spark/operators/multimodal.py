@@ -44,10 +44,12 @@ def decode_payload(
 
     'raw' is the engine-native uint8 buffer; 'png' (functions/png.py —
     grey 1-16 bit, RGB(A)/grey+alpha 8/16 bit, palette, all scanline
-    filters, Adam7 interlace) and 'jpeg' (functions/jpeg.py — baseline
+    filters, Adam7 interlace), 'jpeg' (functions/jpeg.py — baseline
     sequential AND progressive SOF2, grayscale and YCbCr color at
-    4:4:4/4:2:2/4:2:0, restart intervals) are real pure-NumPy decoders,
-    matching the reference's PIL decode step (ocr_service.py:97-99).
+    4:4:4/4:2:2/4:2:0, restart intervals) and 'gif' (functions/gif.py —
+    LZW, interlace, transparency, first frame) are real pure-NumPy
+    decoders, matching the reference's PIL decode step
+    (ocr_service.py:97-99).
     Color outputs are luma-converted so every caller sees one channel.
     Video/audio compressed codecs (H.264/MP3) remain out of scope
     in-sandbox.
@@ -60,13 +62,21 @@ def decode_payload(
             codec = "png"
         elif head[:2] == b"\xff\xd8":
             codec = "jpeg"
+        elif head[:6] in (b"GIF87a", b"GIF89a"):
+            codec = "gif"
         else:
-            raise ValueError("unknown image signature (png/jpeg supported)")
-    if codec in ("png", "jpeg"):
+            raise ValueError(
+                "unknown image signature (png/jpeg/gif supported)"
+            )
+    if codec in ("png", "jpeg", "gif"):
         if codec == "png":
             from granulate_char_ocr_spark.functions.png import decode_png
 
             img = decode_png(bytes(payload))
+        elif codec == "gif":
+            from granulate_char_ocr_spark.functions.gif import decode_gif
+
+            img = decode_gif(bytes(payload))
         else:
             from granulate_char_ocr_spark.functions.jpeg import decode_jpeg
 

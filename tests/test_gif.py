@@ -1,0 +1,97 @@
+"""GIF codec round-trips (LZW, interlace, transparency) + the sniffing
+multimodal decode path and mixed-corpus scan."""
+
+import numpy as np
+import pytest
+
+from granulate_char_ocr_spark.functions import kernels
+from granulate_char_ocr_spark.functions.gif import decode_gif, encode_gif
+from granulate_char_ocr_spark.sources.synthetic import render_word
+
+
+@pytest.mark.parametrize("npal", [2, 4, 16, 256])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_roundtrip_palette_sizes(npal, interlace):
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+    idx = rng.integers(0, npal, (23, 37), dtype=np.uint8)
+    got = decode_gif(encode_gif(idx, pal, interlace=interlace))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_transparency_yields_rgba():
+    rng = np.random.default_rng(1)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (12, 12), dtype=np.uint8)
+    got = decode_gif(encode_gif(idx, pal, transparent=3))
+    assert got.shape == (12, 12, 4)
+    assert np.array_equal(got[..., :3], pal[idx])
+    assert np.array_equal(got[..., 3], np.where(idx == 3, 0, 255))
+
+
+def test_lzw_table_overflow_and_deep_strings():
+    """256-color noise at 200x300 forces code-width growth to 12 bits and
+    table resets; tiled ramps force deep dictionary strings."""
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    noise = rng.integers(0, 256, (200, 300), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(noise, pal)), pal[noise])
+    ramps = np.tile(np.arange(256, dtype=np.uint8), (100, 4))[:100, :300]
+    assert np.array_equal(decode_gif(encode_gif(ramps, pal)), pal[ramps])
+
+
+def test_rejects_garbage():
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"not a gif")
+    with pytest.raises(ValueError, match="GIF"):
+        decode_gif(b"GIF89a" + bytes(20))
+
+
+def test_glyph_through_gif_sniff_decode(spark):
+    """A 2-color GIF glyph decodes through decode_payload('auto') to the
+    exact source plane (GIF is lossless), so recognition is identical."""
+    from granulate_char_ocr_spark.operators.multimodal import decode_payload
+
+    glyph = render_word("TEAM", 1)  # values 0/255
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = (glyph > 0).astype(np.uint8)
+    payload = encode_gif(idx, pal, interlace=True)
+    gray = decode_payload(payload, "auto", 0, 0)
+    # luma of a (v,v,v) palette entry is v exactly
+    assert np.array_equal(gray, glyph)
+    chars = kernels.recognize_word(gray)
+    assert "".join(c["latin"] for c in chars) == "TEAM"
+
+
+def test_mixed_corpus_scan_with_gif(spark, tmp_path):
+    """PNG + JPEG + GIF files in one directory, all sniffed and
+    recognized end-to-end through the image-corpus source."""
+    from pyspark.sql import functions as F
+
+    from granulate_char_ocr_spark.functions.jpeg import encode_jpeg
+    from granulate_char_ocr_spark.functions.png import encode_png
+    from granulate_char_ocr_spark.operators.extract import extract_media_spans
+    from granulate_char_ocr_spark.sources.binary_files import read_image_corpus
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    g = render_word("US", 2)
+    (tmp_path / "TEAM_1.png").write_bytes(encode_png(render_word("TEAM", 0)))
+    (tmp_path / "WORK_2.jpg").write_bytes(
+        encode_jpeg(render_word("WORK", 1), quality=95)
+    )
+    (tmp_path / "US_3.gif").write_bytes(
+        encode_gif((g > 0).astype(np.uint8), pal)
+    )
+    corpus = read_image_corpus(spark, str(tmp_path / "*"))
+    rec = extract_media_spans(
+        corpus.select(
+            corpus.path.alias("doc_id"),
+            corpus.path.alias("media_ref"),
+            "width",
+            "height",
+            "pixels",
+        ).withColumn("offset", F.lit(0)),
+        detail=False,
+    )
+    got = {r["media_ref"].rsplit("/", 1)[-1]: r["text"] for r in rec.collect()}
+    assert got == {"TEAM_1.png": "TEAM", "WORK_2.jpg": "WORK", "US_3.gif": "US"}
