@@ -1,0 +1,381 @@
+"""Pure-NumPy baseline TIFF codec — the canonical scanned-document format.
+
+Implements the TIFF 6.0 baseline slice OCR scan corpora actually use:
+little- and big-endian files, multi-strip layout, bilevel (1-bit,
+both photometric polarities), 8-bit grayscale (both polarities), 8-bit
+RGB(A), and 16-bit-valued palette color; compressions none (1),
+PackBits (32773) and TIFF-flavor LZW (5, MSB-first codes with the
+early-change rule) with horizontal-differencing predictor 2. CCITT
+G3/G4 and JPEG-in-TIFF stay rejected with the reason. The encoder
+writes little-endian baseline files (gray/RGB/bilevel, any
+rows-per-strip, all three compressions) for round-trip tests.
+
+Spec: TIFF 6.0 (Adobe, 1992) — IFD structure §2, PackBits §9, LZW §13,
+predictor §14.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_NONE, _LZW, _PACKBITS = 1, 5, 32773
+
+
+# ---------------------------------------------------------------------------
+# PackBits (§9)
+# ---------------------------------------------------------------------------
+
+def _packbits_encode(row: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += 1
+        while (
+            i < n
+            and i - lit_start < 128
+            and not (i + 1 < n and row[i] == row[i + 1])
+        ):
+            i += 1
+        out += bytes([i - lit_start - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while len(out) < expected and i < n:
+        b = data[i]
+        i += 1
+        if b == 128:
+            continue
+        if b < 128:
+            out += data[i : i + b + 1]
+            i += b + 1
+        else:
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("TIFF: truncated PackBits strip")
+    return bytes(out[:expected])
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW (§13): MSB-first bit order, 9-bit start, clear 256 / EOI 257,
+# EARLY CHANGE — code width grows one code before the table fills
+# ---------------------------------------------------------------------------
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # clear
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # early change (§13): switch as soon as code 2^w - 1 is ADDED
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4094:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([byte])
+    if prev:
+        emit(table[prev], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    n = len(data)
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("TIFF: truncated LZW strip")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF: LZW code out of range")
+        out += entry
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF: LZW strip ended early")
+    return bytes(out[:expected])
+
+
+# ---------------------------------------------------------------------------
+# encoder (little-endian baseline)
+# ---------------------------------------------------------------------------
+
+def encode_tiff(
+    img: np.ndarray,
+    compression: int = _NONE,
+    rows_per_strip: int | None = None,
+    predictor: int = 1,
+    bilevel: bool = False,
+) -> bytes:
+    """uint8 (H, W) gray / (H, W, 3) RGB -> little-endian TIFF bytes.
+    ``bilevel`` packs a 0/255 grayscale image as 1-bit BlackIsZero rows;
+    ``predictor=2`` applies horizontal differencing (LZW only)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and not (img.ndim == 3 and img.shape[2] == 3):
+        raise ValueError("encode_tiff: (H, W) grayscale or (H, W, 3) RGB")
+    h, w = img.shape[0], img.shape[1]
+    spp = 1 if gray else 3
+    if bilevel:
+        if not gray:
+            raise ValueError("encode_tiff: bilevel requires grayscale")
+        bits = 1
+        rows = np.packbits(img > 127, axis=1)
+    else:
+        bits = 8
+        rows = img.reshape(h, w * spp)
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        chunk = rows[y0 : y0 + rps]
+        if predictor == 2:
+            if bits != 8:
+                raise ValueError("encode_tiff: predictor needs 8-bit samples")
+            d = chunk.reshape(chunk.shape[0], -1, spp).astype(np.int16)
+            d[:, 1:] -= d[:, :-1].copy()
+            chunk = (d % 256).astype(np.uint8).reshape(chunk.shape[0], -1)
+        raw = chunk.tobytes()
+        if compression == _PACKBITS:
+            payload = b"".join(
+                _packbits_encode(r.tobytes()) for r in chunk
+            )
+        elif compression == _LZW:
+            payload = _tiff_lzw_encode(raw)
+        elif compression == _NONE:
+            payload = raw
+        else:
+            raise ValueError(f"encode_tiff: compression {compression}")
+        strips.append(payload)
+
+    entries = []  # (tag, type, count, value)
+    def entry(tag, typ, count, value):
+        entries.append((tag, typ, count, value))
+
+    # layout: header(8) IFD region, then data region
+    n_strips = len(strips)
+    # IFD entry count depends on predictor tag presence
+    tags_n = 11 + (1 if predictor == 2 else 0)
+    ifd_off = 8
+    ifd_size = 2 + tags_n * 12 + 4
+    data_off = ifd_off + ifd_size
+    extra = bytearray()
+
+    def place(payload: bytes) -> int:
+        off = data_off + len(extra)
+        extra.extend(payload)
+        if len(extra) & 1:
+            extra.append(0)
+        return off
+
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(place(s))
+    counts = [len(s) for s in strips]
+
+    def arr_value(values, typ):
+        size = {3: 2, 4: 4}[typ]
+        packed = b"".join(
+            struct.pack("<H" if typ == 3 else "<I", v) for v in values
+        )
+        if len(packed) <= 4:
+            return packed + b"\x00" * (4 - len(packed))
+        return struct.pack("<I", place(packed))
+
+    entry(256, 4, 1, struct.pack("<I", w))
+    entry(257, 4, 1, struct.pack("<I", h))
+    entry(258, 3, spp, arr_value([bits] * spp, 3))
+    entry(259, 3, 1, struct.pack("<HH", compression, 0))
+    entry(262, 3, 1, struct.pack("<HH", 2 if spp == 3 else 1, 0))
+    entry(273, 4, n_strips, arr_value(strip_offsets, 4))
+    entry(277, 3, 1, struct.pack("<HH", spp, 0))
+    entry(278, 4, 1, struct.pack("<I", rps))
+    entry(279, 4, n_strips, arr_value(counts, 4))
+    entry(282, 3, 1, struct.pack("<HH", 72, 0))  # XResolution (short-cheat)
+    entry(283, 3, 1, struct.pack("<HH", 72, 0))
+    if predictor == 2:
+        entry(317, 3, 1, struct.pack("<HH", 2, 0))
+    entries.sort(key=lambda e: e[0])
+    ifd = struct.pack("<H", tags_n)
+    for (tag, typ, count, value) in entries:
+        ifd += struct.pack("<HHI", tag, typ, count) + value
+    ifd += struct.pack("<I", 0)  # no next IFD
+    assert len(ifd) == ifd_size
+    return b"II*\x00" + struct.pack("<I", ifd_off) + ifd + bytes(extra)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """TIFF bytes -> uint8 (H, W) grayscale (bilevel scales to 0/255,
+    WhiteIsZero inverts) or (H, W, 3/4) RGB(A) / palette-expanded."""
+    if data[:2] == b"II":
+        end = "<"
+    elif data[:2] == b"MM":
+        end = ">"
+    else:
+        raise ValueError("TIFF: bad byte-order signature")
+    (magic,) = struct.unpack(end + "H", data[2:4])
+    if magic != 42:
+        raise ValueError("TIFF: bad magic")
+    (ifd_off,) = struct.unpack(end + "I", data[4:8])
+    (n_tags,) = struct.unpack(end + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    for i in range(n_tags):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(end + "HHI", data[e : e + 8])
+        if typ not in type_fmt:
+            continue  # rationals etc. — not needed
+        size = type_size[typ] * count
+        if size <= 4:
+            raw = data[e + 8 : e + 8 + size]
+        else:
+            (off,) = struct.unpack(end + "I", data[e + 8 : e + 12])
+            raw = data[off : off + size]
+        tags[tag] = list(
+            struct.unpack(end + type_fmt[typ] * count, raw)
+        )
+
+    def one(tag, default=None):
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF: missing required tag {tag}")
+        return default
+
+    w, h = one(256), one(257)
+    spp = one(277, 1)
+    bits_list = tags.get(258, [1])
+    bits = bits_list[0]
+    comp = one(259, _NONE)
+    photo = one(262, 1)
+    predictor = one(317, 1)
+    rps = one(278, h)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if offsets is None or counts is None:
+        raise ValueError("TIFF: missing strip offsets/counts")
+    if comp not in (_NONE, _LZW, _PACKBITS):
+        raise ValueError(
+            f"TIFF: compression {comp} unsupported (none/LZW/PackBits only; "
+            "CCITT and JPEG-in-TIFF need their own codecs)"
+        )
+    if bits not in (1, 8) or any(b != bits for b in bits_list):
+        raise ValueError(f"TIFF: {bits_list}-bit samples unsupported (1/8)")
+    if bits == 1 and spp != 1:
+        raise ValueError("TIFF: bilevel must be single-sample")
+
+    row_bytes = (w * bits * spp + 7) // 8
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    y = 0
+    for off, cnt in zip(offsets, counts):
+        n_rows = min(rps, h - y)
+        expected = n_rows * row_bytes
+        chunk = data[off : off + cnt]
+        if comp == _PACKBITS:
+            raw = _packbits_decode(chunk, expected)
+        elif comp == _LZW:
+            raw = _tiff_lzw_decode(chunk, expected)
+        else:
+            if len(chunk) < expected:
+                raise ValueError("TIFF: truncated strip")
+            raw = chunk[:expected]
+        strip = np.frombuffer(raw, dtype=np.uint8).reshape(n_rows, row_bytes)
+        if predictor == 2:
+            if bits != 8:
+                raise ValueError("TIFF: predictor on non-8-bit samples")
+            s = strip.reshape(n_rows, -1, spp)
+            strip = np.cumsum(s, axis=1, dtype=np.uint8).reshape(
+                n_rows, row_bytes
+            )
+        rows[y : y + n_rows] = strip
+        y += n_rows
+    if y < h:
+        raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+
+    if bits == 1:
+        px = np.unpackbits(rows, axis=1)[:, :w] * np.uint8(255)
+        return px if photo == 1 else 255 - px  # photometric 0: white-is-zero
+    if photo == 3:  # palette: 16-bit colormap, R then G then B planes
+        cmap = tags.get(320)
+        if cmap is None:
+            raise ValueError("TIFF: palette image without ColorMap")
+        n = len(cmap) // 3
+        pal = (
+            np.array(cmap, dtype=np.uint16).reshape(3, n).T >> 8
+        ).astype(np.uint8)
+        idx = rows[:, :w]
+        return pal[idx]
+    if spp == 1:
+        gray = rows[:, :w]
+        return np.ascontiguousarray(gray if photo == 1 else 255 - gray)
+    px = rows.reshape(h, row_bytes // spp, spp)[:, :w, :]
+    return np.ascontiguousarray(px)

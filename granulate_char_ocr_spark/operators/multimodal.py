@@ -46,10 +46,12 @@ def decode_payload(
     grey 1-16 bit, RGB(A)/grey+alpha 8/16 bit, palette, all scanline
     filters, Adam7 interlace), 'jpeg' (functions/jpeg.py — baseline
     sequential AND progressive SOF2, grayscale and YCbCr color at
-    4:4:4/4:2:2/4:2:0, restart intervals) and 'gif' (functions/gif.py —
-    LZW, interlace, transparency, first frame) are real pure-NumPy
-    decoders, matching the reference's PIL decode step
-    (ocr_service.py:97-99).
+    4:4:4/4:2:2/4:2:0, restart intervals), 'gif' (functions/gif.py —
+    LZW, interlace, transparency, first frame), 'tiff'
+    (functions/tiff.py — bilevel/gray/RGB/palette, both endiannesses,
+    none/PackBits/LZW+predictor, the scanned-document format) and 'bmp'
+    (functions/bmp.py) are real pure-NumPy decoders, matching the
+    reference's PIL decode step (ocr_service.py:97-99).
     Color outputs are luma-converted so every caller sees one channel.
     Video/audio compressed codecs (H.264/MP3) remain out of scope
     in-sandbox.
@@ -64,11 +66,15 @@ def decode_payload(
             codec = "jpeg"
         elif head[:6] in (b"GIF87a", b"GIF89a"):
             codec = "gif"
+        elif head[:4] in (b"II*\x00", b"MM\x00*"):
+            codec = "tiff"
+        elif head[:2] == b"BM":
+            codec = "bmp"
         else:
             raise ValueError(
-                "unknown image signature (png/jpeg/gif supported)"
+                "unknown image signature (png/jpeg/gif/tiff/bmp supported)"
             )
-    if codec in ("png", "jpeg", "gif"):
+    if codec in ("png", "jpeg", "gif", "tiff", "bmp"):
         if codec == "png":
             from granulate_char_ocr_spark.functions.png import decode_png
 
@@ -77,6 +83,14 @@ def decode_payload(
             from granulate_char_ocr_spark.functions.gif import decode_gif
 
             img = decode_gif(bytes(payload))
+        elif codec == "tiff":
+            from granulate_char_ocr_spark.functions.tiff import decode_tiff
+
+            img = decode_tiff(bytes(payload))
+        elif codec == "bmp":
+            from granulate_char_ocr_spark.functions.bmp import decode_bmp
+
+            img = decode_bmp(bytes(payload))
         else:
             from granulate_char_ocr_spark.functions.jpeg import decode_jpeg
 

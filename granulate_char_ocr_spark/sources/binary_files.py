@@ -62,7 +62,7 @@ def read_labeled_corpus(spark: SparkSession, glob_path: str) -> DataFrame:
 # Photo_3.JPG (ADVICE r2: a lowercase-only match silently dropped every
 # uppercase-extension file's label); the label folds to upper afterwards,
 # matching the reference's sanitization
-_IMAGE_LABEL_RE = r"(?i)([A-Z]+)[!.]?_\d+\.(?:png|jpe?g|gif)$"
+_IMAGE_LABEL_RE = r"(?i)([A-Z]+)[!.]?_\d+\.(?:png|jpe?g|gif|tiff?|bmp)$"
 
 
 def read_image_corpus(

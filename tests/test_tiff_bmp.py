@@ -1,0 +1,136 @@
+"""TIFF and BMP codec round-trips + the Spark sniff/corpus paths. TIFF is
+the canonical scanned-document format — the bilevel (1-bit) LZW case is
+the classic fax/scan shape."""
+
+import numpy as np
+import pytest
+
+from granulate_char_ocr_spark.functions import kernels
+from granulate_char_ocr_spark.functions.bmp import decode_bmp, encode_bmp
+from granulate_char_ocr_spark.functions.tiff import decode_tiff, encode_tiff
+from granulate_char_ocr_spark.sources.synthetic import render_word
+
+
+@pytest.mark.parametrize("comp", [1, 5, 32773])  # none / LZW / PackBits
+def test_tiff_gray_rgb_roundtrip(comp):
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, (47, 61), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(gray, compression=comp)), gray)
+    assert np.array_equal(decode_tiff(encode_tiff(rgb, compression=comp)), rgb)
+    # multi-strip layout
+    assert np.array_equal(
+        decode_tiff(encode_tiff(gray, compression=comp, rows_per_strip=10)),
+        gray,
+    )
+
+
+def test_tiff_lzw_width_transitions():
+    """60 kB of noise crosses every LZW code width (9→10→11→12) and a
+    table reset — the early-change off-by-one shows up here if wrong."""
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 256, (200, 300), dtype=np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(big, compression=5)), big)
+
+
+def test_tiff_predictor_horizontal_differencing():
+    smooth = np.clip(
+        np.add.outer(np.arange(47) * 3, np.arange(61) * 2), 0, 255
+    ).astype(np.uint8)
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(smooth, compression=5, predictor=2)), smooth
+    )
+    assert np.array_equal(
+        decode_tiff(
+            encode_tiff(rgb, compression=5, predictor=2, rows_per_strip=7)
+        ),
+        rgb,
+    )
+
+
+@pytest.mark.parametrize("comp", [1, 5, 32773])
+def test_tiff_bilevel_scan_shape(comp):
+    rng = np.random.default_rng(5)
+    bil = (rng.integers(0, 2, (33, 50), dtype=np.uint8) * 255).astype(np.uint8)
+    data = encode_tiff(bil, compression=comp, bilevel=True, rows_per_strip=9)
+    assert np.array_equal(decode_tiff(data), bil)
+
+
+def test_tiff_rejects_unsupported():
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"notatiff")
+    data = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
+    i = data.find(b"\x03\x01")  # compression tag (259) little-endian
+    data[i + 8] = 4  # CCITT G4
+    with pytest.raises(ValueError, match="compression 4"):
+        decode_tiff(bytes(data))
+
+
+def test_bmp_roundtrips():
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (13, 17), dtype=np.uint8)  # stride padding
+    rgb = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(gray)), gray)
+    assert np.array_equal(decode_bmp(encode_bmp(rgb)), rgb)
+    with pytest.raises(ValueError, match="signature"):
+        decode_bmp(b"XX")
+
+
+def test_glyph_through_tiff_and_bmp_sniff(spark):
+    """Lossless formats through decode_payload('auto'): the bilevel LZW
+    TIFF (the scan shape) and the BMP recover the exact glyph plane."""
+    from granulate_char_ocr_spark.operators.multimodal import decode_payload
+
+    glyph = render_word("WORK", 0)  # 0/255 plane
+    tif = encode_tiff(glyph, compression=5, bilevel=True)
+    bmp = encode_bmp(glyph)
+    for payload in (tif, bmp):
+        gray = decode_payload(payload, "auto", 0, 0)
+        assert np.array_equal(gray, glyph)
+        chars = kernels.recognize_word(gray)
+        assert "".join(c["latin"] for c in chars) == "WORK"
+
+
+def test_five_format_corpus_scan(spark, tmp_path):
+    """PNG, JPEG, GIF, TIFF and BMP files in one directory — all sniffed
+    from content and recognized end-to-end."""
+    from pyspark.sql import functions as F
+
+    from granulate_char_ocr_spark.functions.gif import encode_gif
+    from granulate_char_ocr_spark.functions.jpeg import encode_jpeg
+    from granulate_char_ocr_spark.functions.png import encode_png
+    from granulate_char_ocr_spark.operators.extract import extract_media_spans
+    from granulate_char_ocr_spark.sources.binary_files import read_image_corpus
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    g = render_word("US", 2)
+    files = {
+        "TEAM_1.png": encode_png(render_word("TEAM", 0)),
+        "WORK_2.jpg": encode_jpeg(render_word("WORK", 1), quality=95),
+        "US_3.gif": encode_gif((g > 0).astype(np.uint8), pal),
+        "WE_4.tif": encode_tiff(render_word("WE", 0), compression=32773),
+        "LAB_5.bmp": encode_bmp(render_word("LAB", 1)),
+    }
+    for name, payload in files.items():
+        (tmp_path / name).write_bytes(payload)
+    corpus = read_image_corpus(spark, str(tmp_path / "*"))
+    rec = extract_media_spans(
+        corpus.select(
+            corpus.path.alias("doc_id"),
+            corpus.path.alias("media_ref"),
+            "width",
+            "height",
+            "pixels",
+        ).withColumn("offset", F.lit(0)),
+        detail=False,
+    )
+    got = {r["media_ref"].rsplit("/", 1)[-1]: r["text"] for r in rec.collect()}
+    assert got == {
+        "TEAM_1.png": "TEAM",
+        "WORK_2.jpg": "WORK",
+        "US_3.gif": "US",
+        "WE_4.tif": "WE",
+        "LAB_5.bmp": "LAB",
+    }
