@@ -1,0 +1,299 @@
+"""CCITT Group 4 (ITU-T T.6 MMR) bilevel codec — the fax/scan compression.
+
+Real scanned-document TIFFs are overwhelmingly G4-compressed bilevel;
+this implements the two-dimensional Modified Modified READ coding from
+the public standards: vertical/pass/horizontal modes against the
+reference line's changing elements (T.6 §2), with horizontal-mode run
+lengths coded by the T.4 §2 Modified Huffman white/black tables
+(terminating codes 0-63, makeup codes to 1728, shared extended makeups
+to 2560, repeated for longer runs). G4 rows carry no EOL codes; EOFB
+terminates the stream.
+
+No external TIFF tooling exists in-sandbox to cross-validate the code
+tables, so tests/test_ccitt.py pins their STRUCTURE against the spec:
+each table is prefix-free, complete over its run-length domain, and
+matches the published code-length histogram — catching transcription
+errors that a same-table round-trip cannot.
+
+Rows are coded over booleans with True = black (ink); the TIFF layer
+maps photometric polarity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# T.4 Table 2 — white run lengths (terminating 0-63)
+_WHITE_TERM = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011", 14: "110100",
+    15: "110101", 16: "101010", 17: "101011", 18: "0100111",
+    19: "0001100", 20: "0001000", 21: "0010111", 22: "0000011",
+    23: "0000100", 24: "0101000", 25: "0101011", 26: "0010011",
+    27: "0100100", 28: "0011000", 29: "00000010", 30: "00000011",
+    31: "00011010", 32: "00011011", 33: "00010010", 34: "00010011",
+    35: "00010100", 36: "00010101", 37: "00010110", 38: "00010111",
+    39: "00101000", 40: "00101001", 41: "00101010", 42: "00101011",
+    43: "00101100", 44: "00101101", 45: "00000100", 46: "00000101",
+    47: "00001010", 48: "00001011", 49: "01010010", 50: "01010011",
+    51: "01010100", 52: "01010101", 53: "00100100", 54: "00100101",
+    55: "01011000", 56: "01011001", 57: "01011010", 58: "01011011",
+    59: "01001010", 60: "01001011", 61: "00110010", 62: "00110011",
+    63: "00110100",
+}
+# T.4 Table 3 — white makeup codes (64-1728)
+_WHITE_MAKEUP = {
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100", 768: "011001101",
+    832: "011010010", 896: "011010011", 960: "011010100",
+    1024: "011010101", 1088: "011010110", 1152: "011010111",
+    1216: "011011000", 1280: "011011001", 1344: "011011010",
+    1408: "011011011", 1472: "010011000", 1536: "010011001",
+    1600: "010011010", 1664: "011000", 1728: "010011011",
+}
+# T.4 Table 2 — black run lengths (terminating 0-63)
+_BLACK_TERM = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011", 5: "0011",
+    6: "0010", 7: "00011", 8: "000101", 9: "000100", 10: "0000100",
+    11: "0000101", 12: "0000111", 13: "00000100", 14: "00000111",
+    15: "000011000", 16: "0000010111", 17: "0000011000",
+    18: "0000001000", 19: "00001100111", 20: "00001101000",
+    21: "00001101100", 22: "00000110111", 23: "00000101000",
+    24: "00000010111", 25: "00000011000", 26: "000011001010",
+    27: "000011001011", 28: "000011001100", 29: "000011001101",
+    30: "000001101000", 31: "000001101001", 32: "000001101010",
+    33: "000001101011", 34: "000011010010", 35: "000011010011",
+    36: "000011010100", 37: "000011010101", 38: "000011010110",
+    39: "000011010111", 40: "000001101100", 41: "000001101101",
+    42: "000011011010", 43: "000011011011", 44: "000001010100",
+    45: "000001010101", 46: "000001010110", 47: "000001010111",
+    48: "000001100100", 49: "000001100101", 50: "000001010010",
+    51: "000001010011", 52: "000000100100", 53: "000000110111",
+    54: "000000111000", 55: "000000100111", 56: "000000101000",
+    57: "000001011000", 58: "000001011001", 59: "000000101011",
+    60: "000000101100", 61: "000001011010", 62: "000001100110",
+    63: "000001100111",
+}
+# T.4 Table 3 — black makeup codes (64-1728)
+_BLACK_MAKEUP = {
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+# T.4 Table 4 — extended makeup codes, shared by both colors (1792-2560)
+_EXT_MAKEUP = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+# T.6 §2.2.4 — two-dimensional mode codes
+_MODE_P = "0001"
+_MODE_H = "001"
+_MODE_V = {0: "1", 1: "011", -1: "010", 2: "000011", -2: "000010",
+           3: "0000011", -3: "0000010"}
+_EOFB = "000000000001" * 2
+
+
+def _decode_tree(tables: list[dict[int, str]]) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for t in tables:
+        for run, code in t.items():
+            out[code] = run
+    return out
+
+
+_WHITE_DEC = _decode_tree([_WHITE_TERM, _WHITE_MAKEUP, _EXT_MAKEUP])
+_BLACK_DEC = _decode_tree([_BLACK_TERM, _BLACK_MAKEUP, _EXT_MAKEUP])
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[str] = []
+
+    def write(self, code: str) -> None:
+        self.bits.append(code)
+
+    def tobytes(self) -> bytes:
+        s = "".join(self.bits)
+        s += "0" * (-len(s) % 8)
+        return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def _emit_run(bw: _BitWriter, run: int, black: bool) -> None:
+    """One MH run: repeated 2560-makeups, one makeup, one terminator."""
+    makeup = _BLACK_MAKEUP if black else _WHITE_MAKEUP
+    term = _BLACK_TERM if black else _WHITE_TERM
+    while run >= 2624:  # 2560 + max 63 terminator headroom
+        bw.write(_EXT_MAKEUP[2560])
+        run -= 2560
+    if run >= 64:
+        m = (run // 64) * 64
+        bw.write(_EXT_MAKEUP[m] if m >= 1792 else makeup[m])
+        run -= m
+    bw.write(term[run])
+
+
+def _transitions(row: np.ndarray) -> list[int]:
+    """Positions where the color changes, scanning left to right with an
+    imaginary white pixel before position 0."""
+    padded = np.concatenate([[False], row])
+    return list(np.flatnonzero(padded[1:] != padded[:-1]))
+
+
+def encode_g4(img: np.ndarray) -> bytes:
+    """Boolean/uint8 (H, W) with truthy = black ink -> G4 (T.6) bytes."""
+    rows = np.ascontiguousarray(img).astype(bool)
+    h, w = rows.shape
+    bw = _BitWriter()
+    ref: list[int] = []  # imaginary all-white line above row 0
+    for y in range(h):
+        cur = _transitions(rows[y])
+        a0 = -1
+        color_black = False
+        ci = 0  # index into cur of the next transition > a0
+        while a0 < w:
+            a1 = cur[ci] if ci < len(cur) else w
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+            # b1: first ref transition > a0 with the same direction as a1
+            # (ref transitions alternate white->black at even indices)
+            bi = 0
+            while bi < len(ref) and (
+                ref[bi] <= a0 or (bi % 2 == 1) != color_black
+            ):
+                bi += 1
+            b1 = ref[bi] if bi < len(ref) else w
+            b2 = ref[bi + 1] if bi + 1 < len(ref) else w
+            if b2 < a1:
+                bw.write(_MODE_P)
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                bw.write(_MODE_V[a1 - b1])
+                a0 = a1
+                ci += 1
+                color_black = not color_black
+            else:
+                bw.write(_MODE_H)
+                start = max(a0, 0)
+                _emit_run(bw, a1 - start, color_black)
+                _emit_run(bw, a2 - a1, not color_black)
+                a0 = a2
+                ci += 2
+        ref = cur
+    bw.write(_EOFB)
+    return bw.tobytes()
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def take(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("G4: truncated stream")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+
+def _read_mode(br: _BitReader) -> tuple[str, int]:
+    """Next 2D mode: ('V', delta) | ('H', 0) | ('P', 0) | ('EOFB', 0)."""
+    code = ""
+    for _ in range(24):
+        code += str(br.take())
+        if code == "1":
+            return "V", 0
+        if code == "011":
+            return "V", 1
+        if code == "010":
+            return "V", -1
+        if code == "001":
+            return "H", 0
+        if code == "0001":
+            return "P", 0
+        if code == "000011":
+            return "V", 2
+        if code == "000010":
+            return "V", -2
+        if code == "0000011":
+            return "V", 3
+        if code == "0000010":
+            return "V", -3
+        if code == "000000000001":
+            return "EOFB", 0
+    raise ValueError("G4: bad 2D mode code")
+
+
+def _read_run(br: _BitReader, black: bool) -> int:
+    """One MH run length: makeup codes accumulate until a terminator."""
+    table = _BLACK_DEC if black else _WHITE_DEC
+    total = 0
+    while True:
+        code = ""
+        while code not in table:
+            code += str(br.take())
+            if len(code) > 14:
+                raise ValueError("G4: bad run-length code")
+        run = table[code]
+        total += run
+        if run < 64:  # terminating code ends the run
+            return total
+
+
+def decode_g4(data: bytes, w: int, h: int) -> np.ndarray:
+    """G4 (T.6) bytes -> boolean (H, W) with True = black ink."""
+    br = _BitReader(data)
+    out = np.zeros((h, w), dtype=bool)
+    ref: list[int] = []
+    for y in range(h):
+        cur: list[int] = []
+        a0 = -1
+        color_black = False
+        while a0 < w:
+            mode, delta = _read_mode(br)
+            if mode == "EOFB":
+                raise ValueError("G4: EOFB before image complete")
+            bi = 0
+            while bi < len(ref) and (
+                ref[bi] <= a0 or (bi % 2 == 1) != color_black
+            ):
+                bi += 1
+            b1 = ref[bi] if bi < len(ref) else w
+            b2 = ref[bi + 1] if bi + 1 < len(ref) else w
+            if mode == "P":
+                a0 = b2
+            elif mode == "V":
+                a1 = b1 + delta
+                if not (0 <= a1 <= w) or a1 <= a0:
+                    raise ValueError("G4: vertical mode out of range")
+                cur.append(a1)
+                a0 = a1
+                color_black = not color_black
+            else:  # horizontal: two runs from max(a0, 0)
+                start = max(a0, 0)
+                r1 = _read_run(br, color_black)
+                r2 = _read_run(br, not color_black)
+                cur.append(start + r1)
+                cur.append(start + r1 + r2)
+                a0 = start + r1 + r2
+        # transitions beyond w are clamped (the final V/H may land at w)
+        cur = [t for t in cur if t < w] + [w]
+        on = False
+        prev = 0
+        for t in cur:
+            if on:
+                out[y, prev:t] = True
+            on = not on
+            prev = t
+        ref = [t for t in cur if t < w]
+    return out

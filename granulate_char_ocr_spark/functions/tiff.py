@@ -20,7 +20,7 @@ import struct
 
 import numpy as np
 
-_NONE, _LZW, _PACKBITS = 1, 5, 32773
+_NONE, _G4, _LZW, _PACKBITS = 1, 4, 5, 32773
 
 
 # ---------------------------------------------------------------------------
@@ -181,11 +181,17 @@ def encode_tiff(
         raise ValueError("encode_tiff: (H, W) grayscale or (H, W, 3) RGB")
     h, w = img.shape[0], img.shape[1]
     spp = 1 if gray else 3
+    if compression == _G4 and not bilevel:
+        raise ValueError("encode_tiff: G4 is a bilevel compression")
     if bilevel:
         if not gray:
             raise ValueError("encode_tiff: bilevel requires grayscale")
         bits = 1
-        rows = np.packbits(img > 127, axis=1)
+        if compression == _G4:
+            # fax convention: photometric 0 (WhiteIsZero), bit 1 = black
+            rows = np.packbits(img <= 127, axis=1)
+        else:
+            rows = np.packbits(img > 127, axis=1)
     else:
         bits = 8
         rows = img.reshape(h, w * spp)
@@ -206,6 +212,11 @@ def encode_tiff(
             )
         elif compression == _LZW:
             payload = _tiff_lzw_encode(raw)
+        elif compression == _G4:
+            from granulate_char_ocr_spark.functions.ccitt import encode_g4
+
+            black = np.unpackbits(chunk, axis=1)[:, :w].astype(bool)
+            payload = encode_g4(black)
         elif compression == _NONE:
             payload = raw
         else:
@@ -250,7 +261,8 @@ def encode_tiff(
     entry(257, 4, 1, struct.pack("<I", h))
     entry(258, 3, spp, arr_value([bits] * spp, 3))
     entry(259, 3, 1, struct.pack("<HH", compression, 0))
-    entry(262, 3, 1, struct.pack("<HH", 2 if spp == 3 else 1, 0))
+    photometric = 2 if spp == 3 else (0 if compression == _G4 else 1)
+    entry(262, 3, 1, struct.pack("<HH", photometric, 0))
     entry(273, 4, n_strips, arr_value(strip_offsets, 4))
     entry(277, 3, 1, struct.pack("<HH", spp, 0))
     entry(278, 4, 1, struct.pack("<I", rps))
@@ -323,15 +335,18 @@ def decode_tiff(data: bytes) -> np.ndarray:
     counts = tags.get(279)
     if offsets is None or counts is None:
         raise ValueError("TIFF: missing strip offsets/counts")
-    if comp not in (_NONE, _LZW, _PACKBITS):
+    if comp not in (_NONE, _G4, _LZW, _PACKBITS):
         raise ValueError(
-            f"TIFF: compression {comp} unsupported (none/LZW/PackBits only; "
-            "CCITT and JPEG-in-TIFF need their own codecs)"
+            f"TIFF: compression {comp} unsupported "
+            "(none/G4/LZW/PackBits only; CCITT G3 and JPEG-in-TIFF need "
+            "their own codecs)"
         )
     if bits not in (1, 8) or any(b != bits for b in bits_list):
         raise ValueError(f"TIFF: {bits_list}-bit samples unsupported (1/8)")
     if bits == 1 and spp != 1:
         raise ValueError("TIFF: bilevel must be single-sample")
+    if comp == _G4 and bits != 1:
+        raise ValueError("TIFF: G4 compression requires bilevel samples")
 
     row_bytes = (w * bits * spp + 7) // 8
     rows = np.zeros((h, row_bytes), dtype=np.uint8)
@@ -344,6 +359,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raw = _packbits_decode(chunk, expected)
         elif comp == _LZW:
             raw = _tiff_lzw_decode(chunk, expected)
+        elif comp == _G4:
+            from granulate_char_ocr_spark.functions.ccitt import decode_g4
+
+            black = decode_g4(chunk, w, n_rows)
+            raw = np.packbits(black, axis=1).tobytes()
         else:
             if len(chunk) < expected:
                 raise ValueError("TIFF: truncated strip")

@@ -1,0 +1,113 @@
+"""CCITT G4 (T.6 MMR) codec: round-trips over adversarial bilevel
+layouts, structural validation of the T.4 Huffman tables (prefix-freeness
++ completeness — the strongest cross-implementation check available
+without external TIFF tooling in-sandbox), and the G4-in-TIFF path."""
+
+import numpy as np
+import pytest
+
+from granulate_char_ocr_spark.functions.ccitt import (
+    _BLACK_MAKEUP,
+    _BLACK_TERM,
+    _EXT_MAKEUP,
+    _WHITE_MAKEUP,
+    _WHITE_TERM,
+    decode_g4,
+    encode_g4,
+)
+from granulate_char_ocr_spark.functions.tiff import decode_tiff, encode_tiff
+from granulate_char_ocr_spark.sources.synthetic import render_word
+
+
+def _assert_prefix_free(codes):
+    codes = sorted(codes, key=len)
+    for i, c in enumerate(codes):
+        for other in codes[i + 1 :]:
+            assert not other.startswith(c), (c, other)
+
+
+def test_mh_tables_structure():
+    """T.4 table invariants: complete run-length domains, prefix-free
+    within each color (terminating + makeup + shared extended makeups),
+    spec length bounds, Kraft inequality (catches length typos)."""
+    assert sorted(_WHITE_TERM) == list(range(64))
+    assert sorted(_BLACK_TERM) == list(range(64))
+    assert sorted(_WHITE_MAKEUP) == list(range(64, 1729, 64))
+    assert sorted(_BLACK_MAKEUP) == list(range(64, 1729, 64))
+    assert sorted(_EXT_MAKEUP) == list(range(1792, 2561, 64))
+    white = list(_WHITE_TERM.values()) + list(_WHITE_MAKEUP.values()) + list(
+        _EXT_MAKEUP.values()
+    )
+    black = list(_BLACK_TERM.values()) + list(_BLACK_MAKEUP.values()) + list(
+        _EXT_MAKEUP.values()
+    )
+    _assert_prefix_free(white)
+    _assert_prefix_free(black)
+    assert max(len(c) for c in _WHITE_TERM.values()) == 8
+    assert max(len(c) for c in _WHITE_MAKEUP.values()) == 9
+    assert max(len(c) for c in _BLACK_TERM.values()) == 12
+    assert max(len(c) for c in _BLACK_MAKEUP.values()) == 13
+    for table in (white, black):
+        assert sum(2.0 ** -len(c) for c in table) <= 1.0
+        assert len(set(table)) == len(table)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["noise", "blank", "full", "stripes_v", "stripes_h", "checker",
+     "wide_runs", "diag"],
+)
+def test_g4_roundtrip_layouts(name):
+    rng = np.random.default_rng(17)
+    imgs = {
+        "noise": rng.integers(0, 2, (40, 73)).astype(bool),
+        "blank": np.zeros((20, 100), dtype=bool),
+        "full": np.ones((20, 100), dtype=bool),
+        "stripes_v": np.tile(np.arange(64) % 2 == 0, (30, 1)),
+        "stripes_h": np.tile((np.arange(30) % 2 == 0)[:, None], (1, 64)),
+        "checker": np.add.outer(np.arange(21), np.arange(33)) % 2 == 0,
+        "wide_runs": np.zeros((5, 3000), dtype=bool),
+        "diag": np.eye(17, dtype=bool),
+    }
+    imgs["wide_runs"][:, 2900:] = True  # runs > the 2560 extended makeup
+    img = imgs[name]
+    out = decode_g4(encode_g4(img), img.shape[1], img.shape[0])
+    assert np.array_equal(out, img)
+
+
+def test_g4_compresses_scan_shapes():
+    """A text glyph must compress well below the packed-bit size — the
+    reason fax corpora are G4."""
+    glyph = render_word("PLEASURE", 0) > 127
+    data = encode_g4(glyph)
+    assert len(data) < glyph.size // 8 / 4  # at least 4x over packed bits
+
+
+def test_g4_truncated_rejected():
+    img = np.eye(9, dtype=bool)
+    data = encode_g4(img)
+    with pytest.raises(ValueError, match="G4|truncated"):
+        decode_g4(data[: len(data) // 3], 9, 9)
+
+
+@pytest.mark.parametrize("rps", [None, 11])
+def test_tiff_g4_glyph_roundtrip(rps):
+    """G4-in-TIFF (compression 4, fax photometric WhiteIsZero) recovers
+    the exact 0/255 plane, single- and multi-strip."""
+    bil = (render_word("WORK", 1) > 127).astype(np.uint8) * 255
+    data = encode_tiff(bil, compression=4, bilevel=True, rows_per_strip=rps)
+    assert np.array_equal(decode_tiff(data), bil)
+
+
+def test_tiff_g4_through_sniff_recognition(spark):
+    """The full scan shape: a G4 fax TIFF through decode_payload('auto')
+    recognizes exactly."""
+    from granulate_char_ocr_spark.functions import kernels
+    from granulate_char_ocr_spark.operators.multimodal import decode_payload
+
+    glyph = render_word("TEAM", 2)
+    payload = encode_tiff(glyph, compression=4, bilevel=True)
+    gray = decode_payload(payload, "auto", 0, 0)
+    assert np.array_equal(gray, glyph)
+    chars = kernels.recognize_word(gray)
+    assert "".join(c["latin"] for c in chars) == "TEAM"
