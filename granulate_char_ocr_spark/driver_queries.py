@@ -1247,11 +1247,12 @@ def ocr_extract_salted(spark, sf_dir):
 
 @q("ocr_extract_compressed", _FLAT_SPAN_ORACLE)
 def ocr_extract_compressed(spark, sf_dir):
-    """The flagship extraction over a COMPRESSED media store: PNG payloads
-    (filter type and Adam7 interlace cycling per image) sniff-decode
-    through multimodal.decode_media_store before the kernel stage — the
-    real corpus shape, where images arrive as encoded files, not raw
-    buffers. PNG is lossless, so the output must equal
+    """The flagship extraction over a COMPRESSED media store: payloads
+    cycle through every lossless still format — PNG (filter types +
+    Adam7), GIF, G4 fax TIFF, LZW TIFF, BMP — and sniff-decode through
+    multimodal.decode_media_store before the kernel stage; the real
+    corpus shape, where images arrive as encoded files, not raw buffers.
+    All formats are lossless, so the output must equal
     ocr_extract_documents exactly (same golden oracle)."""
     from granulate_char_ocr_spark.operators.multimodal import (
         decode_media_store,

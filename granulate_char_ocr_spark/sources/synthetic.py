@@ -281,25 +281,48 @@ def _media_row_noisy(i: int):
 
 
 def _media_row_png(i: int):
-    """Clean glyph media, PNG-compressed on the executor. Filter type and
-    interlace vary by index so the corpus exercises every unfilter branch
-    and Adam7 at the gate; JPEG is excluded here because the gate golden
-    requires bit-exact pixels (JPEG q=95 survives hashing — pinned by
-    tests — but lossless is the right fixture contract)."""
-    from granulate_char_ocr_spark.functions.png import encode_png
-
+    """Clean glyph media, compressed on the executor in a LOSSLESS format
+    cycling by index — PNG (filter types + Adam7), GIF, G4 fax TIFF,
+    LZW TIFF, BMP — so ONE gate query proves every still codec's decode
+    path end to end. JPEG is excluded because the gate golden requires
+    bit-exact pixels (JPEG q=95 survives hashing — pinned by tests — but
+    lossless is the right fixture contract)."""
     word, v = WORDS[i // N_VARIANTS], i % N_VARIANTS
     img = render_word(word, v)
-    data = encode_png(
-        img, filter_type=i % 5, interlace=1 if i % 7 == 0 else 0
-    )
+    fmt = i % 5
+    if fmt in (0, 1):
+        from granulate_char_ocr_spark.functions.png import encode_png
+
+        data = encode_png(
+            img, filter_type=i % 5, interlace=1 if i % 7 == 0 else 0
+        )
+    elif fmt == 2:
+        from granulate_char_ocr_spark.functions.gif import encode_gif
+
+        pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        data = encode_gif(
+            (img > 0).astype(np.uint8), pal, interlace=i % 3 == 0
+        )
+    elif fmt == 3:
+        from granulate_char_ocr_spark.functions.tiff import encode_tiff
+
+        data = encode_tiff(
+            img,
+            compression=4 if i % 2 else 5,  # G4 fax / LZW
+            bilevel=bool(i % 2),
+        )
+    else:
+        from granulate_char_ocr_spark.functions.bmp import encode_bmp
+
+        data = encode_bmp(img)
     return (
         media_ref_for(word, v), word, img.shape[1], img.shape[0], data,
     )
 
 
 def png_media_spark(spark):
-    """The clean media store with PNG payloads in the pixels column — the
+    """The clean media store with compressed payloads in the pixels column
+    (PNG/GIF/TIFF/BMP cycling — see _media_row_png) — the
     compressed-corpus input to operators/multimodal.decode_media_store."""
     return _gen_media_spark(
         spark, len(WORDS) * N_VARIANTS, _media_row_png
