@@ -173,7 +173,7 @@ def decode_gif(data: bytes) -> np.ndarray:
     when the frame declares a transparent index."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("GIF: bad signature")
-    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
     if packed & 0x80:
@@ -230,6 +230,16 @@ def decode_gif(data: bytes) -> np.ndarray:
                 out[start::step] = idx[row : row + n_rows]
                 row += n_rows
             idx = out
+        if (left, top, w, h) != (0, 0, sw, sh):
+            # frame covers a sub-rectangle of the logical screen (optimizer
+            # output): compose onto the background-filled canvas like PIL
+            canvas = np.full(
+                (sh, sw),
+                bg if bg < len(ct) else 0,
+                dtype=np.uint8,
+            )
+            canvas[top : top + h, left : left + w] = idx
+            idx = canvas
         if int(idx.max(initial=0)) >= len(ct):
             raise ValueError("GIF: palette index out of range")
         rgb = ct[idx]

@@ -381,9 +381,6 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if y < h:
         raise ValueError("TIFF: strips cover fewer rows than ImageLength")
 
-    if bits == 1:
-        px = np.unpackbits(rows, axis=1)[:, :w] * np.uint8(255)
-        return px if photo == 1 else 255 - px  # photometric 0: white-is-zero
     if photo == 3:  # palette: 16-bit colormap, R then G then B planes
         cmap = tags.get(320)
         if cmap is None:
@@ -392,8 +389,18 @@ def decode_tiff(data: bytes) -> np.ndarray:
         pal = (
             np.array(cmap, dtype=np.uint16).reshape(3, n).T >> 8
         ).astype(np.uint8)
-        idx = rows[:, :w]
+        # palette indices may themselves be 1-bit (2-entry colormap)
+        idx = (
+            np.unpackbits(rows, axis=1)[:, :w] if bits == 1 else rows[:, :w]
+        )
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("TIFF: palette index out of range")
         return pal[idx]
+    if bits == 1:
+        px = np.unpackbits(rows, axis=1)[:, :w] * np.uint8(255)
+        return np.ascontiguousarray(
+            px if photo == 1 else 255 - px  # photometric 0: white-is-zero
+        )
     if spp == 1:
         gray = rows[:, :w]
         return np.ascontiguousarray(gray if photo == 1 else 255 - gray)

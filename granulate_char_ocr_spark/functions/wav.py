@@ -79,6 +79,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     audio_format, ch, rate, _byte_rate, _block, bits = fmt
     if ch < 1:
         raise ValueError("WAV: zero channels")
+    if rate < 1:
+        raise ValueError("WAV: invalid sample rate")
+    sample_bytes = bits // 8
+    if sample_bytes and len(raw) % sample_bytes:
+        # tolerate a trailing partial sample (truncated writes) instead of
+        # surfacing a bare numpy reshape error
+        raw = raw[: len(raw) - len(raw) % sample_bytes]
     if audio_format == 1 and bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
     elif audio_format == 1 and bits == 8:

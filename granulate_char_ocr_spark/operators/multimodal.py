@@ -122,7 +122,9 @@ def decode_media_store(media: DataFrame, permissive: bool = False) -> DataFrame:
     This is the decode stage a compressed corpus runs before the
     extraction kernel (which takes raw buffers only); width/height are
     re-derived from the decoded plane, so mismatched metadata cannot
-    corrupt the downstream reshape. ``permissive`` turns a per-image
+    corrupt the downstream reshape. A payload with no known container
+    signature falls back to raw when its size matches width×height (so
+    mixed raw/compressed stores work). ``permissive`` turns a per-image
     decode failure into a null-pixel row (the extraction kernel already
     collapses those to empty results — the reference's error contract,
     ocr_service.py:164-171) instead of failing the task."""
@@ -132,7 +134,20 @@ def decode_media_store(media: DataFrame, permissive: bool = False) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 try:
-                    img = decode_payload(r.pixels, "auto", r.width, r.height)
+                    payload = bytes(r.pixels) if r.pixels is not None else None
+                    if payload is None:
+                        raise ValueError("null payload")
+                    try:
+                        img = decode_payload(payload, "auto", r.width, r.height)
+                    except ValueError as e:
+                        if "unknown image signature" in str(e) and len(
+                            payload
+                        ) == int(r.width) * int(r.height):
+                            img = decode_payload(
+                                payload, "raw", r.width, r.height
+                            )
+                        else:
+                            raise
                 except Exception:
                     if not permissive:
                         raise
@@ -238,8 +253,6 @@ def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
     to grayscale). Temporal codecs (H.264) stay stubbed in-sandbox."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from granulate_char_ocr_spark.functions.avi import decode_avi_mjpeg
-
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
@@ -252,9 +265,19 @@ def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
                         else "raw"
                     )
                 if codec in ("avi", "mjpeg"):
-                    for i, frame in enumerate(decode_avi_mjpeg(bytes(r.payload))):
+                    from granulate_char_ocr_spark.functions.avi import (
+                        iter_mjpeg_payloads,
+                    )
+                    from granulate_char_ocr_spark.functions.jpeg import (
+                        decode_jpeg,
+                    )
+
+                    # decode ONLY the sampled frames — JPEG decode is the
+                    # dominant per-frame cost in this UDF
+                    for i, p in enumerate(iter_mjpeg_payloads(bytes(r.payload))):
                         if i % every_k:
                             continue
+                        frame = decode_jpeg(p)
                         if frame.ndim == 3:
                             frame = kernels.to_grayscale(frame[..., 2::-1])
                         out.append(

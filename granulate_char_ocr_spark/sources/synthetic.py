@@ -191,6 +191,24 @@ EXPECTED_SCHEMA = f"doc_id string, spans {SPANS_OUT_TYPE}"
 MEDIA_SCHEMA = "media_ref string, word string, width int, height int, pixels binary"
 
 
+# Generated tables are memoized per (application, parameters): the
+# extraction plan scans docs three times and every gate query would
+# otherwise create (and persist) a fresh DataFrame — memoization gives
+# compute-once semantics across plan branches AND across the ~dozen gate
+# queries sharing one corpus, without leaking a new cache entry per call
+# (review finding: bare per-call persist() accumulated unreleased blocks).
+_GEN_CACHE: dict[tuple, object] = {}
+
+
+def _memoized_persist(spark, key: tuple, build):
+    full = (spark.sparkContext.applicationId,) + key
+    df = _GEN_CACHE.get(full)
+    if df is None:
+        df = build().persist()
+        _GEN_CACHE[full] = df
+    return df
+
+
 def _gen_spans_spark(
     spark, n_docs: int, seed: int, which: int, spans_type: str,
     media_ref_suffix: str = "",
@@ -219,17 +237,20 @@ def _gen_spans_spark(
             yield pd.DataFrame(rows, columns=["doc_id", "spans_json"])
 
     par = spark.sparkContext.defaultParallelism
-    return (
-        spark.range(0, n_docs, 1, min(par, max(1, n_docs // 50)))
-        .mapInPandas(gen, "doc_id string, spans_json string")
-        .select(
-            "doc_id", F.from_json("spans_json", spans_type).alias("spans")
+
+    def build():
+        return (
+            spark.range(0, n_docs, 1, min(par, max(1, n_docs // 50)))
+            .mapInPandas(gen, "doc_id string, spans_json string")
+            .select(
+                "doc_id", F.from_json("spans_json", spans_type).alias("spans")
+            )
         )
-        # the extraction plan scans docs three times (two text-normalize
-        # branches + the media-span leg); a parquet source re-scans for
-        # free, but re-running this Python generation stage per branch
-        # triples the synthesis cost — cache the generated table instead
-        .persist()
+
+    return _memoized_persist(
+        spark,
+        ("spans", n_docs, seed, which, spans_type, media_ref_suffix),
+        build,
     )
 
 
@@ -255,10 +276,14 @@ def _gen_media_spark(spark, n_items: int, make_row):
             )
 
     par = spark.sparkContext.defaultParallelism
-    return (
-        spark.range(0, n_items, 1, min(par, max(1, n_items // 16)))
-        .mapInPandas(gen, MEDIA_SCHEMA)
-        .persist()  # dimension table: broadcast builds re-scan it per job
+
+    def build():
+        return spark.range(
+            0, n_items, 1, min(par, max(1, n_items // 16))
+        ).mapInPandas(gen, MEDIA_SCHEMA)
+
+    return _memoized_persist(
+        spark, ("media", n_items, make_row.__name__), build
     )
 
 
@@ -293,8 +318,12 @@ def _media_row_png(i: int):
     if fmt in (0, 1):
         from granulate_char_ocr_spark.functions.png import encode_png
 
+        # (i // 5) % 5 walks ALL five filter types across the PNG legs
+        # (i % 5 would stick to 0/1 inside this branch — review finding)
         data = encode_png(
-            img, filter_type=i % 5, interlace=1 if i % 7 == 0 else 0
+            img,
+            filter_type=(i // 5) % 5,
+            interlace=1 if i % 7 == 0 else 0,
         )
     elif fmt == 2:
         from granulate_char_ocr_spark.functions.gif import encode_gif

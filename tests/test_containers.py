@@ -136,3 +136,45 @@ def test_sample_frames_mjpeg_avi(spark):
         want = frames[r["frame_index"]].reshape(-1)
         mse = np.mean((got.astype(float) - want.astype(float)) ** 2)
         assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 35
+
+
+def test_wav_invalid_rate_and_partial_sample():
+    """Review fix: rate 0 raises with WAV context; a trailing partial
+    sample is trimmed instead of surfacing a numpy reshape error."""
+    import struct
+
+    data = bytearray(encode_wav(_tone(64), 8000))
+    i = data.find(b"fmt ")
+    data[i + 12 : i + 16] = struct.pack("<I", 0)  # nSamplesPerSec = 0
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav(bytes(data))
+    good = bytearray(encode_wav(_tone(64), 8000))
+    j = good.find(b"data")
+    # grow the declared data size by one byte and append a stray byte
+    (sz,) = struct.unpack("<I", good[j + 4 : j + 8])
+    good[j + 4 : j + 8] = struct.pack("<I", sz + 1)
+    good.append(0x7F)
+    out, rate = decode_wav(bytes(good))
+    assert rate == 8000 and len(out) == 64
+
+
+def test_decode_media_store_raw_fallback(spark):
+    """Review fix: raw pixel payloads (no container signature) pass
+    through decode_media_store unchanged when size matches w*h."""
+    import pandas as pd
+
+    from granulate_char_ocr_spark.operators.multimodal import (
+        MEDIA_STORE_SCHEMA,
+        decode_media_store,
+    )
+    from granulate_char_ocr_spark.sources.synthetic import render_word
+
+    img = render_word("WE", 1)
+    pdf = pd.DataFrame(
+        [("r", "WE", img.shape[1], img.shape[0], img.tobytes())],
+        columns=["media_ref", "word", "width", "height", "pixels"],
+    )
+    store = spark.createDataFrame(pdf, schema=MEDIA_STORE_SCHEMA)
+    row = decode_media_store(store).collect()[0]
+    assert bytes(row["pixels"]) == img.tobytes()
+    assert (row["width"], row["height"]) == (img.shape[1], img.shape[0])

@@ -95,3 +95,28 @@ def test_mixed_corpus_scan_with_gif(spark, tmp_path):
     )
     got = {r["media_ref"].rsplit("/", 1)[-1]: r["text"] for r in rec.collect()}
     assert got == {"TEAM_1.png": "TEAM", "WORK_2.jpg": "WORK", "US_3.gif": "US"}
+
+
+def test_subrectangle_frame_composes_onto_canvas():
+    """Review fix: a frame covering a sub-rectangle of the logical screen
+    (optimizer output) must compose onto the background-filled canvas,
+    not return the bare sub-rectangle."""
+    import struct
+
+    from granulate_char_ocr_spark.functions.gif import (
+        _lzw_encode, _subblocks)
+
+    pal = np.array([[10, 20, 30], [200, 210, 220]], dtype=np.uint8)
+    inner = np.ones((2, 3), dtype=np.uint8)
+    header = b"GIF89a" + struct.pack("<HHBBB", 6, 5, 0x80, 0, 0)
+    gct = np.vstack([pal, np.zeros((0, 3), np.uint8)]).tobytes()
+    img = (
+        struct.pack("<BHHHHB", 0x2C, 2, 1, 3, 2, 0)  # left=2 top=1 3x2
+        + bytes([2])
+        + _subblocks(_lzw_encode(inner, 2))
+    )
+    out = decode_gif(header + gct + img + b"\x3b")
+    assert out.shape == (5, 6, 3)
+    want = np.tile(pal[0], (5, 6, 1))
+    want[1:3, 2:5] = pal[1]
+    assert np.array_equal(out, want)

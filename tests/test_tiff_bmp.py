@@ -134,3 +134,60 @@ def test_five_format_corpus_scan(spark, tmp_path):
         "WE_4.tif": "WE",
         "LAB_5.bmp": "LAB",
     }
+
+
+def test_tiff_1bit_palette_uses_colormap():
+    """Review fix: a 1-bit palette TIFF (photometric 3 + 2-entry ColorMap)
+    must consult the colormap, not fall through to bilevel grayscale."""
+    import struct as _struct
+
+    data = bytearray(encode_tiff(
+        (np.eye(6, dtype=np.uint8) * 255), bilevel=True
+    ))
+    # rewrite photometric 1 -> 3 and append a ColorMap IFD entry is complex;
+    # instead build the minimal file by hand: reuse encoder output's strip
+    # and construct a fresh IFD with photometric 3 + ColorMap
+    bits = np.packbits(np.eye(6, dtype=bool), axis=1)
+    strip = bits.tobytes()
+    cmap_vals = [0x0000, 0xFFFF] + [0x0000, 0x8080] + [0x0000, 0x4040]
+    entries = []
+    extra = bytearray()
+    ifd_off = 8
+    n_tags = 10
+    data_off = ifd_off + 2 + n_tags * 12 + 4
+
+    def place(payload):
+        off = data_off + len(extra)
+        extra.extend(payload)
+        return off
+
+    strip_off = place(strip)
+    cmap_off = place(
+        b"".join(_struct.pack("<H", v) for v in cmap_vals)
+    )
+    def e(tag, typ, count, value):
+        entries.append(_struct.pack("<HHI", tag, typ, count) + value)
+
+    e(256, 4, 1, _struct.pack("<I", 6))
+    e(257, 4, 1, _struct.pack("<I", 6))
+    e(258, 3, 1, _struct.pack("<HH", 1, 0))
+    e(259, 3, 1, _struct.pack("<HH", 1, 0))
+    e(262, 3, 1, _struct.pack("<HH", 3, 0))
+    e(273, 4, 1, _struct.pack("<I", strip_off))
+    e(277, 3, 1, _struct.pack("<HH", 1, 0))
+    e(278, 4, 1, _struct.pack("<I", 6))
+    e(279, 4, 1, _struct.pack("<I", len(strip)))
+    e(320, 3, 6, _struct.pack("<I", cmap_off))
+    tif = (
+        b"II*\x00" + _struct.pack("<I", ifd_off)
+        + _struct.pack("<H", n_tags) + b"".join(entries)
+        + _struct.pack("<I", 0) + bytes(extra)
+    )
+    out = decode_tiff(tif)
+    assert out.shape == (6, 6, 3)
+    want = np.where(
+        np.eye(6, dtype=bool)[..., None],
+        np.array([0xFF, 0x80, 0x40], dtype=np.uint8),
+        np.zeros(3, dtype=np.uint8),
+    )
+    assert np.array_equal(out, want)
