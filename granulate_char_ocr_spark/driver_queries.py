@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -537,29 +538,41 @@ def distinct_users_per_type(spark, sf_dir):
     )
 
 
+# (running_sum_per_user was retired from the 50-entry gate window in r3
+# in favor of pdf_extract_docs: the explicit cumulative-sum frame it
+# pinned stays exercised by value_islands_per_user / sessionize_events,
+# and the window family keeps rank/lag/mode coverage.)
+
+
 @q(
-    "running_sum_per_user",
-    """
-    SELECT user_id, event_id,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING), 4) AS run_sum
-    FROM events WHERE user_id < 5
-    """,
+    "pdf_extract_docs",
+    "SELECT doc_id, text AS extracted FROM documents",
 )
-def running_sum_per_user(spark, sf_dir):
-    """Cumulative-sum frame (rowsBetween unboundedPreceding→current) — the
-    gaps-and-islands building block (SURVEY §2.5 W1/W4 frame spec)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.round(F.sum("value").over(w), 4).alias("run_sum"),
-    )
+def pdf_extract_docs(spark, sf_dir):
+    """The north rule's "PDF/layout parse" leg: each document's text is
+    written into a real single-page PDF on the executors (Flate content
+    stream, BT/Td/Tj operators — functions/pdf.py) and the extraction
+    operator must recover the text layer EXACTLY, which is what the
+    oracle reads from the source table — build and parse both under
+    test."""
+    from granulate_char_ocr_spark.operators.docparse import pdf_texts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        from granulate_char_ocr_spark.functions.pdf import encode_pdf
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_pdf([t]) for t in pdf["text"]],
+                }
+            )
+
+    key_type = docs.schema["doc_id"].dataType.simpleString()
+    pdfs = docs.mapInPandas(build, f"doc_id {key_type}, payload binary")
+    return pdf_texts(pdfs)
 
 
 @q(
@@ -911,16 +924,44 @@ def lang_id_docs(spark, sf_dir):
     return textstats.lang_id(_t(spark, sf_dir, "documents"))
 
 
+# (token_count_docs was folded into bpe_token_count_docs in r3 — that
+# entry now carries n_bpe_tokens + n_ws_tokens + n_types — to free a gate
+# slot for html_extract_docs; textstats.token_count stays pytest-covered.)
+
+
 @q(
-    "token_count_docs",
-    """
-    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-           len(list_distinct(string_split(text, ' '))) AS n_types
+    "html_extract_docs",
+    r"""
+    SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text
     FROM documents
     """,
 )
-def token_count_docs(spark, sf_dir):
-    return textstats.token_count(_t(spark, sf_dir, "documents"))
+def html_extract_docs(spark, sf_dir):
+    """The north rule's "HTML boilerplate strip" leg: each document's text
+    is entity-escaped into a full boilerplate page (head/title/style/
+    script with tag-and-entity traps, nav, header, aside, footer) and the
+    PURE-CODEGEN extractor (functions/html.py) must recover exactly the
+    whitespace-collapsed original — which is what the oracle computes
+    from the source text directly, so the page build AND the strip are
+    both under test."""
+    from granulate_char_ocr_spark.functions.html import escape_text
+    from granulate_char_ocr_spark.operators.docparse import html_main_texts
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title><style>p{color:#000}</style>'
+            '<script>var trap = "<p>&amp;not content</p>";</script></head>'
+            '<body><nav><a href="/">Home</a> | <a href="/a">A</a></nav>'
+            "<header><h1>Site</h1></header><p>"
+        ),
+        escape_text(F.col("text")),
+        F.lit(
+            "</p><aside>related links</aside>"
+            "<!-- tracking --><footer>(c) corp</footer></body></html>"
+        ),
+    )
+    return html_main_texts(docs.select("doc_id", page.alias("html")))
 
 
 @q(
@@ -959,13 +1000,17 @@ def quality_score_docs(spark, sf_dir):
            CAST(len(regexp_extract_all(text,
              ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} \t\r\n]+|[ \t\r\n]+')) AS INTEGER)
              AS n_bpe_tokens,
-           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+             AS n_types
     FROM documents
     """,
 )
 def bpe_token_count_docs(spark, sf_dir):
-    """BPE-ish regex token budget (pipeline brief); leftmost-first
-    alternation matches identically in Java regex and RE2."""
+    """BPE-ish regex token budget (pipeline brief) + whitespace tokens +
+    distinct types (absorbing the former token_count_docs entry);
+    leftmost-first alternation matches identically in Java regex and
+    RE2."""
     return textstats.bpe_token_count(_t(spark, sf_dir, "documents"))
 
 

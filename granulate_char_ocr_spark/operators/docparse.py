@@ -1,0 +1,55 @@
+"""Document-format parsing operators — the web-extraction legs the north
+rule names explicitly: "HTML boilerplate strip" and "PDF/layout parse".
+
+HTML main-content extraction is PURE whole-stage codegen (a regex
+cascade over a string column — functions/html.py); PDF text extraction
+is an Arrow-batched mapInPandas over binary payloads
+(functions/pdf.py). Both are deterministic, so the driver gate checks
+them against exact oracles."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from granulate_char_ocr_spark.functions.html import main_text_expr
+
+
+def html_main_texts(
+    df: DataFrame, html_col: str = "html", key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, html) -> (key, main_text): boilerplate-stripped body text,
+    no Python in the plan."""
+    return df.select(
+        key_col, main_text_expr(F.col(html_col)).alias("main_text")
+    )
+
+
+def pdf_texts(
+    df: DataFrame, payload_col: str = "payload", key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, pdf_bytes) -> (key, extracted): the text layer of each PDF
+    in operator order. The key column keeps its input type. Per-row parse
+    failures raise (wrap upstream when a corpus needs the permissive
+    contract)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.pdf import decode_pdf_text
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "extracted": [
+                        decode_pdf_text(bytes(p)) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col, payload_col).mapInPandas(
+        fn, schema=f"{key_col} {key_type}, extracted string"
+    )

