@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "ocr_extract_multirow",
     "lang_id_docs",
     "quality_score_docs",
+    "html_extract_docs",
+    "pdf_extract_docs",
     "winnow_fingerprints_docs",
     "clean_corpus_manifest",
 ]
