@@ -7,7 +7,9 @@ reference line's changing elements (T.6 §2), with horizontal-mode run
 lengths coded by the T.4 §2 Modified Huffman white/black tables
 (terminating codes 0-63, makeup codes to 1728, shared extended makeups
 to 2560, repeated for longer runs). G4 rows carry no EOL codes; EOFB
-terminates the stream.
+terminates the stream. The same MH run coder also backs the
+one-dimensional modes: TIFF compression 2 (MH-RLE, byte-aligned rows)
+and compression 3 in its default 1D form (EOL before each row).
 
 No external TIFF tooling exists in-sandbox to cross-validate the code
 tables, so tests/test_ccitt.py pins their STRUCTURE against the spec:
@@ -296,4 +298,74 @@ def decode_g4(data: bytes, w: int, h: int) -> np.ndarray:
             on = not on
             prev = t
         ref = [t for t in cur if t < w]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# one-dimensional coding: Modified Huffman rows (T.4 §2) — TIFF compression
+# 2 ("CCITT RLE": no EOLs, every row byte-aligned) and compression 3 in its
+# default 1D mode (EOL code before every row)
+# ---------------------------------------------------------------------------
+
+_EOL = "000000000001"
+
+
+def _row_runs(row: np.ndarray) -> list[int]:
+    """Alternating run lengths starting with white (first run may be 0)."""
+    t = _transitions(row)
+    runs = []
+    prev = 0
+    for pos in t + [len(row)]:
+        runs.append(pos - prev)
+        prev = pos
+    return runs
+
+
+def encode_mh(img: np.ndarray, mode: str) -> bytes:
+    """Boolean (H, W) truthy=black -> 1D MH bytes. mode 'rle' = TIFF
+    compression 2 (byte-aligned rows, no EOL); mode 'g3' = compression 3
+    default 1D (EOL before each row)."""
+    rows = np.ascontiguousarray(img).astype(bool)
+    bw = _BitWriter()
+    for y in range(rows.shape[0]):
+        if mode == "g3":
+            bw.write(_EOL)
+        elif mode == "rle" and y:
+            # byte-align the start of every row
+            used = sum(len(b) for b in bw.bits) % 8
+            if used:
+                bw.write("0" * (8 - used))
+        black = False
+        for run in _row_runs(rows[y]):
+            _emit_run(bw, run, black)
+            black = not black
+    return bw.tobytes()
+
+
+def decode_mh(data: bytes, w: int, h: int, mode: str) -> np.ndarray:
+    """1D MH bytes -> boolean (H, W) truthy=black. See encode_mh."""
+    br = _BitReader(data)
+    out = np.zeros((h, w), dtype=bool)
+    for y in range(h):
+        if mode == "g3":
+            # scan to the next EOL (fill bits of 0 may precede it)
+            window = ""
+            while not window.endswith(_EOL):
+                window += str(br.take())
+                if len(window) > 64 + len(_EOL):
+                    raise ValueError("G3: EOL not found")
+                if len(window) > len(_EOL) and window[-len(_EOL)] == "1":
+                    raise ValueError("G3: garbage before EOL")
+        elif mode == "rle" and y:
+            br.pos += (-br.pos) % 8  # rows are byte-aligned
+        x = 0
+        black = False
+        while x < w:
+            run = _read_run(br, black)
+            if x + run > w:
+                raise ValueError("MH: run overflows row")
+            if black:
+                out[y, x : x + run] = True
+            x += run
+            black = not black
     return out

@@ -4,11 +4,14 @@ Implements the TIFF 6.0 baseline slice OCR scan corpora actually use:
 little- and big-endian files, multi-strip layout, bilevel (1-bit,
 both photometric polarities), 8-bit grayscale (both polarities), 8-bit
 RGB(A), and 16-bit-valued palette color; compressions none (1),
-PackBits (32773) and TIFF-flavor LZW (5, MSB-first codes with the
-early-change rule) with horizontal-differencing predictor 2. CCITT
-G3/G4 and JPEG-in-TIFF stay rejected with the reason. The encoder
-writes little-endian baseline files (gray/RGB/bilevel, any
-rows-per-strip, all three compressions) for round-trip tests.
+CCITT MH-RLE (2), G3 1D (3), G4 fax (4) — functions/ccitt.py —
+TIFF-flavor LZW (5, MSB-first codes with the early-change rule) with
+horizontal-differencing predictor 2, new-style JPEG-in-TIFF (7, each
+strip a standalone JFIF stream through functions/jpeg.py) and PackBits
+(32773). 2D G3, old-style JPEG (6) and deflate variants stay rejected
+with the reason. The encoder writes little-endian baseline files
+(gray/RGB/bilevel, any rows-per-strip, every supported compression)
+for round-trip tests.
 
 Spec: TIFF 6.0 (Adobe, 1992) — IFD structure §2, PackBits §9, LZW §13,
 predictor §14.
@@ -20,7 +23,8 @@ import struct
 
 import numpy as np
 
-_NONE, _G4, _LZW, _PACKBITS = 1, 4, 5, 32773
+_NONE, _MH_RLE, _G3, _G4, _LZW, _JPEG, _PACKBITS = 1, 2, 3, 4, 5, 7, 32773
+_BILEVEL_COMPS = (_MH_RLE, _G3, _G4)
 
 
 # ---------------------------------------------------------------------------
@@ -181,13 +185,13 @@ def encode_tiff(
         raise ValueError("encode_tiff: (H, W) grayscale or (H, W, 3) RGB")
     h, w = img.shape[0], img.shape[1]
     spp = 1 if gray else 3
-    if compression == _G4 and not bilevel:
-        raise ValueError("encode_tiff: G4 is a bilevel compression")
+    if compression in _BILEVEL_COMPS and not bilevel:
+        raise ValueError("encode_tiff: CCITT compressions are bilevel-only")
     if bilevel:
         if not gray:
             raise ValueError("encode_tiff: bilevel requires grayscale")
         bits = 1
-        if compression == _G4:
+        if compression in _BILEVEL_COMPS:
             # fax convention: photometric 0 (WhiteIsZero), bit 1 = black
             rows = np.packbits(img <= 127, axis=1)
         else:
@@ -212,11 +216,25 @@ def encode_tiff(
             )
         elif compression == _LZW:
             payload = _tiff_lzw_encode(raw)
-        elif compression == _G4:
-            from granulate_char_ocr_spark.functions.ccitt import encode_g4
+        elif compression in _BILEVEL_COMPS:
+            from granulate_char_ocr_spark.functions import ccitt
 
             black = np.unpackbits(chunk, axis=1)[:, :w].astype(bool)
-            payload = encode_g4(black)
+            if compression == _G4:
+                payload = ccitt.encode_g4(black)
+            else:
+                payload = ccitt.encode_mh(
+                    black, "rle" if compression == _MH_RLE else "g3"
+                )
+        elif compression == _JPEG:
+            from granulate_char_ocr_spark.functions.jpeg import encode_jpeg
+
+            plane = (
+                chunk.reshape(chunk.shape[0], -1)
+                if spp == 1
+                else chunk.reshape(chunk.shape[0], -1, spp)
+            )
+            payload = encode_jpeg(plane, quality=95, subsampling="4:4:4")
         elif compression == _NONE:
             payload = raw
         else:
@@ -229,8 +247,8 @@ def encode_tiff(
 
     # layout: header(8) IFD region, then data region
     n_strips = len(strips)
-    # IFD entry count depends on predictor tag presence
-    tags_n = 11 + (1 if predictor == 2 else 0)
+    # IFD entry count depends on optional tag presence
+    tags_n = 11 + (1 if predictor == 2 else 0) + (1 if compression == _G3 else 0)
     ifd_off = 8
     ifd_size = 2 + tags_n * 12 + 4
     data_off = ifd_off + ifd_size
@@ -261,8 +279,12 @@ def encode_tiff(
     entry(257, 4, 1, struct.pack("<I", h))
     entry(258, 3, spp, arr_value([bits] * spp, 3))
     entry(259, 3, 1, struct.pack("<HH", compression, 0))
-    photometric = 2 if spp == 3 else (0 if compression == _G4 else 1)
+    photometric = 2 if spp == 3 else (
+        0 if compression in _BILEVEL_COMPS else 1
+    )
     entry(262, 3, 1, struct.pack("<HH", photometric, 0))
+    if compression == _G3:
+        entry(292, 4, 1, struct.pack("<I", 0))  # T4Options: 1D, no align
     entry(273, 4, n_strips, arr_value(strip_offsets, 4))
     entry(277, 3, 1, struct.pack("<HH", spp, 0))
     entry(278, 4, 1, struct.pack("<I", rps))
@@ -335,18 +357,20 @@ def decode_tiff(data: bytes) -> np.ndarray:
     counts = tags.get(279)
     if offsets is None or counts is None:
         raise ValueError("TIFF: missing strip offsets/counts")
-    if comp not in (_NONE, _G4, _LZW, _PACKBITS):
+    if comp not in (_NONE, _MH_RLE, _G3, _G4, _LZW, _JPEG, _PACKBITS):
         raise ValueError(
             f"TIFF: compression {comp} unsupported "
-            "(none/G4/LZW/PackBits only; CCITT G3 and JPEG-in-TIFF need "
-            "their own codecs)"
+            "(none/MH-RLE/G3-1D/G4/LZW/JPEG/PackBits only; old-style "
+            "JPEG (6) and deflate variants need their own handling)"
         )
     if bits not in (1, 8) or any(b != bits for b in bits_list):
         raise ValueError(f"TIFF: {bits_list}-bit samples unsupported (1/8)")
     if bits == 1 and spp != 1:
         raise ValueError("TIFF: bilevel must be single-sample")
-    if comp == _G4 and bits != 1:
-        raise ValueError("TIFF: G4 compression requires bilevel samples")
+    if comp in _BILEVEL_COMPS and bits != 1:
+        raise ValueError("TIFF: CCITT compressions require bilevel samples")
+    if comp == _G3 and one(292, 0) & 1:
+        raise ValueError("TIFF: 2D G3 (T4Options bit 0) unsupported")
 
     row_bytes = (w * bits * spp + 7) // 8
     rows = np.zeros((h, row_bytes), dtype=np.uint8)
@@ -359,11 +383,23 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raw = _packbits_decode(chunk, expected)
         elif comp == _LZW:
             raw = _tiff_lzw_decode(chunk, expected)
-        elif comp == _G4:
-            from granulate_char_ocr_spark.functions.ccitt import decode_g4
+        elif comp in _BILEVEL_COMPS:
+            from granulate_char_ocr_spark.functions import ccitt
 
-            black = decode_g4(chunk, w, n_rows)
+            if comp == _G4:
+                black = ccitt.decode_g4(chunk, w, n_rows)
+            else:
+                black = ccitt.decode_mh(
+                    chunk, w, n_rows, "rle" if comp == _MH_RLE else "g3"
+                )
             raw = np.packbits(black, axis=1).tobytes()
+        elif comp == _JPEG:
+            from granulate_char_ocr_spark.functions.jpeg import decode_jpeg
+
+            plane = decode_jpeg(chunk)
+            if (plane.ndim == 3) != (spp == 3):
+                raise ValueError("TIFF: JPEG strip component mismatch")
+            raw = plane.tobytes()
         else:
             if len(chunk) < expected:
                 raise ValueError("TIFF: truncated strip")

@@ -111,3 +111,72 @@ def test_tiff_g4_through_sniff_recognition(spark):
     assert np.array_equal(gray, glyph)
     chars = kernels.recognize_word(gray)
     assert "".join(c["latin"] for c in chars) == "TEAM"
+
+
+@pytest.mark.parametrize("mode", ["rle", "g3"])
+def test_mh_1d_roundtrip_layouts(mode):
+    """The one-dimensional MH modes (TIFF compressions 2 and 3): same run
+    coder as G4's horizontal mode, plus byte-aligned rows (RLE) / EOL
+    framing (G3)."""
+    from granulate_char_ocr_spark.functions.ccitt import decode_mh, encode_mh
+
+    rng = np.random.default_rng(3)
+    cases = [
+        rng.integers(0, 2, (20, 67)).astype(bool),
+        np.zeros((5, 40), dtype=bool),
+        np.ones((3, 10), dtype=bool),  # rows START black (zero white run)
+        render_word("TEAM", 0) > 127,
+    ]
+    wide = np.zeros((3, 3000), dtype=bool)
+    wide[:, 2900:] = True
+    cases.append(wide)
+    for img in cases:
+        out = decode_mh(
+            encode_mh(img, mode), img.shape[1], img.shape[0], mode
+        )
+        assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("comp", [2, 3])
+def test_tiff_mh_compressions(comp):
+    bil = (render_word("WORK", 1) > 127).astype(np.uint8) * 255
+    data = encode_tiff(bil, compression=comp, bilevel=True, rows_per_strip=9)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(bil, compression=comp, bilevel=True)), bil
+    )
+    assert np.array_equal(decode_tiff(data), bil)
+
+
+def test_tiff_jpeg_in_tiff():
+    """Compression 7: each strip is a standalone JFIF stream; the decode
+    must equal the direct JPEG round trip of the same strip."""
+    from granulate_char_ocr_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    gray = np.clip(
+        np.add.outer(np.arange(40) * 3, np.arange(56) * 2)
+        + rng.normal(0, 10, (40, 56)),
+        0, 255,
+    ).astype(np.uint8)
+    want = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert np.array_equal(
+        decode_tiff(encode_tiff(gray, compression=7)), want
+    )
+    rgb = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    want_rgb = decode_jpeg(encode_jpeg(rgb, quality=95, subsampling="4:4:4"))
+    assert np.array_equal(
+        decode_tiff(encode_tiff(rgb, compression=7)), want_rgb
+    )
+    want_ms = np.vstack(
+        [
+            decode_jpeg(encode_jpeg(gray[i : i + 16], quality=95))
+            for i in range(0, 40, 16)
+        ]
+    )
+    assert np.array_equal(
+        decode_tiff(encode_tiff(gray, compression=7, rows_per_strip=16)),
+        want_ms,
+    )

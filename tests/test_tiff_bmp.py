@@ -63,8 +63,8 @@ def test_tiff_rejects_unsupported():
         decode_tiff(b"notatiff")
     data = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
     i = data.find(b"\x03\x01")  # compression tag (259) little-endian
-    data[i + 8] = 3  # CCITT G3 (1D MH + EOLs — not implemented, G4 is)
-    with pytest.raises(ValueError, match="compression 3"):
+    data[i + 8] = 6  # old-style JPEG-in-TIFF (deprecated, unsupported)
+    with pytest.raises(ValueError, match="compression 6"):
         decode_tiff(bytes(data))
 
 
