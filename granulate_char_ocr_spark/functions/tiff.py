@@ -8,8 +8,8 @@ CCITT MH-RLE (2), G3 1D (3), G4 fax (4) — functions/ccitt.py —
 TIFF-flavor LZW (5, MSB-first codes with the early-change rule) with
 horizontal-differencing predictor 2, new-style JPEG-in-TIFF (7, each
 strip a standalone JFIF stream through functions/jpeg.py) and PackBits
-(32773). 2D G3, old-style JPEG (6) and deflate variants stay rejected
-with the reason. The encoder writes little-endian baseline files
+(32773) and Deflate (8 / legacy 32946, zlib-wrapped strips). 2D G3 and
+old-style JPEG (6) stay rejected with the reason. The encoder writes little-endian baseline files
 (gray/RGB/bilevel, any rows-per-strip, every supported compression)
 for round-trip tests.
 
@@ -20,10 +20,12 @@ predictor §14.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
-_NONE, _MH_RLE, _G3, _G4, _LZW, _JPEG, _PACKBITS = 1, 2, 3, 4, 5, 7, 32773
+_NONE, _MH_RLE, _G3, _G4, _LZW, _JPEG = 1, 2, 3, 4, 5, 7
+_DEFLATE, _DEFLATE_OLD, _PACKBITS = 8, 32946, 32773
 _BILEVEL_COMPS = (_MH_RLE, _G3, _G4)
 
 
@@ -235,6 +237,8 @@ def encode_tiff(
                 else chunk.reshape(chunk.shape[0], -1, spp)
             )
             payload = encode_jpeg(plane, quality=95, subsampling="4:4:4")
+        elif compression in (_DEFLATE, _DEFLATE_OLD):
+            payload = zlib.compress(raw, 6)
         elif compression == _NONE:
             payload = raw
         else:
@@ -357,11 +361,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
     counts = tags.get(279)
     if offsets is None or counts is None:
         raise ValueError("TIFF: missing strip offsets/counts")
-    if comp not in (_NONE, _MH_RLE, _G3, _G4, _LZW, _JPEG, _PACKBITS):
+    if comp not in (
+        _NONE, _MH_RLE, _G3, _G4, _LZW, _JPEG, _DEFLATE, _DEFLATE_OLD,
+        _PACKBITS,
+    ):
         raise ValueError(
             f"TIFF: compression {comp} unsupported "
-            "(none/MH-RLE/G3-1D/G4/LZW/JPEG/PackBits only; old-style "
-            "JPEG (6) and deflate variants need their own handling)"
+            "(none/MH-RLE/G3-1D/G4/LZW/JPEG/Deflate/PackBits only; "
+            "old-style JPEG (6) needs its own handling)"
         )
     if bits not in (1, 8) or any(b != bits for b in bits_list):
         raise ValueError(f"TIFF: {bits_list}-bit samples unsupported (1/8)")
@@ -393,6 +400,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
                     chunk, w, n_rows, "rle" if comp == _MH_RLE else "g3"
                 )
             raw = np.packbits(black, axis=1).tobytes()
+        elif comp in (_DEFLATE, _DEFLATE_OLD):
+            try:
+                raw = zlib.decompress(chunk)[:expected]
+            except zlib.error as e:
+                raise ValueError(f"TIFF: bad Deflate strip ({e})") from None
+            if len(raw) < expected:
+                raise ValueError("TIFF: truncated Deflate strip")
         elif comp == _JPEG:
             from granulate_char_ocr_spark.functions.jpeg import decode_jpeg
 

@@ -191,3 +191,22 @@ def test_tiff_1bit_palette_uses_colormap():
         np.zeros(3, dtype=np.uint8),
     )
     assert np.array_equal(out, want)
+
+
+@pytest.mark.parametrize("comp", [8, 32946])
+def test_tiff_deflate(comp):
+    """Deflate strips (Adobe 8 and legacy 32946): zlib per strip, with
+    the horizontal predictor composing the same as under LZW."""
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (31, 47), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(gray, compression=comp)), gray
+    )
+    assert np.array_equal(
+        decode_tiff(encode_tiff(rgb, compression=comp, rows_per_strip=7)),
+        rgb,
+    )
+    assert np.array_equal(
+        decode_tiff(encode_tiff(gray, compression=comp, predictor=2)), gray
+    )
