@@ -8,8 +8,10 @@ lengths coded by the T.4 §2 Modified Huffman white/black tables
 (terminating codes 0-63, makeup codes to 1728, shared extended makeups
 to 2560, repeated for longer runs). G4 rows carry no EOL codes; EOFB
 terminates the stream. The same MH run coder also backs the
-one-dimensional modes: TIFF compression 2 (MH-RLE, byte-aligned rows)
-and compression 3 in its default 1D form (EOL before each row).
+one-dimensional modes — TIFF compression 2 (MH-RLE, byte-aligned rows)
+and compression 3 in its default 1D form (EOL before each row) — and
+the shared 2D row coder backs 2D G3 (T.4 §2.2.2: EOL + tag bit per row,
+1D anchor rows every K lines).
 
 No external TIFF tooling exists in-sandbox to cross-validate the code
 tables, so tests/test_ccitt.py pins their STRUCTURE against the spec:
@@ -152,6 +154,41 @@ def _transitions(row: np.ndarray) -> list[int]:
     return list(np.flatnonzero(padded[1:] != padded[:-1]))
 
 
+def _encode_row_2d(bw: _BitWriter, cur: list[int], ref: list[int], w: int):
+    """One row of 2D coding (shared by G4 and 2D G3): pass/vertical/
+    horizontal modes against the reference line's changing elements."""
+    a0 = -1
+    color_black = False
+    ci = 0  # index into cur of the next transition > a0
+    while a0 < w:
+        a1 = cur[ci] if ci < len(cur) else w
+        a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+        # b1: first ref transition > a0 with the same direction as a1
+        # (ref transitions alternate white->black at even indices)
+        bi = 0
+        while bi < len(ref) and (
+            ref[bi] <= a0 or (bi % 2 == 1) != color_black
+        ):
+            bi += 1
+        b1 = ref[bi] if bi < len(ref) else w
+        b2 = ref[bi + 1] if bi + 1 < len(ref) else w
+        if b2 < a1:
+            bw.write(_MODE_P)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            bw.write(_MODE_V[a1 - b1])
+            a0 = a1
+            ci += 1
+            color_black = not color_black
+        else:
+            bw.write(_MODE_H)
+            start = max(a0, 0)
+            _emit_run(bw, a1 - start, color_black)
+            _emit_run(bw, a2 - a1, not color_black)
+            a0 = a2
+            ci += 2
+
+
 def encode_g4(img: np.ndarray) -> bytes:
     """Boolean/uint8 (H, W) with truthy = black ink -> G4 (T.6) bytes."""
     rows = np.ascontiguousarray(img).astype(bool)
@@ -160,36 +197,7 @@ def encode_g4(img: np.ndarray) -> bytes:
     ref: list[int] = []  # imaginary all-white line above row 0
     for y in range(h):
         cur = _transitions(rows[y])
-        a0 = -1
-        color_black = False
-        ci = 0  # index into cur of the next transition > a0
-        while a0 < w:
-            a1 = cur[ci] if ci < len(cur) else w
-            a2 = cur[ci + 1] if ci + 1 < len(cur) else w
-            # b1: first ref transition > a0 with the same direction as a1
-            # (ref transitions alternate white->black at even indices)
-            bi = 0
-            while bi < len(ref) and (
-                ref[bi] <= a0 or (bi % 2 == 1) != color_black
-            ):
-                bi += 1
-            b1 = ref[bi] if bi < len(ref) else w
-            b2 = ref[bi + 1] if bi + 1 < len(ref) else w
-            if b2 < a1:
-                bw.write(_MODE_P)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                bw.write(_MODE_V[a1 - b1])
-                a0 = a1
-                ci += 1
-                color_black = not color_black
-            else:
-                bw.write(_MODE_H)
-                start = max(a0, 0)
-                _emit_run(bw, a1 - start, color_black)
-                _emit_run(bw, a2 - a1, not color_black)
-                a0 = a2
-                ci += 2
+        _encode_row_2d(bw, cur, ref, w)
         ref = cur
     bw.write(_EOFB)
     return bw.tobytes()
@@ -252,52 +260,62 @@ def _read_run(br: _BitReader, black: bool) -> int:
             return total
 
 
+def _decode_row_2d(br: _BitReader, ref: list[int], w: int) -> list[int]:
+    """One row of 2D decoding (shared by G4 and 2D G3): returns the row's
+    transition positions (< w)."""
+    cur: list[int] = []
+    a0 = -1
+    color_black = False
+    while a0 < w:
+        mode, delta = _read_mode(br)
+        if mode == "EOFB":
+            raise ValueError("G4: EOFB before image complete")
+        bi = 0
+        while bi < len(ref) and (
+            ref[bi] <= a0 or (bi % 2 == 1) != color_black
+        ):
+            bi += 1
+        b1 = ref[bi] if bi < len(ref) else w
+        b2 = ref[bi + 1] if bi + 1 < len(ref) else w
+        if mode == "P":
+            a0 = b2
+        elif mode == "V":
+            a1 = b1 + delta
+            if not (0 <= a1 <= w) or a1 <= a0:
+                raise ValueError("G4: vertical mode out of range")
+            cur.append(a1)
+            a0 = a1
+            color_black = not color_black
+        else:  # horizontal: two runs from max(a0, 0)
+            start = max(a0, 0)
+            r1 = _read_run(br, color_black)
+            r2 = _read_run(br, not color_black)
+            cur.append(start + r1)
+            cur.append(start + r1 + r2)
+            a0 = start + r1 + r2
+    # transitions beyond w are clamped (the final V/H may land at w)
+    return [t for t in cur if t < w]
+
+
+def _fill_row(out_row: np.ndarray, transitions: list[int], w: int) -> None:
+    on = False
+    prev = 0
+    for t in transitions + [w]:
+        if on:
+            out_row[prev:t] = True
+        on = not on
+        prev = t
+
+
 def decode_g4(data: bytes, w: int, h: int) -> np.ndarray:
     """G4 (T.6) bytes -> boolean (H, W) with True = black ink."""
     br = _BitReader(data)
     out = np.zeros((h, w), dtype=bool)
     ref: list[int] = []
     for y in range(h):
-        cur: list[int] = []
-        a0 = -1
-        color_black = False
-        while a0 < w:
-            mode, delta = _read_mode(br)
-            if mode == "EOFB":
-                raise ValueError("G4: EOFB before image complete")
-            bi = 0
-            while bi < len(ref) and (
-                ref[bi] <= a0 or (bi % 2 == 1) != color_black
-            ):
-                bi += 1
-            b1 = ref[bi] if bi < len(ref) else w
-            b2 = ref[bi + 1] if bi + 1 < len(ref) else w
-            if mode == "P":
-                a0 = b2
-            elif mode == "V":
-                a1 = b1 + delta
-                if not (0 <= a1 <= w) or a1 <= a0:
-                    raise ValueError("G4: vertical mode out of range")
-                cur.append(a1)
-                a0 = a1
-                color_black = not color_black
-            else:  # horizontal: two runs from max(a0, 0)
-                start = max(a0, 0)
-                r1 = _read_run(br, color_black)
-                r2 = _read_run(br, not color_black)
-                cur.append(start + r1)
-                cur.append(start + r1 + r2)
-                a0 = start + r1 + r2
-        # transitions beyond w are clamped (the final V/H may land at w)
-        cur = [t for t in cur if t < w] + [w]
-        on = False
-        prev = 0
-        for t in cur:
-            if on:
-                out[y, prev:t] = True
-            on = not on
-            prev = t
-        ref = [t for t in cur if t < w]
+        cur = _decode_row_2d(br, ref, w)
+        _fill_row(out[y], cur, w)
+        ref = cur
     return out
 
 
@@ -368,4 +386,69 @@ def decode_mh(data: bytes, w: int, h: int, mode: str) -> np.ndarray:
                 out[y, x : x + run] = True
             x += run
             black = not black
+    return out
+
+
+# ---------------------------------------------------------------------------
+# two-dimensional G3 (T.4 §2.2.2): EOL + tag bit per row (1 = 1D row,
+# 0 = 2D row coded against the previous line); at most K-1 consecutive 2D
+# rows between 1D anchor rows
+# ---------------------------------------------------------------------------
+
+def encode_g3_2d(img: np.ndarray, k: int = 4) -> bytes:
+    """Boolean/uint8 (H, W) truthy=black -> 2D G3 bytes (T4Options bit 0).
+    Every ``k``-th row is a 1D anchor (error-resilience rule); the rest
+    code 2D against the previous line."""
+    rows = np.ascontiguousarray(img).astype(bool)
+    h, w = rows.shape
+    bw = _BitWriter()
+    ref: list[int] = []
+    for y in range(h):
+        bw.write(_EOL)
+        if y % k == 0:
+            bw.write("1")  # tag: 1D row follows
+            black = False
+            for run in _row_runs(rows[y]):
+                _emit_run(bw, run, black)
+                black = not black
+        else:
+            bw.write("0")  # tag: 2D row follows
+            _encode_row_2d(bw, _transitions(rows[y]), ref, w)
+        ref = _transitions(rows[y])
+    return bw.tobytes()
+
+
+def _scan_eol(br: _BitReader) -> None:
+    """Advance past fill bits to the next EOL code."""
+    window = ""
+    while not window.endswith(_EOL):
+        window += str(br.take())
+        if len(window) > 64 + len(_EOL):
+            raise ValueError("G3: EOL not found")
+        if len(window) > len(_EOL) and window[-len(_EOL)] == "1":
+            raise ValueError("G3: garbage before EOL")
+
+
+def decode_g3_2d(data: bytes, w: int, h: int) -> np.ndarray:
+    """2D G3 bytes -> boolean (H, W) truthy=black. Rows self-describe via
+    the tag bit after each EOL, so any 1D/2D interleaving decodes."""
+    br = _BitReader(data)
+    out = np.zeros((h, w), dtype=bool)
+    ref: list[int] = []
+    for y in range(h):
+        _scan_eol(br)
+        if br.take():  # 1D row
+            x = 0
+            black = False
+            while x < w:
+                run = _read_run(br, black)
+                if x + run > w:
+                    raise ValueError("MH: run overflows row")
+                if black:
+                    out[y, x : x + run] = True
+                x += run
+                black = not black
+        else:  # 2D row against the previous line
+            _fill_row(out[y], _decode_row_2d(br, ref, w), w)
+        ref = _transitions(out[y])
     return out

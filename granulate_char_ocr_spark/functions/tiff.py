@@ -4,12 +4,13 @@ Implements the TIFF 6.0 baseline slice OCR scan corpora actually use:
 little- and big-endian files, multi-strip layout, bilevel (1-bit,
 both photometric polarities), 8-bit grayscale (both polarities), 8-bit
 RGB(A), and 16-bit-valued palette color; compressions none (1),
-CCITT MH-RLE (2), G3 1D (3), G4 fax (4) — functions/ccitt.py —
+CCITT MH-RLE (2), G3 in both 1D and 2D modes (3, T4Options-driven),
+G4 fax (4) — functions/ccitt.py —
 TIFF-flavor LZW (5, MSB-first codes with the early-change rule) with
 horizontal-differencing predictor 2, new-style JPEG-in-TIFF (7, each
 strip a standalone JFIF stream through functions/jpeg.py) and PackBits
-(32773) and Deflate (8 / legacy 32946, zlib-wrapped strips). 2D G3 and
-old-style JPEG (6) stay rejected with the reason. The encoder writes little-endian baseline files
+(32773) and Deflate (8 / legacy 32946, zlib-wrapped strips). Old-style
+JPEG (6) stays rejected with the reason. The encoder writes little-endian baseline files
 (gray/RGB/bilevel, any rows-per-strip, every supported compression)
 for round-trip tests.
 
@@ -177,10 +178,13 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     predictor: int = 1,
     bilevel: bool = False,
+    t4_2d: bool = False,
 ) -> bytes:
     """uint8 (H, W) gray / (H, W, 3) RGB -> little-endian TIFF bytes.
     ``bilevel`` packs a 0/255 grayscale image as 1-bit BlackIsZero rows;
-    ``predictor=2`` applies horizontal differencing (LZW only)."""
+    ``predictor=2`` applies horizontal differencing (LZW/Deflate);
+    ``t4_2d`` selects the two-dimensional G3 mode under compression 3
+    (declared via T4Options bit 0)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and not (img.ndim == 3 and img.shape[2] == 3):
@@ -224,6 +228,8 @@ def encode_tiff(
             black = np.unpackbits(chunk, axis=1)[:, :w].astype(bool)
             if compression == _G4:
                 payload = ccitt.encode_g4(black)
+            elif compression == _G3 and t4_2d:
+                payload = ccitt.encode_g3_2d(black)
             else:
                 payload = ccitt.encode_mh(
                     black, "rle" if compression == _MH_RLE else "g3"
@@ -288,7 +294,8 @@ def encode_tiff(
     )
     entry(262, 3, 1, struct.pack("<HH", photometric, 0))
     if compression == _G3:
-        entry(292, 4, 1, struct.pack("<I", 0))  # T4Options: 1D, no align
+        # T4Options: bit 0 = 2D coding, no EOL byte-alignment
+        entry(292, 4, 1, struct.pack("<I", 1 if t4_2d else 0))
     entry(273, 4, n_strips, arr_value(strip_offsets, 4))
     entry(277, 3, 1, struct.pack("<HH", spp, 0))
     entry(278, 4, 1, struct.pack("<I", rps))
@@ -376,8 +383,6 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError("TIFF: bilevel must be single-sample")
     if comp in _BILEVEL_COMPS and bits != 1:
         raise ValueError("TIFF: CCITT compressions require bilevel samples")
-    if comp == _G3 and one(292, 0) & 1:
-        raise ValueError("TIFF: 2D G3 (T4Options bit 0) unsupported")
 
     row_bytes = (w * bits * spp + 7) // 8
     rows = np.zeros((h, row_bytes), dtype=np.uint8)
@@ -395,6 +400,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
             if comp == _G4:
                 black = ccitt.decode_g4(chunk, w, n_rows)
+            elif comp == _G3 and one(292, 0) & 1:
+                black = ccitt.decode_g3_2d(chunk, w, n_rows)
             else:
                 black = ccitt.decode_mh(
                     chunk, w, n_rows, "rle" if comp == _MH_RLE else "g3"

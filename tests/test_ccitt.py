@@ -180,3 +180,43 @@ def test_tiff_jpeg_in_tiff():
         decode_tiff(encode_tiff(gray, compression=7, rows_per_strip=16)),
         want_ms,
     )
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_g3_2d_roundtrip(k):
+    """2D G3 (T.4 §2.2.2): 1D anchor rows every k lines, 2D rows against
+    the previous line, tag bit after each EOL."""
+    from granulate_char_ocr_spark.functions.ccitt import (
+        decode_g3_2d,
+        encode_g3_2d,
+    )
+
+    rng = np.random.default_rng(3)
+    for img in (
+        rng.integers(0, 2, (20, 67)).astype(bool),
+        render_word("TEAM", 0) > 127,
+        np.ones((1, 8), dtype=bool),
+    ):
+        out = decode_g3_2d(
+            encode_g3_2d(img, k=k), img.shape[1], img.shape[0]
+        )
+        assert np.array_equal(out, img)
+
+
+def test_tiff_g3_2d_and_compression_gain():
+    """Compression 3 with T4Options bit 0: round-trips and beats the 1D
+    mode on text shapes (the reason 2D exists)."""
+    bil = (render_word("WORK", 1) > 127).astype(np.uint8) * 255
+    d2 = encode_tiff(bil, compression=3, bilevel=True, t4_2d=True)
+    assert np.array_equal(decode_tiff(d2), bil)
+    assert np.array_equal(
+        decode_tiff(
+            encode_tiff(
+                bil, compression=3, bilevel=True, t4_2d=True,
+                rows_per_strip=9,
+            )
+        ),
+        bil,
+    )
+    d1 = encode_tiff(bil, compression=3, bilevel=True)
+    assert len(d2) < len(d1)

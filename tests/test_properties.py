@@ -197,3 +197,35 @@ def test_jpeg_progressive_equals_baseline_property(
         )
     )
     assert np.array_equal(got, want)
+
+
+@given(
+    st.integers(1, 16),
+    st.integers(1, 80),
+    st.sampled_from(["g4", "rle", "g3", "g3_2d"]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_ccitt_roundtrip_property(h, w, mode, seed):
+    """Any bilevel image round-trips through every CCITT mode — the 2D
+    mode decisions (pass/vertical/horizontal) and MH run framing must be
+    lossless for arbitrary transition patterns."""
+    import numpy as np
+
+    from granulate_char_ocr_spark.functions.ccitt import (
+        decode_g3_2d,
+        decode_g4,
+        decode_mh,
+        encode_g3_2d,
+        encode_g4,
+        encode_mh,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 2, (h, w)).astype(bool)
+    if mode == "g4":
+        out = decode_g4(encode_g4(img), w, h)
+    elif mode == "g3_2d":
+        out = decode_g3_2d(encode_g3_2d(img), w, h)
+    else:
+        out = decode_mh(encode_mh(img, mode), w, h, mode)
+    assert np.array_equal(out, img)
