@@ -932,7 +932,9 @@ def lang_id_docs(spark, sf_dir):
 @q(
     "html_extract_docs",
     r"""
-    SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text
+    SELECT doc_id,
+           trim(regexp_replace(text, '[ \t\r\n\f\x0B]+', ' ', 'g'))
+             AS main_text
     FROM documents
     """,
 )

@@ -123,9 +123,11 @@ _BLACK_DEC = _decode_tree([_BLACK_TERM, _BLACK_MAKEUP, _EXT_MAKEUP])
 class _BitWriter:
     def __init__(self) -> None:
         self.bits: list[str] = []
+        self.nbits = 0  # running length: O(1) byte-alignment checks
 
     def write(self, code: str) -> None:
         self.bits.append(code)
+        self.nbits += len(code)
 
     def tobytes(self) -> bytes:
         s = "".join(self.bits)
@@ -349,15 +351,38 @@ def encode_mh(img: np.ndarray, mode: str) -> bytes:
         if mode == "g3":
             bw.write(_EOL)
         elif mode == "rle" and y:
-            # byte-align the start of every row
-            used = sum(len(b) for b in bw.bits) % 8
-            if used:
-                bw.write("0" * (8 - used))
+            if bw.nbits % 8:  # byte-align the start of every row
+                bw.write("0" * (8 - bw.nbits % 8))
         black = False
         for run in _row_runs(rows[y]):
             _emit_run(bw, run, black)
             black = not black
     return bw.tobytes()
+
+
+def _scan_eol(br: _BitReader) -> None:
+    """Advance past fill bits (zeros) to the next EOL code."""
+    window = ""
+    while not window.endswith(_EOL):
+        window += str(br.take())
+        if len(window) > 64 + len(_EOL):
+            raise ValueError("G3: EOL not found")
+        if len(window) > len(_EOL) and window[-len(_EOL)] == "1":
+            raise ValueError("G3: garbage before EOL")
+
+
+def _decode_row_1d(br: _BitReader, out_row: np.ndarray, w: int) -> None:
+    """One 1D MH row of alternating runs (starting white) into out_row."""
+    x = 0
+    black = False
+    while x < w:
+        run = _read_run(br, black)
+        if x + run > w:
+            raise ValueError("MH: run overflows row")
+        if black:
+            out_row[x : x + run] = True
+        x += run
+        black = not black
 
 
 def decode_mh(data: bytes, w: int, h: int, mode: str) -> np.ndarray:
@@ -366,26 +391,10 @@ def decode_mh(data: bytes, w: int, h: int, mode: str) -> np.ndarray:
     out = np.zeros((h, w), dtype=bool)
     for y in range(h):
         if mode == "g3":
-            # scan to the next EOL (fill bits of 0 may precede it)
-            window = ""
-            while not window.endswith(_EOL):
-                window += str(br.take())
-                if len(window) > 64 + len(_EOL):
-                    raise ValueError("G3: EOL not found")
-                if len(window) > len(_EOL) and window[-len(_EOL)] == "1":
-                    raise ValueError("G3: garbage before EOL")
+            _scan_eol(br)
         elif mode == "rle" and y:
             br.pos += (-br.pos) % 8  # rows are byte-aligned
-        x = 0
-        black = False
-        while x < w:
-            run = _read_run(br, black)
-            if x + run > w:
-                raise ValueError("MH: run overflows row")
-            if black:
-                out[y, x : x + run] = True
-            x += run
-            black = not black
+        _decode_row_1d(br, out[y], w)
     return out
 
 
@@ -404,6 +413,7 @@ def encode_g3_2d(img: np.ndarray, k: int = 4) -> bytes:
     bw = _BitWriter()
     ref: list[int] = []
     for y in range(h):
+        cur = _transitions(rows[y])
         bw.write(_EOL)
         if y % k == 0:
             bw.write("1")  # tag: 1D row follows
@@ -413,20 +423,9 @@ def encode_g3_2d(img: np.ndarray, k: int = 4) -> bytes:
                 black = not black
         else:
             bw.write("0")  # tag: 2D row follows
-            _encode_row_2d(bw, _transitions(rows[y]), ref, w)
-        ref = _transitions(rows[y])
+            _encode_row_2d(bw, cur, ref, w)
+        ref = cur
     return bw.tobytes()
-
-
-def _scan_eol(br: _BitReader) -> None:
-    """Advance past fill bits to the next EOL code."""
-    window = ""
-    while not window.endswith(_EOL):
-        window += str(br.take())
-        if len(window) > 64 + len(_EOL):
-            raise ValueError("G3: EOL not found")
-        if len(window) > len(_EOL) and window[-len(_EOL)] == "1":
-            raise ValueError("G3: garbage before EOL")
 
 
 def decode_g3_2d(data: bytes, w: int, h: int) -> np.ndarray:
@@ -438,17 +437,10 @@ def decode_g3_2d(data: bytes, w: int, h: int) -> np.ndarray:
     for y in range(h):
         _scan_eol(br)
         if br.take():  # 1D row
-            x = 0
-            black = False
-            while x < w:
-                run = _read_run(br, black)
-                if x + run > w:
-                    raise ValueError("MH: run overflows row")
-                if black:
-                    out[y, x : x + run] = True
-                x += run
-                black = not black
+            _decode_row_1d(br, out[y], w)
+            ref = _transitions(out[y])
         else:  # 2D row against the previous line
-            _fill_row(out[y], _decode_row_2d(br, ref, w), w)
-        ref = _transitions(out[y])
+            cur = _decode_row_2d(br, ref, w)
+            _fill_row(out[y], cur, w)
+            ref = cur
     return out

@@ -51,6 +51,12 @@ _ENTITIES = [  # ampersand last (see module docstring)
 ]
 
 
+# whitespace collapse must behave identically in Java regex (Spark),
+# RE2 (DuckDB) and Python: each engine's \s differs (Unicode in Python,
+# ASCII+VT in Java, ASCII-no-VT in RE2), so use one explicit class
+_WS_CLASS = r"[ \t\r\n\f\x0B]+"
+
+
 def main_text_expr(col: Column) -> Column:
     """html string column -> extracted main text column."""
     out = col
@@ -60,7 +66,7 @@ def main_text_expr(col: Column) -> Column:
     out = F.regexp_replace(out, _TAG, " ")
     for ent, rep in _ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.trim(F.regexp_replace(out, _WS_CLASS, " "))
 
 
 def main_text_python(html: str) -> str:
@@ -72,7 +78,9 @@ def main_text_python(html: str) -> str:
     out = re.sub(_TAG, " ", out)
     for ent, rep in _ENTITIES:
         out = out.replace(ent, rep)
-    return re.sub(r"\s+", " ", out).strip()
+    # strip(" ") not strip(): Python's bare strip eats Unicode whitespace
+    # (NBSP) that Spark/DuckDB trim() leave alone
+    return re.sub(_WS_CLASS, " ", out).strip(" ")
 
 
 def main_text_oracle_sql(col_sql: str) -> str:
@@ -85,7 +93,7 @@ def main_text_oracle_sql(col_sql: str) -> str:
     for ent, rep in _ENTITIES:
         lit = rep.replace("'", "''")
         out = f"replace({out}, '{ent}', '{lit}')"
-    return rf"trim(regexp_replace({out}, '\s+', ' ', 'g'))"
+    return rf"trim(regexp_replace({out}, '{_WS_CLASS}', ' ', 'g'))"
 
 
 def escape_text(col: Column) -> Column:

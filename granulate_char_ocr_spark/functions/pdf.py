@@ -29,6 +29,10 @@ def _encode_pdf_string(s: str) -> bytes:
     Latin-1; (, ) and \\ escaped."""
     try:
         raw = s.encode("latin-1")
+        if raw[:2] == b"\xfe\xff":
+            # would collide with the UTF-16BE BOM on decode — force the
+            # unambiguous encoding (review finding)
+            raw = b"\xfe\xff" + s.encode("utf-16-be")
     except UnicodeEncodeError:
         raw = b"\xfe\xff" + s.encode("utf-16-be")
     out = bytearray(b"(")
@@ -57,9 +61,9 @@ def _decode_pdf_string(raw: bytes) -> str:
         if c in _ESCAPES:
             out += _ESCAPES[c]
             i += 1
-        elif c.isdigit():  # octal, up to 3 digits
+        elif b"0" <= c <= b"7":  # octal, up to 3 OCTAL digits (not 8/9)
             j = i
-            while j < n and j - i < 3 and chr(raw[j]).isdigit():
+            while j < n and j - i < 3 and 0x30 <= raw[j] <= 0x37:
                 j += 1
             out.append(int(raw[i:j], 8) & 0xFF)
             i = j
@@ -111,14 +115,88 @@ def encode_pdf(lines: list[str]) -> bytes:
     return bytes(out)
 
 
+# a dict immediately followed by the stream keyword: lazy body bound only
+# as a FALLBACK — /Length (below) slices from the keyword position instead
 _STREAM_RE = re.compile(
     rb"<<(?P<dict>.*?)>>\s*stream\r?\n(?P<body>.*?)endstream", re.S
 )
-# text-showing operators inside a content stream: (string) Tj / ' or a
-# TJ array mixing strings and kerning numbers
-_TJ_RE = re.compile(rb"\((?P<s>(?:[^()\\]|\\.)*)\)\s*(?:Tj|')|\]\s*TJ")
-_TJ_ARRAY_RE = re.compile(rb"\[(?P<a>(?:[^\]\\]|\\.)*)\]\s*TJ", re.S)
-_STR_RE = re.compile(rb"\((?P<s>(?:[^()\\]|\\.)*)\)", re.S)
+_DELIMS = b"()<>[]{}/%"
+_WHITESPACE = b"\x00\t\n\x0c\r "
+
+
+def _tokenize_content(body: bytes):
+    """Content-stream tokens in order: ('str', raw-escaped-bytes) for
+    literal strings (escape-aware, balanced unescaped parens per the
+    spec), ('op', token) for everything else. Comments skipped."""
+    tokens = []
+    i, n = 0, len(body)
+    while i < n:
+        b = body[i]
+        if b in _WHITESPACE:
+            i += 1
+            continue
+        if b == 0x25:  # % comment to end of line
+            while i < n and body[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        if b == 0x28:  # ( literal string: track escapes + paren depth
+            i += 1
+            start = i
+            depth = 1
+            while i < n and depth:
+                c = body[i]
+                if c == 0x5C:
+                    i += 2
+                    continue
+                if c == 0x28:
+                    depth += 1
+                elif c == 0x29:
+                    depth -= 1
+                i += 1
+            tokens.append(("str", body[start : i - 1]))
+            continue
+        # operator / number / name / bracket token
+        start = i
+        if b in _DELIMS:
+            i += 1
+            if b in (0x3C, 0x3E) and i < n and body[i] == b:  # << >>
+                i += 1
+        else:
+            while (
+                i < n
+                and body[i] not in _WHITESPACE
+                and body[i] not in _DELIMS
+            ):
+                i += 1
+        tokens.append(("op", body[start:i]))
+    return tokens
+
+
+def _extract_lines(body: bytes, lines: list[str]) -> None:
+    """Walk one content stream's tokens: strings shown by Tj / ' / " / TJ
+    accumulate into the current line; Td/TD/T* start a new one."""
+    parts: list[str] = []
+    strings: list[bytes] = []  # operand stack of pending strings
+    for kind, tok in _tokenize_content(body):
+        if kind == "str":
+            strings.append(tok)
+            continue
+        if tok in (b"Tj", b"'", b'"'):
+            if strings:
+                parts.append(_decode_pdf_string(strings[-1]))
+            strings = []
+        elif tok == b"TJ":  # array form: all pending strings, in order
+            parts.extend(_decode_pdf_string(s) for s in strings)
+            strings = []
+        elif tok in (b"Td", b"TD", b"T*", b"BT"):
+            if parts:
+                lines.append("".join(parts))
+            parts = []
+            strings = []
+        elif tok == b"ET":
+            strings = []
+    if parts:
+        lines.append("".join(parts))
 
 
 def decode_pdf_text(data: bytes) -> str:
@@ -131,17 +209,22 @@ def decode_pdf_text(data: bytes) -> str:
     lines: list[str] = []
     found_stream = False
     for m in _STREAM_RE.finditer(data):
-        d, body = m.group("dict"), m.group("body")
-        # honor /Length (the last one belongs to this stream object) —
-        # blind newline-trimming corrupts compressed data whose final
-        # byte happens to be \r (then \r\n looks like an EOL to strip)
-        lengths = re.findall(rb"/Length\s+(\d+)", d)
-        if lengths and int(lengths[-1]) <= len(body):
-            body = body[: int(lengths[-1])]
-        elif body.endswith(b"\r\n"):
-            body = body[:-2]
-        elif body.endswith(b"\n"):
-            body = body[:-1]
+        d = m.group("dict")
+        # honor a DIRECT /Length (not an indirect 'n 0 R' reference),
+        # slicing from the stream-keyword position in the file — both
+        # blind newline-trimming (a body whose last byte is CR) and the
+        # lazy endstream bound (compressed bytes containing 'endstream')
+        # corrupt the body otherwise
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", d)
+        if lm:
+            start = m.start("body")
+            body = data[start : start + int(lm.group(1))]
+        else:
+            body = m.group("body")
+            if body.endswith(b"\r\n"):
+                body = body[:-2]
+            elif body.endswith(b"\n"):
+                body = body[:-1]
         if b"/FlateDecode" in d:
             try:
                 body = zlib.decompress(body)
@@ -152,18 +235,7 @@ def decode_pdf_text(data: bytes) -> str:
         if b"BT" not in body:
             continue
         found_stream = True
-        # split on text-positioning ops so each visual line groups
-        for seg in re.split(rb"(?:T\*|-?[\d.]+\s+-?[\d.]+\s+Td)", body):
-            parts: list[str] = []
-            for arr in _TJ_ARRAY_RE.finditer(seg):
-                for s in _STR_RE.finditer(arr.group("a")):
-                    parts.append(_decode_pdf_string(s.group("s")))
-            seg_wo_arrays = _TJ_ARRAY_RE.sub(b"", seg)
-            for tj in _TJ_RE.finditer(seg_wo_arrays):
-                if tj.group("s") is not None:
-                    parts.append(_decode_pdf_string(tj.group("s")))
-            if parts:
-                lines.append("".join(parts))
+        _extract_lines(body, lines)
     if not found_stream:
         raise ValueError("PDF: no text content stream found")
     return "\n".join(lines)

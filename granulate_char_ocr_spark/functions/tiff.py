@@ -205,6 +205,12 @@ def encode_tiff(
     else:
         bits = 8
         rows = img.reshape(h, w * spp)
+    if predictor == 2 and compression not in (_NONE, _LZW, _DEFLATE, _DEFLATE_OLD):
+        # TIFF 6.0 defines predictor 2 for LZW/Deflate; under lossy JPEG
+        # it would accumulate quantization error row over row
+        raise ValueError(
+            "encode_tiff: predictor 2 requires none/LZW/Deflate compression"
+        )
     rps = rows_per_strip or h
     strips = []
     for y0 in range(0, h, rps):

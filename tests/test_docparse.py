@@ -135,3 +135,42 @@ def test_pdf_texts_operator(spark):
     df = spark.createDataFrame(pdf, "doc_id string, payload binary")
     got = {r["doc_id"]: r["extracted"] for r in pdf_texts(df).collect()}
     assert got == {f"d{i}": t for i, t in enumerate(texts)}
+
+
+def test_pdf_text_containing_operator_lookalikes():
+    """Review fix: text whose CONTENT matches positioning-operator
+    patterns ('1 2 Td', 'T*') must survive — the tokenizer respects
+    string boundaries instead of regex-splitting raw bytes."""
+    lines = ["page 1 2 Td x", "AT*B", "a ] TJ b", "balanced (unescaped) ok"]
+    assert decode_pdf_text(encode_pdf(lines)) == "\n".join(lines)
+
+
+def test_pdf_invalid_octal_escape_tolerated():
+    """Review fix: \\8 and \\9 are not octal; the spec says unknown
+    escapes pass the character through, not crash."""
+    from granulate_char_ocr_spark.functions.pdf import _decode_pdf_string
+
+    assert _decode_pdf_string(rb"a\8b") == "a8b"
+    assert _decode_pdf_string(rb"a\101b") == "aAb"  # real octal still works
+    assert _decode_pdf_string(rb"a\12") == "a\n"
+
+
+def test_pdf_latin1_text_starting_with_bom_bytes():
+    """Review fix: Latin-1 text that happens to start with U+00FE U+00FF
+    must not be misread as a UTF-16 BOM on decode."""
+    tricky = "\xfe\xffabc"
+    assert decode_pdf_text(encode_pdf([tricky])) == tricky
+
+
+def test_pdf_indirect_length_falls_back():
+    """Review fix: '/Length 6 0 R' (indirect reference) must not slice
+    the stream to 6 bytes — the parser falls back to the endstream
+    bound."""
+    import re
+
+    data = encode_pdf(["indirect length test"])
+    # rewrite '/Length <n>' to an indirect reference (the parser scans by
+    # regex, not xref, so offsets need not stay valid)
+    patched = re.sub(rb"/Length \d+ ", rb"/Length 6 0 R ", data)
+    assert b"/Length 6 0 R" in patched
+    assert decode_pdf_text(patched) == "indirect length test"
