@@ -90,6 +90,18 @@ def main() -> None:
     t0 = time.perf_counter()
     _count(extract_documents(wd, wm, dedup_media=True))
     _count(extract_documents(wd, wm, dedup_media=False))
+    # First-touch the auxiliary gate corpora (memoized+persisted per session,
+    # synthetic._memoized_persist): their one-time GENERATION cost otherwise
+    # lands inside the first timed run of ocr_extract_noisy/multirow/
+    # compressed. At scale a corpus is READ, not generated — the timed
+    # section should measure steady-state extraction (VERDICT r3 item 1).
+    n_q = driver_queries._SF_DOCS.get(sf_name, 400)
+    nd, nm = synthetic.noisy_corpus_spark(spark, n_q, seed=42)
+    _count(nd), _count(nm)
+    md, mm = synthetic.multirow_corpus_spark(spark, n_q)
+    _count(md), _count(mm)
+    _count(synthetic.docs_spark(spark, n_q, seed=42))
+    _count(synthetic.png_media_spark(spark))
     times["_warmup"] = round(time.perf_counter() - t0, 3)
 
     # --- headline: OCR extraction throughput (best of 2, steady state) ------

@@ -102,8 +102,12 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):  # the KwKwK case
+            # 12-bit table cap: encoders using deferred clear codes stop
+            # defining entries at 4096 — the decoder must too, or later
+            # codes map to entries the encoder never defined (ADVICE r3)
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # the KwKwK case
             entry = prev + prev[:1]
             table.append(entry)
         else:

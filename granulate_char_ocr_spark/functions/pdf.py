@@ -215,7 +215,10 @@ def decode_pdf_text(data: bytes) -> str:
         # blind newline-trimming (a body whose last byte is CR) and the
         # lazy endstream bound (compressed bytes containing 'endstream')
         # corrupt the body otherwise
-        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", d)
+        # (?![0-9]) anchors the digit run: without it, '/Length 12 0 R'
+        # backtracks (\d+) to '1' so the indirect-ref lookahead sees
+        # '2 0 R' and wrongly passes (ADVICE r3)
+        lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", d)
         if lm:
             start = m.start("body")
             body = data[start : start + int(lm.group(1))]

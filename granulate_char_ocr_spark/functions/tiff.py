@@ -389,6 +389,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError("TIFF: bilevel must be single-sample")
     if comp in _BILEVEL_COMPS and bits != 1:
         raise ValueError("TIFF: CCITT compressions require bilevel samples")
+    # reject-with-reason for layout variants this decoder would otherwise
+    # silently scramble (ADVICE r3): planar-separated samples (tag 284=2)
+    # and lsb-first bit fill (tag 266=2)
+    if one(284, 1) != 1:
+        raise ValueError("TIFF: PlanarConfiguration=2 (planar) unsupported")
+    if one(266, 1) != 1:
+        raise ValueError("TIFF: FillOrder=2 (lsb-first) unsupported")
 
     row_bytes = (w * bits * spp + 7) // 8
     rows = np.zeros((h, row_bytes), dtype=np.uint8)

@@ -174,3 +174,14 @@ def test_pdf_indirect_length_falls_back():
     patched = re.sub(rb"/Length \d+ ", rb"/Length 6 0 R ", data)
     assert b"/Length 6 0 R" in patched
     assert decode_pdf_text(patched) == "indirect length test"
+
+
+def test_pdf_multidigit_indirect_length_falls_back():
+    """ADVICE r3: '/Length 12 0 R' must not backtrack (\\d+) to '1' and
+    slice the stream to 1 byte — the digit run is anchored."""
+    import re
+
+    data = encode_pdf(["multi digit indirect length"])
+    patched = re.sub(rb"/Length \d+ ", rb"/Length 12 0 R ", data)
+    assert b"/Length 12 0 R" in patched
+    assert decode_pdf_text(patched) == "multi digit indirect length"

@@ -120,3 +120,56 @@ def test_subrectangle_frame_composes_onto_canvas():
     want = np.tile(pal[0], (5, 6, 1))
     want[1:3, 2:5] = pal[1]
     assert np.array_equal(out, want)
+
+
+def test_lzw_deferred_clear_codes():
+    """ADVICE r3: optimizer-style streams freeze the table at 4096 instead
+    of emitting a clear — the decoder must stop defining entries too
+    (codes stay 12-bit until a clear) and still decode exactly."""
+    from granulate_char_ocr_spark.functions.gif import _lzw_decode
+
+    def encode_deferred(indices, min_code_size):
+        # _lzw_encode with the re-CLEAR-on-overflow branch replaced by a
+        # frozen table (deferred clear), as GIF optimizers emit
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        out = bytearray()
+        acc = nbits = 0
+
+        def emit(code, width):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        width = min_code_size + 1
+        emit(clear, width)
+        prev = b""
+        for v in indices.reshape(-1).tolist():
+            cur = prev + bytes([v])
+            if cur in table:
+                prev = cur
+                continue
+            emit(table[prev], width)
+            if next_code < 4096:
+                table[cur] = next_code
+                next_code += 1
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+            prev = bytes([v])
+        if prev:
+            emit(table[prev], width)
+        emit(eoi, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, 30000, dtype=np.uint8)  # fills the table fast
+    got = _lzw_decode(encode_deferred(data, 8), 8, data.size)
+    assert np.array_equal(got, data)

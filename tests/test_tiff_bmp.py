@@ -210,3 +210,22 @@ def test_tiff_deflate(comp):
     assert np.array_equal(
         decode_tiff(encode_tiff(gray, compression=comp, predictor=2)), gray
     )
+
+
+def test_tiff_rejects_planar_and_lsb_fillorder():
+    """ADVICE r3: PlanarConfiguration=2 (tag 284) and FillOrder=2 (tag 266)
+    must reject with a reason, not silently scramble."""
+    base = encode_tiff(np.zeros((4, 4), dtype=np.uint8))
+    for tag_le, val, msg in (
+        (b"\x1c\x01", 2, "PlanarConfiguration"),  # 284
+        (b"\x0a\x01", 2, "FillOrder"),            # 266
+    ):
+        data = bytearray(base)
+        # rewrite the SamplesPerPixel entry (tag 277, value 1) in place —
+        # the decoder then falls back to its default spp=1
+        i = data.find(b"\x15\x01")
+        assert i >= 0
+        data[i : i + 2] = tag_le
+        data[i + 8] = val
+        with pytest.raises(ValueError, match=msg):
+            decode_tiff(bytes(data))
