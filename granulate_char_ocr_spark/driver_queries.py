@@ -905,18 +905,37 @@ def _hits_sql(lang: str) -> str:
     )
 
 
+def _script_sql(script: str) -> str:
+    """Character count of a Unicode script block — same `\\x{{...}}` class
+    the Spark side compiles (Java regex ≡ RE2 on these, parity pinned by
+    tests/test_textstats_cjk.py)."""
+    from granulate_char_ocr_spark.operators.textstats import SCRIPT_RANGES
+
+    return f"len(regexp_extract_all(text, '{SCRIPT_RANGES[script]}'))"
+
+
 @q(
     "lang_id_docs",
     f"""
     SELECT doc_id,
-      CASE WHEN hits_de > greatest(hits_en, hits_es, hits_fr) THEN 'de'
+      CASE WHEN hits_kana > 0
+                AND hits_kana + hits_han >
+                    greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'ja'
+           WHEN hits_hangul >
+                    greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'ko'
+           WHEN hits_han > greatest(hits_en, hits_es, hits_fr, hits_de)
+                AND hits_kana = 0 THEN 'zh'
+           WHEN hits_de > greatest(hits_en, hits_es, hits_fr) THEN 'de'
            WHEN hits_fr > greatest(hits_en, hits_es) THEN 'fr'
            WHEN hits_es > hits_en THEN 'es'
            WHEN hits_en > 0 THEN 'en'
            ELSE 'und' END AS predicted_lang
     FROM (SELECT doc_id, {_hits_sql('en')} AS hits_en,
                  {_hits_sql('es')} AS hits_es, {_hits_sql('fr')} AS hits_fr,
-                 {_hits_sql('de')} AS hits_de
+                 {_hits_sql('de')} AS hits_de,
+                 {_script_sql('kana')} AS hits_kana,
+                 {_script_sql('hangul')} AS hits_hangul,
+                 {_script_sql('han')} AS hits_han
           FROM documents) t
     """,
 )
