@@ -554,7 +554,9 @@ def pdf_extract_docs(spark, sf_dir):
     stream, BT/Td/Tj operators — functions/pdf.py) and the extraction
     operator must recover the text layer EXACTLY, which is what the
     oracle reads from the source table — build and parse both under
-    test."""
+    test. Odd doc_ids are written the PDF 1.5 way (xref stream +
+    /ObjStm + indirect /Length — VERDICT r3 item 3), so both file
+    layouts are gate-graded."""
     from granulate_char_ocr_spark.operators.docparse import pdf_texts
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -566,7 +568,10 @@ def pdf_extract_docs(spark, sf_dir):
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": [encode_pdf([t]) for t in pdf["text"]],
+                    "payload": [
+                        encode_pdf([t], object_streams=bool(int(i) % 2))
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
                 }
             )
 

@@ -185,3 +185,54 @@ def test_pdf_multidigit_indirect_length_falls_back():
     patched = re.sub(rb"/Length \d+ ", rb"/Length 12 0 R ", data)
     assert b"/Length 12 0 R" in patched
     assert decode_pdf_text(patched) == "multi digit indirect length"
+
+
+def test_pdf_15_object_stream_roundtrip():
+    """VERDICT r3 item 3: a PDF 1.5 file — structure objects in a
+    compressed /ObjStm, a cross-reference STREAM with PNG Up-predictor
+    rows, and the content stream's /Length indirect through the ObjStm —
+    must decode to the same text as the classic-xref writer."""
+    lines = ["object stream test", "ligne accentuée é à", "日本語の行"]
+    data = encode_pdf(lines, object_streams=True)
+    assert data.startswith(b"%PDF-1.5")
+    assert b"/ObjStm" in data and b"/XRef" in data
+    assert b"trailer" not in data  # the xref stream carries the trailer
+    assert decode_pdf_text(data) == "\n".join(lines)
+    assert decode_pdf_text(encode_pdf(lines)) == "\n".join(lines)
+
+
+def test_pdf_15_xref_stream_entries():
+    """The /XRef stream decodes to the exact entry table the writer laid
+    down (W [1 2 2], /Index [0 9], Predictor 12)."""
+    import re
+
+    from granulate_char_ocr_spark.functions.pdf import (
+        _STREAM_RE,
+        expand_object_streams,
+        parse_xref_stream,
+    )
+
+    data = encode_pdf(["xref entries"], object_streams=True)
+    entries = None
+    for m in _STREAM_RE.finditer(data):
+        d = m.group("dict")
+        if re.search(rb"/Type\s*/XRef\b", d):
+            lm = re.search(rb"/Length\s+(\d+)(?![0-9])", d)
+            body = data[m.start("body") : m.start("body") + int(lm.group(1))]
+            import zlib
+
+            entries = parse_xref_stream(d, zlib.decompress(body))
+    assert entries is not None
+    assert entries[0] == (0, 0, 0xFFFF)
+    # objects 1-4 and 8 live in ObjStm 6 at indices 0-3 and 4
+    assert all(entries[i] == (2, 6, i - 1) for i in range(1, 5))
+    assert entries[8] == (2, 6, 4)
+    # type-1 offsets actually point at their objects
+    for num in (5, 6, 7):
+        t, off, _ = entries[num]
+        assert t == 1
+        assert data[off:].startswith(b"%d 0 obj" % num)
+    # and the ObjStm expansion surfaces the packed catalog + length int
+    objs = expand_object_streams(data)
+    assert b"/Catalog" in objs[1]
+    assert objs[8].isdigit()
