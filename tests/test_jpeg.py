@@ -358,3 +358,46 @@ def test_progressive_through_multimodal_sniff(spark):
     want = kernels.to_grayscale(img[..., 2::-1])
     assert gray.shape == (40, 56)
     assert _psnr(want, gray) > 30
+
+
+def test_megapixel_decode_budget():
+    """Perf guard (VERDICT r3 item 4): a ~1.2 MP color photo must decode
+    in interpreter-seconds, not minutes — the window array is built with
+    8 vectorized shifts and the entropy loop indexes plain lists, while
+    dequant+IDCT is one batched matmul per component. Budgets are ~4x
+    the measured steady state (baseline 0.4 s, progressive 1.7 s on an
+    unloaded local[32] box) to absorb CI load drift."""
+    import time
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:960, 0:1280]
+    img = np.stack(
+        [(xx // 5 + yy // 7) % 256, (xx // 3) % 256, (yy // 4) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    img = np.clip(
+        img.astype(np.int16) + rng.integers(-12, 13, img.shape), 0, 255
+    ).astype(np.uint8)
+
+    def min_of(fn, n=3):
+        # min-of-N, matching the repo's bench methodology: this VM's first
+        # touch of fresh numpy allocations right after a CPU-heavy phase
+        # can stall for seconds (throttle/page-fault drift, CLAUDE.md) —
+        # the budget pins the engine's steady state, not the VM's mood
+        best, out = None, None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, out
+
+    data = encode_jpeg(img, quality=85, subsampling="4:2:0")
+    baseline_sec, out = min_of(lambda: decode_jpeg(data))
+    assert out.shape == img.shape
+    assert baseline_sec < 2.0, f"baseline 1.2MP decode took {baseline_sec:.2f}s"
+
+    datap = encode_jpeg_progressive(img, quality=85, subsampling="4:2:0")
+    prog_sec, outp = min_of(lambda: decode_jpeg(datap))
+    assert np.array_equal(out, outp)  # same coefficients, same pixels
+    assert prog_sec < 8.0, f"progressive 1.2MP decode took {prog_sec:.2f}s"
