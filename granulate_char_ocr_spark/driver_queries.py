@@ -979,11 +979,14 @@ def html_extract_docs(spark, sf_dir):
             '<html><head><title>Doc</title><style>p{color:#000}</style>'
             '<script>var trap = "<p>&amp;not content</p>";</script></head>'
             '<body><nav><a href="/">Home</a> | <a href="/a">A</a></nav>'
-            "<header><h1>Site</h1></header><p>"
+            # numeric character references decoding to whitespace (r3
+            # item 9): the pass must run for the whitespace collapse to
+            # recover the exact source text
+            "<header><h1>Site</h1></header>&#32;&#x20;&#9;<p>"
         ),
         escape_text(F.col("text")),
         F.lit(
-            "</p><aside>related links</aside>"
+            "</p>&#10;&#x0A;<aside>related &#8217;links&#65536;</aside>"
             "<!-- tracking --><footer>(c) corp</footer></body></html>"
         ),
     )

@@ -53,6 +53,14 @@ def test_html_spark_matches_python_and_oracle(spark):
         "<div>no boilerplate at all</div>",
         "<script>only();</script><p>x</p>",
         "plain text, no tags",
+        # numeric character references (r3 item 9): decimal with and
+        # without leading zeros, hex both cases, BMP curly quote/emdash
+        "<p>it&#39;s &#034;quoted&#034; &#x27;h&#X27; &#8217;curly "
+        "&#8212; dash&#x20AC; euro</p>",
+        # invalid / out-of-range / double-escaped stay literal
+        "<p>&#0; &#55296; &#1114111; &#x110000; &#xGG; &# ; &#12</p>",
+        "<p>&amp;#39; stays literal; tail &#</p>",
+        "<p>&#38;#39; single-pass cascade</p>",
     ]
     pdf = pd.DataFrame({"doc_id": range(len(pages)), "html": pages})
     df = spark.createDataFrame(pdf, "doc_id long, html string")
