@@ -43,6 +43,7 @@ SF_PINNED_ORACLES = frozenset(
         "ocr_result_json_roundtrip",
         "ocr_extract_noisy",
         "ocr_extract_multirow",
+        "bpe_token_count_docs",  # n_bpe_merged golden is the sf0.01 twin
     }
 )
 ORACLE_SF_NAME = "sf0.01"
@@ -1024,23 +1025,21 @@ def quality_score_docs(spark, sf_dir):
 
 @q(
     "bpe_token_count_docs",
-    r"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text,
-             ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} \t\r\n]+|[ \t\r\n]+')) AS INTEGER)
-             AS n_bpe_tokens,
-           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
-           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
-             AS n_types
-    FROM documents
-    """,
+    # n_bpe_merged joins the golden parquet generated by the Python twin
+    # of the same merges-table encode (functions/bpe.py) — tier-pinned to
+    # sf0.01 like the ocr_* goldens; the regex columns stay mirrored SQL
+    "__BPE_ORACLE__",  # placeholder — rewritten below once paths exist
 )
 def bpe_token_count_docs(spark, sf_dir):
     """BPE-ish regex token budget (pipeline brief) + whitespace tokens +
     distinct types (absorbing the former token_count_docs entry);
     leftmost-first alternation matches identically in Java regex and
-    RE2."""
-    return textstats.bpe_token_count(_t(spark, sf_dir, "documents"))
+    RE2. n_bpe_merged (VERDICT r3 item 5) is the REAL trained-BPE count:
+    the committed merges table applied per pre-token in an Arrow-batched
+    pandas UDF with executor-singleton ranks + word cache."""
+    return textstats.bpe_token_count(
+        _t(spark, sf_dir, "documents"), merged=True
+    )
 
 
 def _winnow_sql(k: int = 5, w: int = 4) -> str:
@@ -1212,14 +1211,40 @@ _GOLDEN_MULTIROW = _os.path.join(
 )
 
 
+def _bpe_fingerprint() -> str:
+    """Content key of the merged-BPE golden: the encoder module + the
+    committed merges table (same staleness rationale as
+    _generator_fingerprint)."""
+    import hashlib as _hashlib
+
+    from granulate_char_ocr_spark.functions import bpe as _bpe
+
+    base = _os.path.dirname(_os.path.abspath(__file__))
+    h = _hashlib.md5()
+    for path in (
+        _os.path.join(base, "functions", "bpe.py"),
+        _bpe.MERGES_PATH,
+    ):
+        with open(path, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+_GOLDEN_BPE = _os.path.join(
+    _GOLDEN_DIR, f"bpe_merged_{_bpe_fingerprint()}.parquet"
+)
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's compare tier
+
+
 def _ensure_goldens() -> None:
     """Materialize the golden parquets the oracle SQL reads (idempotent;
     filenames carry the generator fingerprint, so a stale golden from an
     older generator is simply never read — and is deleted here)."""
     import glob as _glob
 
+    live_fps = (_GOLDEN_FP, _os.path.basename(_GOLDEN_BPE))
     for old in _glob.glob(_os.path.join(_GOLDEN_DIR, "*.parquet")):
-        if _GOLDEN_FP not in _os.path.basename(old):
+        if not any(fp in _os.path.basename(old) for fp in live_fps):
             try:
                 _os.unlink(old)
             except OSError:
@@ -1276,6 +1301,62 @@ def _ensure_goldens() -> None:
 
 
 _ensure_goldens()
+
+
+def _ensure_bpe_golden() -> None:
+    """Merged-BPE counts of the sf0.01 documents table via the Python
+    twin (functions/bpe.count_tokens — the byte-identical logic the
+    pandas UDF runs). Skipped when the testdata tier is absent."""
+    doc_path = _os.path.join(_ORACLE_SF_DIR, "documents.parquet")
+    if _os.path.exists(_GOLDEN_BPE) or not _os.path.exists(doc_path):
+        return
+    import duckdb as _duckdb
+    import pandas as _pd
+    import pyarrow as _pa
+
+    from granulate_char_ocr_spark.functions.bpe import (
+        count_tokens,
+        load_ranks,
+    )
+    from granulate_char_ocr_spark.sources.synthetic import (
+        write_parquet_atomic,
+    )
+
+    rows = _duckdb.sql(
+        f"SELECT doc_id, text FROM '{doc_path}' ORDER BY doc_id"
+    ).fetchall()
+    ranks, cache = load_ranks(), {}
+    out = _pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "n_bpe_merged": [count_tokens(r[1], ranks, cache) for r in rows],
+        }
+    )
+    write_parquet_atomic(
+        _pa.Table.from_pandas(
+            out,
+            schema=_pa.schema(
+                [("doc_id", _pa.int64()), ("n_bpe_merged", _pa.int64())]
+            ),
+            preserve_index=False,
+        ),
+        _GOLDEN_BPE,
+    )
+
+
+_ensure_bpe_golden()
+
+ORACLES["bpe_token_count_docs"] = rf"""
+    SELECT d.doc_id,
+           CAST(len(regexp_extract_all(d.text,
+             ' ?\p{{L}}+| ?\p{{N}}+| ?[^\p{{L}}\p{{N}} \t\r\n]+|[ \t\r\n]+')) AS INTEGER)
+             AS n_bpe_tokens,
+           CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(list_distinct(string_split(d.text, ' '))) AS INTEGER)
+             AS n_types,
+           CAST(g.n_bpe_merged AS BIGINT) AS n_bpe_merged
+    FROM documents d JOIN '{_GOLDEN_BPE}' g ON d.doc_id = g.doc_id
+    """
 
 
 def _ocr_corpus(spark, sf_dir):

@@ -179,18 +179,48 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 BPE_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} \t\r\n]+|[ \t\r\n]+"
 
 
-def bpe_token_count(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_bpe_tokens, n_ws_tokens, n_types): subword-ish token
-    budget (the 'BPE-ish regex' counter from the pipeline brief) next to
-    the whitespace count and distinct-type count — bpe/ws ratio is the
-    classic over-tokenization signal, types/tokens the repetition one."""
+def bpe_token_count(docs: DataFrame, merged: bool = False) -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_ws_tokens, n_types[, n_bpe_merged]):
+    subword token budget (the 'BPE-ish regex' counter from the pipeline
+    brief) next to the whitespace count and distinct-type count — bpe/ws
+    ratio is the classic over-tokenization signal, types/tokens the
+    repetition one. With ``merged`` (VERDICT r3 item 5) the REAL trained
+    BPE count rides along: the committed merges table applied per
+    pre-token in an Arrow-batched pandas UDF (functions/bpe.py) with an
+    executor-singleton ranks dict and word cache — the regex columns
+    stay pure codegen; only the merged column pays the Python stage."""
     toks = F.split(F.col("text"), " ")
-    return docs.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         F.regexp_count("text", F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
         F.size(toks).alias("n_ws_tokens"),
         F.size(F.array_distinct(toks)).alias("n_types"),
-    )
+    ]
+    if merged:
+        cols.append(bpe_merged_count_udf()(F.col("text")).alias("n_bpe_merged"))
+    return docs.select(*cols)
+
+
+def bpe_merged_count_udf():
+    """Lazily-constructed pandas UDF (Column/UDF construction needs a live
+    session — CLAUDE.md): series of text -> series of merged-BPE counts."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _count(texts):
+        from granulate_char_ocr_spark.functions.bpe import (
+            count_tokens,
+            executor_ranks_and_cache,
+        )
+
+        ranks, cache = executor_ranks_and_cache()
+        return texts.map(lambda t: count_tokens(t, ranks, cache))
+
+    # real annotation objects, not strings: this module's `from __future__
+    # import annotations` would stringify inline hints, which pandas_udf's
+    # signature inference rejects
+    _count.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_count, "long")
 
 
 def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:

@@ -1,0 +1,75 @@
+"""Trained-BPE token counting (VERDICT r3 item 5): merge semantics,
+trainer determinism, and Spark-UDF ≡ Python-twin equality."""
+
+import pandas as pd
+import pytest
+
+from granulate_char_ocr_spark.functions import bpe
+
+
+def test_trainer_is_deterministic_and_converges():
+    texts = ["the cat sat on the mat", "the cat ran", "a cat sat"]
+    m1 = bpe.train_bpe(texts, 50)
+    m2 = bpe.train_bpe(texts, 50)
+    assert m1 == m2
+    # convergence: once every word is one symbol, no pairs remain
+    assert len(m1) < 50
+    ranks = {p: i for i, p in enumerate(m1)}
+    assert bpe.bpe_symbols(" the", ranks) == ["Ġthe"]
+
+
+def test_merge_order_follows_rank():
+    # rank 0 merges first even when a later merge also applies
+    ranks = {("a", "b"): 0, ("b", "c"): 1, ("ab", "c"): 2}
+    assert bpe.bpe_symbols("abc", ranks) == ["abc"]
+    ranks = {("b", "c"): 0}
+    assert bpe.bpe_symbols("abc", ranks) == ["a", "bc"]
+
+
+def test_count_tokens_accounting():
+    ranks = {("a", "b"): 0}
+    # 'ab ab' -> [ab] + [Ġ, ab] (no learned Ġ-merge in this toy table)
+    assert bpe.count_tokens("ab ab", ranks, {}) == 3
+    # a double space becomes one whitespace-run token; the second word
+    # then carries no leading space
+    assert bpe.count_tokens("ab  ab", ranks, {}) == 3
+    # unknown pairs stay split per character
+    assert bpe.count_tokens("xy", {}, {}) == 2
+    # with a trained Ġ-merge the space folds into the word symbol
+    ranks2 = {("a", "b"): 0, ("Ġ", "ab"): 1}
+    assert bpe.count_tokens("ab ab", ranks2, {}) == 2
+
+
+def test_committed_merges_load():
+    ranks = bpe.load_ranks()
+    assert len(ranks) > 50
+    assert all(isinstance(k, tuple) and len(k) == 2 for k in ranks)
+
+
+def test_spark_udf_matches_python_twin(spark):
+    from granulate_char_ocr_spark.operators import textstats
+
+    texts = [
+        "the spark join stream a small order merge",
+        "window merge spark merge batch table",
+        "unseen zxqvw tokens stay split",
+        "  doubled  spaces  and punct, too.",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_merged"]
+        for r in textstats.bpe_token_count(docs, merged=True).collect()
+    }
+    ranks = bpe.load_ranks()
+    want = {
+        i: bpe.count_tokens(t, ranks, {}) for i, t in enumerate(texts)
+    }
+    assert got == want
+    # the trained table compresses corpus words below the regex proxy
+    corpus_like = texts[0]
+    proxy = len(bpe.pretokenize(corpus_like))
+    assert want[0] < proxy * 1.01 and want[0] >= len(corpus_like.split())
