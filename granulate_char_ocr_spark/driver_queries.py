@@ -390,10 +390,10 @@ def positional_zip_tokens(spark, sf_dir):
     )
 
 
-@q(
-    "sorted_unique_event_types",
-    "SELECT DISTINCT event_type FROM events ORDER BY event_type",
-)
+# gate slot freed for mm_audio_features (r4): O5 sorted-unique left the
+# 50-entry graded surface but stays pytest-covered
+# (tests/test_plans.py::test_sorted_unique_event_types) — its
+# distinct+sort shape is also visible via the rank/top-k entries
 def sorted_unique_event_types(spark, sf_dir):
     """distinct + order (SURVEY §2.6 O5)."""
     return _t(spark, sf_dir, "events").select("event_type").distinct().orderBy(
@@ -1236,13 +1236,36 @@ _GOLDEN_BPE = _os.path.join(
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's compare tier
 
 
+def _audio_fingerprint() -> str:
+    """Content key of the audio-features golden: the mel front-end, the
+    WAV codec, and the clip generator (sources/synthetic.py)."""
+    import hashlib as _hashlib
+
+    base = _os.path.dirname(_os.path.abspath(__file__))
+    h = _hashlib.md5()
+    for rel in ("functions/audio.py", "functions/wav.py",
+                "sources/synthetic.py"):
+        with open(_os.path.join(base, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+_GOLDEN_AUDIO = _os.path.join(
+    _GOLDEN_DIR, f"audio_mel_{_audio_fingerprint()}.parquet"
+)
+
+
 def _ensure_goldens() -> None:
     """Materialize the golden parquets the oracle SQL reads (idempotent;
     filenames carry the generator fingerprint, so a stale golden from an
     older generator is simply never read — and is deleted here)."""
     import glob as _glob
 
-    live_fps = (_GOLDEN_FP, _os.path.basename(_GOLDEN_BPE))
+    live_fps = (
+        _GOLDEN_FP,
+        _os.path.basename(_GOLDEN_BPE),
+        _os.path.basename(_GOLDEN_AUDIO),
+    )
     for old in _glob.glob(_os.path.join(_GOLDEN_DIR, "*.parquet")):
         if not any(fp in _os.path.basename(old) for fp in live_fps):
             try:
@@ -1345,6 +1368,52 @@ def _ensure_bpe_golden() -> None:
 
 
 _ensure_bpe_golden()
+
+
+def _ensure_audio_golden() -> None:
+    """Log-mel feature sums of the synthetic WAV store via the Python
+    twin — the SAME decode_wav + mel_features chain the pandas UDF runs,
+    with the feature-sum left fold matching Spark's F.aggregate order,
+    so the doubles are bit-identical (no rounding needed)."""
+    if _os.path.exists(_GOLDEN_AUDIO):
+        return
+    import pandas as _pd
+    import pyarrow as _pa
+
+    from granulate_char_ocr_spark.functions.audio import mel_features
+    from granulate_char_ocr_spark.functions.wav import decode_wav
+    from granulate_char_ocr_spark.sources.synthetic import (
+        audio_store_pandas,
+        write_parquet_atomic,
+    )
+
+    rows = []
+    for r in audio_store_pandas().itertuples(index=False):
+        mono, rate = decode_wav(bytes(r.payload))
+        feat = mel_features(mono.astype("float64"), float(rate))
+        s = 0.0
+        for v in feat:
+            s += float(v)
+        rows.append((r.media_ref, len(mono) / float(rate), s))
+    write_parquet_atomic(
+        _pa.Table.from_pandas(
+            _pd.DataFrame(
+                rows, columns=["media_ref", "duration_sec", "mel_sum"]
+            ),
+            schema=_pa.schema(
+                [
+                    ("media_ref", _pa.string()),
+                    ("duration_sec", _pa.float64()),
+                    ("mel_sum", _pa.float64()),
+                ]
+            ),
+            preserve_index=False,
+        ),
+        _GOLDEN_AUDIO,
+    )
+
+
+_ensure_audio_golden()
 
 ORACLES["bpe_token_count_docs"] = rf"""
     SELECT d.doc_id,
@@ -1472,6 +1541,30 @@ def mm_image_embeddings(spark, sf_dir):
     return emb.select(
         "media_ref",
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x).alias("n_ink_bits"),
+    )
+
+
+@q(
+    "mm_audio_features",
+    f"SELECT media_ref, duration_sec, mel_sum FROM '{_GOLDEN_AUDIO}'",
+)
+def mm_audio_features(spark, sf_dir):
+    """Multimodal audio (VERDICT r3 item 6): the synthetic WAV store —
+    rendered on executors, sniffed through the RIFF header — runs the
+    REAL log-mel front-end (framed Hann STFT → mel filterbank → log,
+    functions/audio.py) inside the mapInPandas plumbing; graded against
+    the Python-twin golden (duration + the feature-vector left-fold sum,
+    bit-identical doubles)."""
+    from granulate_char_ocr_spark.operators import multimodal
+    from granulate_char_ocr_spark.sources.synthetic import audio_store_spark
+
+    feats = multimodal.audio_features(audio_store_spark(spark))
+    return feats.select(
+        "media_ref",
+        "duration_sec",
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias(
+            "mel_sum"
+        ),
     )
 
 

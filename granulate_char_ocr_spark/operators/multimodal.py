@@ -308,7 +308,7 @@ def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# audio: feature extraction (deterministic fake behind the real batch shape)
+# audio: feature extraction (real NumPy log-mel front-end)
 # ---------------------------------------------------------------------------
 
 AUDIO_FEAT_SCHEMA = "media_ref string, duration_sec double, features array<float>"
@@ -318,12 +318,14 @@ def audio_features(audio: DataFrame, n_mels: int = 16) -> DataFrame:
     """Audio featurizer over raw int16 PCM or REAL WAV containers
     (functions/wav.py — PCM 8/16/24/32 + IEEE float, any channel count,
     sniffed under codec 'auto'): duration is real (samples/rate, the WAV
-    container's own rate when present); the 'mel' vector is a
-    DETERMINISTIC FAKE (block-RMS over the samples) standing in for a mel
-    spectrogram — the sandbox has no audio DSP library. Batch shape,
-    schema and partitioning are production-real. MP3/AAC stay stubbed."""
+    container's own rate when present); features are REAL log-mel band
+    energies (framed Hann STFT → power spectrum → triangular mel
+    filterbank → log, functions/audio.py — VERDICT r3 item 6 upgraded
+    the earlier block-RMS stand-in). Batch shape, schema and
+    partitioning are production-real. MP3/AAC stay stubbed."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.audio import mel_features
         from granulate_char_ocr_spark.functions.wav import decode_wav
 
         for pdf in batches:
@@ -351,13 +353,7 @@ def audio_features(audio: DataFrame, n_mels: int = 16) -> DataFrame:
                         "(raw / wav only in-sandbox)"
                     )
                 durs.append(len(samples) / float(rate))
-                blocks = np.array_split(samples, n_mels)
-                feats.append(
-                    np.array(
-                        [np.sqrt(np.mean(b * b)) if len(b) else 0.0 for b in blocks],
-                        dtype=np.float32,
-                    )
-                )
+                feats.append(mel_features(samples, float(rate), n_mels))
                 refs.append(r.media_ref)
             yield pd.DataFrame(
                 {"media_ref": refs, "duration_sec": durs, "features": feats}

@@ -700,3 +700,79 @@ def write_golden_multirow(out_path: str, n_docs: int) -> None:
         out_path,
         row_group_size=4096,
     )
+
+
+# --- audio corpus (WAV clips for the multimodal audio-feature leg) -----------
+
+N_AUDIO_CLIPS = 120
+AUDIO_RATE = 8000
+
+
+def render_audio_clip(i: int) -> tuple[bytes, int]:
+    """(WAV bytes, n_samples) for clip index ``i`` — a deterministic
+    two-tone chirp with a linear decay envelope, pure function of i
+    (frequencies walk coprime cycles so every clip's mel signature
+    differs; 16-bit stereo-free mono PCM at AUDIO_RATE)."""
+    rate = AUDIO_RATE
+    n = int(rate * (0.25 + (i % 8) * 0.125))  # 0.25 .. 1.125 s
+    t = np.arange(n, dtype=np.float64) / rate
+    f1 = 110.0 * (1 + (i * 7) % 29)
+    f2 = 110.0 * (1 + (i * 13) % 31)
+    env = 1.0 - t / (2 * t[-1] + 1e-9)
+    x = (0.6 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)) * env
+    samples = np.round(x * 12000.0).astype(np.int16)
+    from granulate_char_ocr_spark.functions.wav import encode_wav
+
+    return encode_wav(samples, rate), n
+
+
+def audio_store_pandas() -> pd.DataFrame:
+    """The full audio media store as pandas (golden-twin side)."""
+    rows = []
+    for i in range(N_AUDIO_CLIPS):
+        payload, n = render_audio_clip(i)
+        rows.append(
+            {
+                "media_ref": f"aud_{i:04d}",
+                "modality": "audio",
+                "codec": "auto",  # exercises the RIFF sniff
+                "width": 0,
+                "height": 0,
+                "n_frames": n,
+                "sample_rate": AUDIO_RATE,
+                "payload": payload,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def audio_store_spark(spark):
+    """The audio store rendered ON the executors (same rationale as
+    _gen_media_spark: payload bytes never ride in task binaries)."""
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                payload, n = render_audio_clip(int(i))
+                rows.append(
+                    (f"aud_{int(i):04d}", "audio", "auto", 0, 0, n,
+                     AUDIO_RATE, payload)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "modality", "codec", "width",
+                         "height", "n_frames", "sample_rate", "payload"],
+            )
+
+    par = spark.sparkContext.defaultParallelism
+
+    def build():
+        return spark.range(
+            0, N_AUDIO_CLIPS, 1, min(par, max(1, N_AUDIO_CLIPS // 16))
+        ).mapInPandas(
+            gen,
+            "media_ref string, modality string, codec string, width int, "
+            "height int, n_frames int, sample_rate int, payload binary",
+        )
+
+    return _memoized_persist(spark, ("audio", N_AUDIO_CLIPS), build)

@@ -78,8 +78,12 @@ def test_audio_features_deterministic(spark):
     r2 = multimodal.audio_features(audio).collect()[0]
     assert r1["duration_sec"] == pytest.approx(1.0)
     assert len(r1["features"]) == 16
-    assert r1["features"] == r2["features"]  # deterministic fake
-    assert all(abs(f - 7071.0) < 150 for f in r1["features"])  # RMS of sine
+    assert r1["features"] == r2["features"]  # deterministic
+    # the UDF output equals the Python twin bit-for-bit (same function)
+    from granulate_char_ocr_spark.functions.audio import mel_features
+
+    want = mel_features(pcm.astype(np.float64), float(sr))
+    assert np.array_equal(np.array(r1["features"], dtype=np.float32), want)
 
 
 def test_compressed_codecs_decode_h264_rejected(spark):

@@ -179,3 +179,25 @@ def test_kernel_stage_exchange_has_explicit_partition_count(spark, corpus):
     want = spark.sparkContext.defaultParallelism * 4
     counts = re.findall(r"hashpartitioning\(media_ref[^)]*, (\d+)\)", plan)
     assert str(want) in counts, (want, counts)
+
+
+def test_sorted_unique_event_types(spark):
+    """O5 (left the 50-entry gate for mm_audio_features in r4): distinct +
+    order over events, checked against DuckDB."""
+    import duckdb
+
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        r["event_type"]
+        for r in driver_queries.sorted_unique_event_types(spark, sf).collect()
+    ]
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT event_type FROM '{sf}/events.parquet' "
+            "ORDER BY event_type"
+        ).fetchall()
+    ]
+    assert got == want
