@@ -777,8 +777,15 @@ def dedup_clusters_lsh(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
-def _embedding_cosine_pairs_sql() -> str:
+def _embedding_cosine_pairs_sql(dims: int = 4) -> str:
+    # hamming(l.cell, r.cell) <= 1: the 1-flip multi-probe candidate rule
+    # (r4) — identical to the Spark side's own-cell + sign_dims flip probes
     expr = _cosine_sql_expr("l.embedding", "r.embedding")
+    ham = " + ".join(
+        f"CASE WHEN substr(l.cell, {i + 1}, 1) != substr(r.cell, {i + 1}, 1) "
+        "THEN 1 ELSE 0 END"
+        for i in range(dims)
+    )
     return f"""
     SELECT vec_a, vec_b, sim FROM (
       SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, {expr} AS sim
@@ -786,7 +793,7 @@ def _embedding_cosine_pairs_sql() -> str:
             FROM embeddings) l
       JOIN (SELECT vec_id, embedding, {_cell_sql('embeddings')} AS cell
             FROM embeddings) r
-        ON l.cell = r.cell AND l.vec_id < r.vec_id) t
+        ON ({ham}) <= 1 AND l.vec_id < r.vec_id) t
     WHERE sim >= 0.4
     """
 

@@ -184,27 +184,42 @@ def embedding_near_pairs(
     """(vec_a, vec_b, sim): embedding-cosine near-duplicate pairs — the
     semantic-dedup leg, scale formulation.
 
-    Candidates come from an equi-join on the IVF sign-cell (the sign pattern
-    of the first ``sign_dims`` components, the same fixed quantizer as
-    operators/similarity.ivf_topk) — the all-pairs cross join of r1 is gone.
-    Exact cosine then verifies each candidate; per-vector norms are hoisted
-    before the join. Like any LSH/IVF near-dup pass this is APPROXIMATE:
-    pairs whose vectors land in different sign-cells are not candidates
-    (true near-dups rarely flip a leading sign; the DuckDB oracle encodes
-    the identical cell restriction, so the check stays exact).
+    Candidates come from a MULTI-PROBE equi-join on the IVF sign-cell
+    (the sign pattern of the first ``sign_dims`` components, the same
+    fixed quantizer as operators/similarity.ivf_topk): the left side
+    explodes over its own cell plus the ``sign_dims`` one-bit-flip
+    probes, so any pair whose cells differ in at most one sign is a
+    candidate — and matches exactly once (hamming 0 hits the own-cell
+    probe, hamming 1 exactly one flip), so no pair dedup is needed. The
+    all-pairs cross join of r1 is gone; probe fan-out multiplies only
+    the key-sized left side, not the join output. Exact cosine then
+    verifies each candidate; per-vector norms are hoisted before the
+    join. Like any LSH/IVF pass this is APPROXIMATE: pairs differing in
+    two or more leading signs are not candidates. Measured recall vs the
+    exact all-pairs answer on the sf0.01 embeddings (500×64, threshold
+    0.4): 0.56 with 1-flip probing (was 0.20 single-probe), pinned by
+    tests/test_ann_recall.py. The DuckDB oracle encodes the identical
+    hamming<=1 cell restriction, so the gate check stays exact.
     """
     from granulate_char_ocr_spark.operators.similarity import (
         COSINE_EXPR,
+        probe_cells_expr,
         with_cell,
         with_norm,
     )
 
     celled = with_cell(with_norm(embeddings), sign_dims)
-    l, r = celled.alias("l"), celled.alias("r")
+    l = (
+        celled.withColumn(
+            "probe", F.explode(F.expr(probe_cells_expr(sign_dims)))
+        )
+        .alias("l")
+    )
+    r = celled.alias("r")
     return (
         l.join(
             r.hint("shuffle_hash"),
-            (F.col("l.cell") == F.col("r.cell"))
+            (F.col("l.probe") == F.col("r.cell"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
         .select(

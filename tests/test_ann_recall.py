@@ -1,0 +1,89 @@
+"""Recall pins for the APPROXIMATE ANN/near-dup operators (VERDICT r3
+item 7): measured against the exact all-pairs answer on the sf0.01
+embeddings (500 x 64). The inputs and algorithms are deterministic, so
+recall is a fixed number — the floors below sit just under the measured
+values (multi-probe IVF top-k 0.54, multi-probe near-pairs 0.56,
+single-probe top-k 0.20) and exist to catch regressions in the
+quantizer/probing logic, not to absorb randomness."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+K, N_QUERIES, THRESHOLD = 5, 10, 0.4
+
+
+@pytest.fixture(scope="module")
+def exact():
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = mn @ mn.T
+    pairs = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(sim[i, j], 5) >= THRESHOLD
+    }
+    np.fill_diagonal(sim, -2)
+    topk = {
+        int(ids[q]): set(ids[np.argsort(-sim[q])[:K]].tolist())
+        for q in range(N_QUERIES)
+    }
+    return topk, pairs
+
+
+def _topk_recall(df, exact_topk):
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return float(
+        np.mean([len(exact_topk[q] & got.get(q, set())) / K for q in exact_topk])
+    )
+
+
+def test_ivf_multiprobe_recall(spark, exact):
+    from granulate_char_ocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rec = _topk_recall(
+        similarity.ivf_topk_multiprobe(emb, n_queries=N_QUERIES, k=K),
+        exact[0],
+    )
+    assert rec >= 0.50, f"multi-probe IVF recall@{K} fell to {rec:.3f}"
+    # and multi-probe must actually beat single-probe
+    rec1 = _topk_recall(
+        similarity.ivf_topk(emb, n_queries=N_QUERIES, k=K), exact[0]
+    )
+    assert rec > rec1, (rec, rec1)
+
+
+def test_brute_force_topk_is_exact(spark, exact):
+    """The gemm path is the exact baseline — recall must be 1.0."""
+    from granulate_char_ocr_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rec = _topk_recall(
+        similarity.cosine_topk_gemm(emb, n_queries=N_QUERIES, k=K),
+        exact[0],
+    )
+    assert rec == 1.0, f"exact gemm top-k recall {rec:.3f}"
+
+
+def test_embedding_near_pairs_recall(spark, exact):
+    from granulate_char_ocr_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_pairs(emb, threshold=THRESHOLD).collect()
+    }
+    pairs = exact[1]
+    assert got <= pairs  # every reported pair is a true near-pair (exact verify)
+    rec = len(got & pairs) / len(pairs)
+    assert rec >= 0.50, f"near-pair recall fell to {rec:.3f}"
