@@ -158,6 +158,10 @@ def main() -> None:
                 r["salted_docs_per_sec"] for r in sj.get("runs", [])
             ],
         }
+        if sj.get("compressed_efficiency") is not None:
+            scaling["scaling_efficiency_compressed"] = sj[
+                "compressed_efficiency"
+            ]
 
     print(
         json.dumps(

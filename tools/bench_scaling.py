@@ -37,6 +37,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(os.environ.get("SCALING_DOCS", "80000"))
+N_DOCS_COMPRESSED = int(os.environ.get("SCALING_DOCS_COMPRESSED", "40000"))
 CORES = tuple(
     int(c) for c in os.environ.get("SCALING_CORES", "2,8").split(",")
 )
@@ -71,17 +72,130 @@ def one_round(cores: int, corpus_dir: str, warm_rounds: set[int]) -> dict:
     return {"n_docs": n_docs, "salted_sec": t_salted, "dedup_sec": t_dedup}
 
 
-def main() -> None:
-    from granulate_char_ocr_spark.sources import synthetic
+def write_compressed_corpus(corpus_dir: str, n_docs: int) -> None:
+    """A decode-heavy scaling corpus (VERDICT r3 item 8): every doc holds
+    ONE media span referencing a UNIQUE encoded image (format cycling
+    PNG/GIF/LZW-TIFF/BMP; uniqueness via 1..16 trailing blank columns —
+    trailing ink-free columns change the content hash without touching
+    segmentation), so both the sniff-decode and the kernel stage scale
+    with corpus size — no content-dedup collapse. Rendered and encoded
+    ON executors at full parallelism, written once, reused across
+    rounds and core levels."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
 
-    corpus_dir = f"/tmp/gcos_scaling_corpus_{N_DOCS}"
-    if not os.path.exists(os.path.join(corpus_dir, "ocr_documents.parquet")):
-        synthetic.write_corpus(corpus_dir, N_DOCS, seed=42)
+    from granulate_char_ocr_spark.session import get_spark
+    from granulate_char_ocr_spark.sources.synthetic import (
+        N_VARIANTS,
+        WORDS,
+        render_word,
+    )
 
+    spark = get_spark(app_name="gcos-scaling-gen", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def gen_media(batches):
+        from granulate_char_ocr_spark.functions.bmp import encode_bmp
+        from granulate_char_ocr_spark.functions.gif import encode_gif
+        from granulate_char_ocr_spark.functions.png import encode_png
+        from granulate_char_ocr_spark.functions.tiff import encode_tiff
+
+        pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        for pdf in batches:
+            rows = []
+            for raw in pdf["id"]:
+                i = int(raw)
+                word = WORDS[i % len(WORDS)]
+                img = render_word(word, (i // len(WORDS)) % N_VARIANTS)
+                img = np.pad(img, ((0, 0), (0, 1 + i % 16)))
+                fmt = i % 4
+                if fmt == 0:
+                    payload = encode_png(img, filter_type=i % 5)
+                elif fmt == 1:
+                    payload = encode_gif((img > 0).astype(np.uint8), pal)
+                elif fmt == 2:
+                    payload = encode_tiff(img, compression=5)  # LZW
+                else:
+                    payload = encode_bmp(img)
+                rows.append(
+                    (
+                        f"img_u_{i:08d}", word, img.shape[1], img.shape[0],
+                        payload,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "word", "width", "height", "pixels"],
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    media = spark.range(0, n_docs, 1, par * 4).mapInPandas(
+        gen_media,
+        "media_ref string, word string, width int, height int, pixels binary",
+    )
+    media.write.mode("overwrite").parquet(
+        os.path.join(corpus_dir, "ocr_media.parquet")
+    )
+    docs = spark.range(0, n_docs, 1, par * 4).select(
+        F.format_string("cdoc_%08d", F.col("id")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.format_string("img_u_%08d", F.col("id")).alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    docs.write.mode("overwrite").parquet(
+        os.path.join(corpus_dir, "ocr_documents.parquet")
+    )
+    spark.stop()
+
+
+def one_round_compressed(cores: int, corpus_dir: str) -> dict:
+    """Same shape as one_round, but every media payload sniff-decodes
+    through decode_media_store before the kernel stage, and images are
+    unique so decode work is proportional to corpus size. dedup_media
+    stays on (the production plan); with unique content it collapses
+    nothing."""
+    from granulate_char_ocr_spark.operators.multimodal import (
+        decode_media_store,
+    )
+    from granulate_char_ocr_spark.plans.pipeline import extract_documents
+    from granulate_char_ocr_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"gcos-scaling-comp-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(corpus_dir, "ocr_documents.parquet"))
+    raw_media = spark.read.parquet(
+        os.path.join(corpus_dir, "ocr_media.parquet")
+    )
+    media = decode_media_store(raw_media)
+    # per-session warm on a small slice (decode_media_store maps the whole
+    # media table per action, so the warm uses its own limited store)
+    extract_documents(
+        docs.limit(2000),
+        decode_media_store(raw_media.limit(2000)),
+        dedup_media=True,
+    ).count()
+    t0 = time.perf_counter()
+    n_docs = extract_documents(docs, media, dedup_media=True).count()
+    t = time.perf_counter() - t0
+    spark.stop()
+    return {"n_docs": n_docs, "salted_sec": t, "dedup_sec": t}
+
+
+def _collect(run_fn, corpus_dir: str) -> list[dict]:
     samples: dict[int, list[dict]] = {c: [] for c in CORES}
     for _ in range(ROUNDS):
         for c in CORES:  # interleaved: noise hits both levels alike
-            samples[c].append(one_round(c, corpus_dir, set()))
+            samples[c].append(run_fn(c, corpus_dir))
 
     def best(xs: list[float]) -> float:
         # min over rounds: the sandbox VM's background load is strictly
@@ -108,13 +222,41 @@ def main() -> None:
                 "dedup_docs_per_sec": round(n / t_d, 2),
             }
         )
+    return runs
+
+
+def _efficiency(runs: list[dict]) -> float:
     lo, hi = runs[0], runs[-1]
     factor = hi["cores"] / lo["cores"]
+    return round(lo["salted_sec"] / (factor * hi["salted_sec"]), 3)
+
+
+def main() -> None:
+    from granulate_char_ocr_spark.sources import synthetic
+
+    corpus_dir = f"/tmp/gcos_scaling_corpus_{N_DOCS}"
+    if not os.path.exists(os.path.join(corpus_dir, "ocr_documents.parquet")):
+        synthetic.write_corpus(corpus_dir, N_DOCS, seed=42)
+    comp_dir = f"/tmp/gcos_scaling_compressed_{N_DOCS_COMPRESSED}"
+    if not os.path.exists(os.path.join(comp_dir, "ocr_documents.parquet")):
+        write_compressed_corpus(comp_dir, N_DOCS_COMPRESSED)
+
+    runs = _collect(lambda c, d: one_round(c, d, set()), corpus_dir)
+    comp_runs = _collect(one_round_compressed, comp_dir)
+
     out = {
         "runs": runs,
-        "core_factor": factor,
-        "efficiency": round(lo["salted_sec"] / (factor * hi["salted_sec"]), 3),
+        "core_factor": CORES[-1] / CORES[0],
+        "efficiency": _efficiency(runs),
         "workload": "per-span (salted) extraction, every media span decoded",
+        "compressed_runs": comp_runs,
+        "compressed_efficiency": _efficiency(comp_runs),
+        "compressed_workload": (
+            "decode-heavy profile (VERDICT r3 item 8): one UNIQUE encoded "
+            "image per doc (PNG/GIF/LZW-TIFF/BMP cycling), every payload "
+            "sniff-decoded through decode_media_store before the kernel "
+            "stage — codec work proportional to corpus size"
+        ),
         "dedup_note": (
             "dedup path classifies the 234 distinct images once; its ~2s "
             "critical path is fixed join/stitch latency, reported as "
