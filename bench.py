@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "ocr_extract_noisy",
     "ocr_extract_multirow",
     "lang_id_docs",
+    "bpe_token_count_docs",
+    "mm_audio_features",
     "quality_score_docs",
     "html_extract_docs",
     "pdf_extract_docs",

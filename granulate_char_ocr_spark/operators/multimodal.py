@@ -115,7 +115,11 @@ MEDIA_STORE_SCHEMA = (
 )
 
 
-def decode_media_store(media: DataFrame, permissive: bool = False) -> DataFrame:
+def decode_media_store(
+    media: DataFrame,
+    permissive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Decompress a media dimension table in place: (media_ref, word,
     width, height, pixels=PNG/JPEG/raw bytes) → the same shape with raw
     grayscale pixel buffers, codec sniffed from the payload signature.
@@ -127,7 +131,18 @@ def decode_media_store(media: DataFrame, permissive: bool = False) -> DataFrame:
     mixed raw/compressed stores work). ``permissive`` turns a per-image
     decode failure into a null-pixel row (the extraction kernel already
     collapses those to empty results — the reference's error contract,
-    ocr_service.py:164-171) instead of failing the task."""
+    ocr_service.py:164-171) instead of failing the task.
+
+    The input is REPARTITIONED before the decode UDF (r4): encoded
+    payloads are byte-small (a glyph PNG is ~600 B, so a 40 000-image
+    store is ~24 MB → the parquet scan packs it into one or two input
+    splits) while decode is CPU-heavy per row — exactly the
+    bytes-blind-spot the kernel-stage exchanges already guard against.
+    Without the explicit exchange the whole decode of a compressed store
+    runs near-serial regardless of cluster size (measured: a 40 000-image
+    scaling corpus spent ~14 s in a single decode task at every core
+    count). Default ``defaultParallelism × 4``; pass ``num_partitions=0``
+    to skip (e.g. an already well-partitioned input)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -165,7 +180,14 @@ def decode_media_store(media: DataFrame, permissive: bool = False) -> DataFrame:
             )
 
     cols = ["media_ref", "word", "width", "height", "pixels"]
-    return media.select(*cols).mapInPandas(fn, schema=MEDIA_STORE_SCHEMA)
+    selected = media.select(*cols)
+    if num_partitions is None:
+        num_partitions = (
+            media.sparkSession.sparkContext.defaultParallelism * 4
+        )
+    if num_partitions:
+        selected = selected.repartition(num_partitions)
+    return selected.mapInPandas(fn, schema=MEDIA_STORE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
