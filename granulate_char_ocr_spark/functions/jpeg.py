@@ -259,15 +259,25 @@ def _destuff_scan_segments(
     return segments, pos
 
 
-def _window16(payload: bytes) -> list[int]:
+# above this many payload bytes, _window16 returns array('I') instead of
+# a list: a list of boxed ints costs ~290 B per payload byte (a 4 MB scan
+# segment would hold ~1.1 GB live through its decode — the high-parallelism
+# memory regime CLAUDE.md warns about), while array('I') is 32 B/byte at
+# only ~1.5x the per-access cost
+_WINDOW_LIST_MAX = 256 * 1024
+
+
+def _window16(payload: bytes):
     """w[i] = the 16 bits starting at bit offset i, as one int per offset —
     the whole entropy stream becomes one sliding-window array so Huffman
     decode is ONE table lookup per symbol, not per bit. Built from a
     24-bit-per-byte staging array with 8 vectorized shifts (the earlier
     unpackbits + strided int64 matmul was the decode hot spot at photo
-    scale — VERDICT r3 item 4), returned as a plain list: the consumers
-    index it one scalar at a time, where list access is ~5x cheaper than
-    NumPy scalar indexing."""
+    scale — VERDICT r3 item 4). Small segments return a plain list (list
+    access is ~5x cheaper than NumPy scalar indexing); segments past
+    _WINDOW_LIST_MAX return array('I') to bound resident memory."""
+    import array as _array
+
     b = np.frombuffer(payload + b"\x00\x00\x00", dtype=np.uint8).astype(
         np.uint32
     )
@@ -275,7 +285,12 @@ def _window16(payload: bytes) -> list[int]:
     out = np.empty((len(u24), 8), dtype=np.uint32)
     for r in range(8):
         out[:, r] = (u24 >> (8 - r)) & 0xFFFF
-    return out.reshape(-1).tolist()
+    flat = out.reshape(-1)
+    if len(payload) <= _WINDOW_LIST_MAX:
+        return flat.tolist()
+    a = _array.array("I")
+    a.frombytes(flat.tobytes())
+    return a
 
 
 def _build_lut(bits: list[int], vals: list[int]) -> list[int]:

@@ -170,7 +170,9 @@ def encode_pdf(lines: list[str], object_streams: bool = False) -> bytes:
         top_offsets[num] = len(out)
         out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
     xref_off = len(out)
-    # entries for objects 0..8, W [1 2 2]
+    # entries for objects 0..8, W [1 4 2]: 4-byte offsets — a 2-byte
+    # field caps the file at 64 KiB and crashes the packer past it
+    # (review finding r4)
     entries = [(0, 0, 0xFFFF)]  # free head
     for i in range(4):
         entries.append((2, 6, i))  # objects 1-4 live in ObjStm 6
@@ -178,18 +180,18 @@ def encode_pdf(lines: list[str], object_streams: bool = False) -> bytes:
     entries.append((1, top_offsets[6], 0))
     entries.append((1, xref_off, 0))  # the xref stream itself
     entries.append((2, 6, 4))  # object 8: the /Length integer
-    cols = 5
+    cols = 7
     rows = bytearray()
     prev = bytes(cols)
     for t, a, b in entries:
-        row = struct.pack(">BHH", t, a, b)
+        row = struct.pack(">BIH", t, a, b)
         # PNG Up predictor (filter 2): delta vs previous row
         rows.append(2)
         rows += bytes((c - p) & 0xFF for c, p in zip(row, prev))
         prev = row
     xref_payload = zlib.compress(bytes(rows))
     xref = (
-        b"<< /Type /XRef /Size 9 /Root 1 0 R /W [1 2 2] /Index [0 9] "
+        b"<< /Type /XRef /Size 9 /Root 1 0 R /W [1 4 2] /Index [0 9] "
         b"/Filter /FlateDecode "
         b"/DecodeParms << /Columns %d /Predictor 12 >> /Length %d "
         b">>\nstream\n" % (cols, len(xref_payload))
@@ -283,6 +285,16 @@ def _extract_lines(body: bytes, lines: list[str]) -> None:
             strings = []
     if parts:
         lines.append("".join(parts))
+
+
+def _direct_length(d: bytes) -> int | None:
+    """A DIRECT /Length integer in a stream dict, or None. The single
+    home of the anchored pattern (ADVICE r3 fixed its backtracking once;
+    keeping one copy keeps it fixed): (?![0-9]) pins the digit run so
+    '/Length 12 0 R' cannot backtrack to '1', and the second lookahead
+    rejects indirect 'n g R' references."""
+    lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", d)
+    return int(lm.group(1)) if lm else None
 
 
 def _dict_int(d: bytes, key: bytes, default: int | None = None) -> int:
@@ -391,8 +403,7 @@ def expand_object_streams(data: bytes) -> dict[int, bytes]:
         d = m.group("dict")
         if not re.search(rb"/Type\s*/ObjStm\b", d):
             continue
-        lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", d)
-        body = _stream_body(m, data, int(lm.group(1)) if lm else None)
+        body = _stream_body(m, data, _direct_length(d))
         payload = _inflate(d, body)
         n, first = _dict_int(d, b"N"), _dict_int(d, b"First")
         header = payload[:first].split()
@@ -412,9 +423,9 @@ def _length_of(d: bytes, objmap: dict[int, bytes], data: bytes) -> int | None:
     resolved through ObjStm-expanded objects / top-level integer
     objects; None when unresolvable (caller falls back to the lazy
     endstream bound)."""
-    lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", d)
-    if lm:
-        return int(lm.group(1))
+    direct = _direct_length(d)
+    if direct is not None:
+        return direct
     ind = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", d)
     if not ind:
         return None

@@ -244,3 +244,17 @@ def test_pdf_15_xref_stream_entries():
     objs = expand_object_streams(data)
     assert b"/Catalog" in objs[1]
     assert objs[8].isdigit()
+
+
+def test_pdf_15_large_file_offsets():
+    """Review fix r4: xref-stream offsets are 4-byte (W [1 4 2]) — a
+    >64 KiB file must round-trip, not crash the 2-byte packer."""
+    import hashlib
+
+    # hash hex digests resist Flate, keeping the file over the 2-byte cap
+    lines = [
+        hashlib.sha256(str(i).encode()).hexdigest() * 2 for i in range(1600)
+    ]
+    data = encode_pdf(lines, object_streams=True)
+    assert len(data) > 0x10000
+    assert decode_pdf_text(data) == "\n".join(lines)

@@ -401,3 +401,18 @@ def test_megapixel_decode_budget():
     prog_sec, outp = min_of(lambda: decode_jpeg(datap))
     assert np.array_equal(out, outp)  # same coefficients, same pixels
     assert prog_sec < 8.0, f"progressive 1.2MP decode took {prog_sec:.2f}s"
+
+
+def test_window16_array_path_matches_list_path(monkeypatch):
+    """Review fix r4: segments past _WINDOW_LIST_MAX use array('I')
+    instead of a boxed-int list (bounded memory); both paths must decode
+    bit-identically."""
+    from granulate_char_ocr_spark.functions import jpeg as j
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (160, 160), dtype=np.uint8)
+    data = encode_jpeg(img, quality=95)
+    want = decode_jpeg(data)
+    monkeypatch.setattr(j, "_WINDOW_LIST_MAX", 1)
+    got = decode_jpeg(data)
+    assert np.array_equal(got, want)
