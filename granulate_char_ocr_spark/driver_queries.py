@@ -927,17 +927,33 @@ def _script_sql(script: str) -> str:
     return f"len(regexp_extract_all(text, '{SCRIPT_RANGES[script]}'))"
 
 
-@q(
-    "lang_id_docs",
-    f"""
+def _lang_id_sql() -> str:
+    """The oracle ladder generated from the SAME dicts the Spark side
+    uses (textstats.SCRIPT_RANGES / SCRIPT_LANG) — one source of truth
+    for which scripts exist and what they map to."""
+    from granulate_char_ocr_spark.operators.textstats import (
+        ALPHA_SCRIPT_CHARS_PER_WORD,
+        SCRIPT_LANG,
+    )
+
+    best = "greatest(hits_en, hits_es, hits_fr, hits_de)"
+    script_whens = "\n           ".join(
+        f"WHEN hits_{s} > {ALPHA_SCRIPT_CHARS_PER_WORD} * {best} "
+        f"THEN '{lang}'"
+        for s, lang in SCRIPT_LANG.items()
+    )
+    from granulate_char_ocr_spark.operators.textstats import SCRIPT_RANGES
+
+    script_cols = ",\n                 ".join(
+        f"{_script_sql(s)} AS hits_{s}" for s in SCRIPT_RANGES
+    )
+    return f"""
     SELECT doc_id,
       CASE WHEN hits_kana > 0
-                AND hits_kana + hits_han >
-                    greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'ja'
-           WHEN hits_hangul >
-                    greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'ko'
-           WHEN hits_han > greatest(hits_en, hits_es, hits_fr, hits_de)
-                AND hits_kana = 0 THEN 'zh'
+                AND hits_kana + hits_han > {best} THEN 'ja'
+           WHEN hits_hangul > {best} THEN 'ko'
+           WHEN hits_han > {best} AND hits_kana = 0 THEN 'zh'
+           {script_whens}
            WHEN hits_de > greatest(hits_en, hits_es, hits_fr) THEN 'de'
            WHEN hits_fr > greatest(hits_en, hits_es) THEN 'fr'
            WHEN hits_es > hits_en THEN 'es'
@@ -946,12 +962,12 @@ def _script_sql(script: str) -> str:
     FROM (SELECT doc_id, {_hits_sql('en')} AS hits_en,
                  {_hits_sql('es')} AS hits_es, {_hits_sql('fr')} AS hits_fr,
                  {_hits_sql('de')} AS hits_de,
-                 {_script_sql('kana')} AS hits_kana,
-                 {_script_sql('hangul')} AS hits_hangul,
-                 {_script_sql('han')} AS hits_han
+                 {script_cols}
           FROM documents) t
-    """,
-)
+    """
+
+
+@q("lang_id_docs", _lang_id_sql())
 def lang_id_docs(spark, sf_dir):
     return textstats.lang_id(_t(spark, sf_dir, "documents"))
 

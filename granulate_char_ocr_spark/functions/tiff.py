@@ -29,6 +29,15 @@ _NONE, _MH_RLE, _G3, _G4, _LZW, _JPEG = 1, 2, 3, 4, 5, 7
 _DEFLATE, _DEFLATE_OLD, _PACKBITS = 8, 32946, 32773
 _BILEVEL_COMPS = (_MH_RLE, _G3, _G4)
 
+# byte-wise bit reversal LUT for FillOrder=2 (lsb-first) data
+_BITREV = np.array(
+    [int(f"{i:08b}"[::-1], 2) for i in range(256)], dtype=np.uint8
+)
+
+
+def _reverse_bits(buf: bytes) -> bytes:
+    return _BITREV[np.frombuffer(buf, dtype=np.uint8)].tobytes()
+
 
 # ---------------------------------------------------------------------------
 # PackBits (§9)
@@ -179,12 +188,23 @@ def encode_tiff(
     predictor: int = 1,
     bilevel: bool = False,
     t4_2d: bool = False,
+    fill_order: int = 1,
 ) -> bytes:
     """uint8 (H, W) gray / (H, W, 3) RGB -> little-endian TIFF bytes.
     ``bilevel`` packs a 0/255 grayscale image as 1-bit BlackIsZero rows;
     ``predictor=2`` applies horizontal differencing (LZW/Deflate);
     ``t4_2d`` selects the two-dimensional G3 mode under compression 3
-    (declared via T4Options bit 0)."""
+    (declared via T4Options bit 0); ``fill_order=2`` emits lsb-first
+    strip bytes with tag 266 (the fax-world convention; bilevel
+    none/CCITT only)."""
+    if fill_order not in (1, 2):
+        raise ValueError("encode_tiff: fill_order must be 1 or 2")
+    if fill_order == 2 and not (
+        bilevel and compression in (_NONE, *_BILEVEL_COMPS)
+    ):
+        raise ValueError(
+            "encode_tiff: fill_order=2 requires bilevel none/CCITT"
+        )
     img = np.ascontiguousarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and not (img.ndim == 3 and img.shape[2] == 3):
@@ -255,6 +275,8 @@ def encode_tiff(
             payload = raw
         else:
             raise ValueError(f"encode_tiff: compression {compression}")
+        if fill_order == 2:
+            payload = _reverse_bits(payload)
         strips.append(payload)
 
     entries = []  # (tag, type, count, value)
@@ -264,7 +286,12 @@ def encode_tiff(
     # layout: header(8) IFD region, then data region
     n_strips = len(strips)
     # IFD entry count depends on optional tag presence
-    tags_n = 11 + (1 if predictor == 2 else 0) + (1 if compression == _G3 else 0)
+    tags_n = (
+        11
+        + (1 if predictor == 2 else 0)
+        + (1 if compression == _G3 else 0)
+        + (1 if fill_order == 2 else 0)
+    )
     ifd_off = 8
     ifd_size = 2 + tags_n * 12 + 4
     data_off = ifd_off + ifd_size
@@ -299,6 +326,8 @@ def encode_tiff(
         0 if compression in _BILEVEL_COMPS else 1
     )
     entry(262, 3, 1, struct.pack("<HH", photometric, 0))
+    if fill_order == 2:
+        entry(266, 3, 1, struct.pack("<HH", 2, 0))
     if compression == _G3:
         # T4Options: bit 0 = 2D coding, no EOL byte-alignment
         entry(292, 4, 1, struct.pack("<I", 1 if t4_2d else 0))
@@ -391,11 +420,20 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError("TIFF: CCITT compressions require bilevel samples")
     # reject-with-reason for layout variants this decoder would otherwise
     # silently scramble (ADVICE r3): planar-separated samples (tag 284=2)
-    # and lsb-first bit fill (tag 266=2)
     if one(284, 1) != 1:
         raise ValueError("TIFF: PlanarConfiguration=2 (planar) unsupported")
-    if one(266, 1) != 1:
-        raise ValueError("TIFF: FillOrder=2 (lsb-first) unsupported")
+    fill_order = one(266, 1)
+    if fill_order not in (1, 2):
+        raise ValueError(f"TIFF: FillOrder {fill_order} invalid")
+    if fill_order == 2 and not (
+        bits == 1 and comp in (_NONE, _MH_RLE, _G3, _G4)
+    ):
+        # lsb-first fill is a FAX-WORLD convention (r4): supported where
+        # it actually occurs — bilevel uncompressed and CCITT streams —
+        # and rejected elsewhere rather than silently scrambling
+        raise ValueError(
+            "TIFF: FillOrder=2 supported only for bilevel none/CCITT"
+        )
 
     row_bytes = (w * bits * spp + 7) // 8
     rows = np.zeros((h, row_bytes), dtype=np.uint8)
@@ -404,6 +442,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         n_rows = min(rps, h - y)
         expected = n_rows * row_bytes
         chunk = data[off : off + cnt]
+        if fill_order == 2 and comp in (_MH_RLE, _G3, _G4):
+            chunk = _reverse_bits(chunk)  # lsb-first entropy stream
         if comp == _PACKBITS:
             raw = _packbits_decode(chunk, expected)
         elif comp == _LZW:
@@ -438,6 +478,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
             if len(chunk) < expected:
                 raise ValueError("TIFF: truncated strip")
             raw = chunk[:expected]
+            if fill_order == 2:
+                raw = _reverse_bits(raw)  # lsb-first packed pixels
         strip = np.frombuffer(raw, dtype=np.uint8).reshape(n_rows, row_bytes)
         if predictor == 2:
             if bits != 8:

@@ -52,13 +52,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 PUNCT_CLASS = r"[.,!?;:]"
 
-# Unicode script blocks for the whitespace-free scripts (VERDICT r3 item 2:
-# zh/ja text has no whitespace tokens, so the stopword markers above are
-# structurally blind to it). Counted per CHARACTER via regexp_count — the
-# `\x{...}` class syntax parses identically in Java regex (Spark) and RE2
-# (the DuckDB oracle), parity pinned by tests/test_textstats_cjk.py.
-# kana is definitive Japanese evidence (Chinese never uses it), hangul
-# Korean, Han-without-kana Chinese — the standard script-ladder heuristic.
+# Unicode script blocks for scripts the stopword markers cannot see
+# (VERDICT r3 item 2: zh/ja text has no whitespace tokens; Cyrillic/
+# Greek/Arabic/Hebrew text has whitespace tokens but zero Latin
+# markers). Counted per CHARACTER via regexp_count — the `\x{...}` class
+# syntax parses identically in Java regex (Spark) and RE2 (the DuckDB
+# oracle), parity pinned by tests/test_textstats_cjk.py. kana is
+# definitive Japanese evidence (Chinese never uses it), hangul Korean,
+# Han-without-kana Chinese — the standard script-ladder heuristic.
 SCRIPT_RANGES: dict[str, str] = {
     # hiragana + katakana + halfwidth katakana
     "kana": r"[\x{3040}-\x{309F}\x{30A0}-\x{30FF}\x{FF66}-\x{FF9D}]",
@@ -66,7 +67,33 @@ SCRIPT_RANGES: dict[str, str] = {
     "hangul": r"[\x{AC00}-\x{D7A3}\x{1100}-\x{11FF}\x{3130}-\x{318F}]",
     # CJK Unified Ideographs + Extension A + compatibility ideographs
     "han": r"[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{F900}-\x{FAFF}]",
+    # Cyrillic + supplement
+    "cyrillic": r"[\x{0400}-\x{04FF}\x{0500}-\x{052F}]",
+    # Greek and Coptic + Greek Extended
+    "greek": r"[\x{0370}-\x{03FF}\x{1F00}-\x{1FFF}]",
+    # Arabic + supplement + presentation forms
+    "arabic": r"[\x{0600}-\x{06FF}\x{0750}-\x{077F}\x{FB50}-\x{FDFF}\x{FE70}-\x{FEFF}]",
+    # Hebrew + presentation forms
+    "hebrew": r"[\x{0590}-\x{05FF}\x{FB1D}-\x{FB4F}]",
 }
+
+# mono-script alphabetic scripts map to their majority language — a
+# macro-language guess (Cyrillic could be uk/bg/sr, Arabic script fa/ur),
+# the standard first-pass heuristic when no per-language marker sets
+# exist for the script; the marker argmax refines only Latin-script text
+SCRIPT_LANG: dict[str, str] = {
+    "cyrillic": "ru",
+    "greek": "el",
+    "arabic": "ar",
+    "hebrew": "he",
+}
+
+# alphabetic scripts are counted in CHARACTERS but Latin markers in
+# TOKENS — one quoted foreign word (~5 chars) must not outvote real
+# English marker evidence, so alphabetic script hits must exceed
+# ~word-length × the best marker count (CJK needs no factor: one char
+# IS roughly one word there)
+ALPHA_SCRIPT_CHARS_PER_WORD = 5
 
 
 def _marker_hits(lang: str) -> F.Column:
@@ -111,12 +138,19 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
     # script head of the ladder: kana → ja (Japanese text mixes kanji and
     # kana, so Han characters count toward the ja score); hangul → ko;
-    # Han with NO kana → zh
+    # Han with NO kana → zh; then the mono-script alphabets in
+    # declaration order
+    script_pred = pred
+    for script, lang in reversed(SCRIPT_LANG.items()):
+        script_pred = F.when(
+            F.col(f"hits_{script}") > ALPHA_SCRIPT_CHARS_PER_WORD * best,
+            F.lit(lang),
+        ).otherwise(script_pred)
     pred = (
         F.when((kana > 0) & ((kana + han) > best), F.lit("ja"))
         .when(hangul > best, F.lit("ko"))
         .when((han > best) & (kana == 0), F.lit("zh"))
-        .otherwise(pred)
+        .otherwise(script_pred)
     )
     return scored.select("doc_id", pred.alias("predicted_lang"))
 

@@ -220,3 +220,33 @@ def test_tiff_g3_2d_and_compression_gain():
     )
     d1 = encode_tiff(bil, compression=3, bilevel=True)
     assert len(d2) < len(d1)
+
+
+def test_fax_page_decode_budget():
+    """Perf guard: a text-structured half-A4 G4 fax page (864x1100)
+    decodes in interpreter-tenths, not minutes — min-of-2 with ~10x
+    headroom for load drift (measured 0.11 s solo)."""
+    import time
+
+    import numpy as np
+
+    from granulate_char_ocr_spark.functions.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(4)
+    img = np.zeros((1100, 864), dtype=np.uint8)
+    for r in range(30, 1100, 40):
+        for c in range(20, 800, 12):
+            if rng.random() < 0.4:
+                img[r : r + 18, c : c + 8] = 255
+    data = encode_tiff(img, compression=4, bilevel=True)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = decode_tiff(data)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    assert np.array_equal(out > 0, img > 0)
+    assert best < 1.5, f"G4 page decode took {best:.2f}s"

@@ -28,6 +28,14 @@ CASES = [
     # majority-CJK with a couple of English tokens → script wins
     ("机器学习模型训练需要大量数据 the model", "zh"),
     ("nothing matches here xyzzy qwerty", "und"),
+    # mono-script alphabets (r4): script evidence maps to the majority
+    # language of the script — macro-language guesses for ru/ar
+    ("привет мир как дела сегодня", "ru"),
+    ("καλημέρα κόσμε τι κάνεις", "el"),
+    ("مرحبا بالعالم كيف حالك اليوم", "ar"),
+    ("שלום עולם מה שלומך היום", "he"),
+    # a lone Cyrillic word inside English stays en
+    ("the russian word мир means world in english", "en"),
 ]
 
 

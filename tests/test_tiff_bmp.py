@@ -229,3 +229,32 @@ def test_tiff_rejects_planar_and_lsb_fillorder():
         data[i + 8] = val
         with pytest.raises(ValueError, match=msg):
             decode_tiff(bytes(data))
+
+
+@pytest.mark.parametrize("comp", [1, 2, 3, 4])
+def test_tiff_fillorder2_roundtrip(comp):
+    """r4: FillOrder=2 (lsb-first, the fax-world convention) round-trips
+    for bilevel none/MH-RLE/G3/G4; tag 266 is written and honored."""
+    rng = np.random.default_rng(6)
+    img = (rng.random((21, 37)) < 0.3).astype(np.uint8) * 255
+    data = encode_tiff(img, compression=comp, bilevel=True, fill_order=2)
+    assert b"\x0a\x01" in data  # tag 266 present
+    got = decode_tiff(data)
+    assert np.array_equal(got > 0, img > 0)
+    # and the bytes differ from the msb-first encoding (it's not a no-op)
+    assert data != encode_tiff(img, compression=comp, bilevel=True)
+
+
+def test_tiff_fillorder2_rejected_where_unsupported():
+    with pytest.raises(ValueError, match="fill_order=2"):
+        encode_tiff(np.zeros((4, 4), dtype=np.uint8), fill_order=2)
+    # a (synthetic) LZW file claiming FillOrder=2 must reject, not scramble
+    base = encode_tiff(
+        np.zeros((4, 4), dtype=np.uint8), compression=5
+    )
+    data = bytearray(base)
+    i = data.find(b"\x15\x01")  # rewrite SamplesPerPixel slot into 266=2
+    data[i : i + 2] = b"\x0a\x01"
+    data[i + 8] = 2
+    with pytest.raises(ValueError, match="FillOrder=2"):
+        decode_tiff(bytes(data))
