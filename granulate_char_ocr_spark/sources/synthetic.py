@@ -339,6 +339,9 @@ def _media_row_png(i: int):
             img,
             compression=4 if i % 2 else 5,  # G4 fax / LZW
             bilevel=bool(i % 2),
+            # half the G4 legs use lsb-first fill (tag 266=2) — the
+            # fax-world convention, decode path added in r4
+            fill_order=2 if i % 4 == 1 else 1,
         )
     else:
         from granulate_char_ocr_spark.functions.bmp import encode_bmp
