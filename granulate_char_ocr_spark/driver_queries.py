@@ -934,6 +934,7 @@ def _lang_id_sql() -> str:
     from granulate_char_ocr_spark.operators.textstats import (
         ALPHA_SCRIPT_CHARS_PER_WORD,
         SCRIPT_LANG,
+        SCRIPT_RANGES,
     )
 
     best = "greatest(hits_en, hits_es, hits_fr, hits_de)"
@@ -942,8 +943,6 @@ def _lang_id_sql() -> str:
         f"THEN '{lang}'"
         for s, lang in SCRIPT_LANG.items()
     )
-    from granulate_char_ocr_spark.operators.textstats import SCRIPT_RANGES
-
     script_cols = ",\n                 ".join(
         f"{_script_sql(s)} AS hits_{s}" for s in SCRIPT_RANGES
     )

@@ -72,7 +72,9 @@ SCRIPT_RANGES: dict[str, str] = {
     # Greek and Coptic + Greek Extended
     "greek": r"[\x{0370}-\x{03FF}\x{1F00}-\x{1FFF}]",
     # Arabic + supplement + presentation forms
-    "arabic": r"[\x{0600}-\x{06FF}\x{0750}-\x{077F}\x{FB50}-\x{FDFF}\x{FE70}-\x{FEFF}]",
+    # presentation forms end at FEFE: U+FEFF is ZWNBSP/BOM (script=Common),
+    # a stray ingest BOM must not count as Arabic evidence
+    "arabic": r"[\x{0600}-\x{06FF}\x{0750}-\x{077F}\x{FB50}-\x{FDFF}\x{FE70}-\x{FEFE}]",
     # Hebrew + presentation forms
     "hebrew": r"[\x{0590}-\x{05FF}\x{FB1D}-\x{FB4F}]",
 }
@@ -107,13 +109,15 @@ def _marker_hits(lang: str) -> F.Column:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """(doc_id, predicted_lang): argmax of stopword-marker hits, with CJK
+    """(doc_id, predicted_lang): argmax of stopword-marker hits, with
     script-character evidence at the head of the ladder; 'und' when nothing
-    matches. A script language wins only when its character count exceeds
-    the best Latin marker count — a lone quoted ideograph inside an English
-    sentence stays 'en', while whitespace-free zh/ja/ko text (zero Latin
-    markers by construction) classifies by script. Deterministic tie-break:
-    ladder order (ja, ko, zh, then language declaration order)."""
+    matches. A CJK language wins when its character count exceeds the best
+    Latin marker count (one char ≈ one word there); the alphabetic scripts
+    (ru/el/ar/he) need ALPHA_SCRIPT_CHARS_PER_WORD× that — a lone quoted
+    foreign word inside an English sentence stays 'en', while a sentence in
+    the script (zero Latin markers by construction) classifies by script.
+    Deterministic tie-break: ladder order (ja, ko, zh, the SCRIPT_LANG
+    alphabets in declaration order, then language declaration order)."""
     scored = docs.select(
         "doc_id",
         *[_marker_hits(lg).alias(f"hits_{lg}") for lg in LANG_MARKERS],

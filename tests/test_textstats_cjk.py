@@ -36,6 +36,8 @@ CASES = [
     ("שלום עולם מה שלומך היום", "he"),
     # a lone Cyrillic word inside English stays en
     ("the russian word мир means world in english", "en"),
+    # a stray BOM (U+FEFF, script=Common) is NOT Arabic evidence
+    ("﻿nothing matches here xyzzy qwerty", "und"),
 ]
 
 
