@@ -224,8 +224,9 @@ def test_tiff_g3_2d_and_compression_gain():
 
 def test_fax_page_decode_budget():
     """Perf guard: a text-structured half-A4 G4 fax page (864x1100)
-    decodes in interpreter-tenths, not minutes — min-of-2 with ~10x
-    headroom for load drift (measured 0.11 s solo)."""
+    decodes in interpreter-tenths, not minutes — min-of-2 with ~20x
+    headroom for load drift (measured 0.065 s solo with the LUT reader
+    and incremental reference-line scan)."""
     import time
 
     import numpy as np
