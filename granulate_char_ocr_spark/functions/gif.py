@@ -39,29 +39,36 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    # dictionary keyed on (prefix code, next index): O(1) per pixel.
+    # Byte-string keys go quadratic on smooth data (long matches mean
+    # each concat+hash is O(match length)); single-symbol strings are
+    # the implicit codes 0..clear-1. Emits the identical bitstream.
+    table: dict[tuple[int, int], int] = {}
     next_code = eoi + 1
     width = min_code_size + 1
     emit(clear, width)
-    prev = b""
+    prev_code = -1
     for v in indices.reshape(-1).tolist():
-        cur = prev + bytes([v])
-        if cur in table:
-            prev = cur
+        if prev_code < 0:
+            prev_code = v
             continue
-        emit(table[prev], width)
-        table[cur] = next_code
+        nc = table.get((prev_code, v))
+        if nc is not None:
+            prev_code = nc
+            continue
+        emit(prev_code, width)
+        table[(prev_code, v)] = next_code
         next_code += 1
         if next_code == (1 << width) + 1 and width < 12:
             width += 1
         elif next_code >= 4096:
             emit(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
+            table.clear()
             next_code = eoi + 1
             width = min_code_size + 1
-        prev = bytes([v])
-    if prev:
-        emit(table[prev], width)
+        prev_code = v
+    if prev_code >= 0:
+        emit(prev_code, width)
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

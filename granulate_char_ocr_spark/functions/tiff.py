@@ -102,31 +102,39 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             out.append((acc >> (nbits - 8)) & 0xFF)
             nbits -= 8
+        acc &= (1 << nbits) - 1  # keep the accumulator a small int
 
-    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    # dictionary keyed on (prefix code, next byte): O(1) per input byte.
+    # Byte-string keys go quadratic on smooth data (long matches mean
+    # each concat+hash is O(match length)); single-byte strings are the
+    # implicit codes 0-255. Emits the identical bitstream.
+    table: dict[tuple[int, int], int] = {}
     next_code = 258
     width = 9
     emit(256, width)  # clear
-    prev = b""
+    prev_code = -1
     for byte in data:
-        cur = prev + bytes([byte])
-        if cur in table:
-            prev = cur
+        if prev_code < 0:
+            prev_code = byte
             continue
-        emit(table[prev], width)
-        table[cur] = next_code
+        nc = table.get((prev_code, byte))
+        if nc is not None:
+            prev_code = nc
+            continue
+        emit(prev_code, width)
+        table[(prev_code, byte)] = next_code
         next_code += 1
         # early change (§13): switch as soon as code 2^w - 1 is ADDED
         if next_code == (1 << width) and width < 12:
             width += 1
         elif next_code >= 4094:
             emit(256, width)
-            table = {bytes([i]): i for i in range(256)}
+            table.clear()
             next_code = 258
             width = 9
-        prev = bytes([byte])
-    if prev:
-        emit(table[prev], width)
+        prev_code = byte
+    if prev_code >= 0:
+        emit(prev_code, width)
     emit(257, width)  # EOI
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
@@ -151,6 +159,7 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
             nbits += 8
         code = (acc >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        acc &= (1 << nbits) - 1  # keep the accumulator a small int
         if code == 256:
             table = [bytes([i]) for i in range(256)] + [b"", b""]
             width = 9

@@ -258,3 +258,30 @@ def test_tiff_fillorder2_rejected_where_unsupported():
     data[i + 8] = 2
     with pytest.raises(ValueError, match="FillOrder=2"):
         decode_tiff(bytes(data))
+
+
+def test_tiff_lzw_photo_scale_budget():
+    """Perf guard: LZW on a smooth 1 MP grayscale (the pathological input
+    for the old byte-string dictionary + unmasked bit accumulator, which
+    went quadratic: minutes instead of sub-second) stays linear — min-of-2
+    with ~10x headroom for load drift (measured 0.56 s encode / 0.70 s
+    decode solo)."""
+    import time
+
+    rng = np.random.default_rng(3)
+    img = (np.cumsum(rng.integers(-3, 4, (1024, 1024)), axis=1) % 256).astype(
+        np.uint8
+    )
+    data = encode_tiff(img, compression=5)
+    best_enc = best_dec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        data = encode_tiff(img, compression=5)
+        t1 = time.perf_counter()
+        out = decode_tiff(data)
+        t2 = time.perf_counter()
+        best_enc = t1 - t0 if best_enc is None else min(best_enc, t1 - t0)
+        best_dec = t2 - t1 if best_dec is None else min(best_dec, t2 - t1)
+    assert np.array_equal(out, img)
+    assert best_enc < 6.0, f"LZW 1MP encode took {best_enc:.2f}s"
+    assert best_dec < 7.0, f"LZW 1MP decode took {best_dec:.2f}s"
