@@ -317,6 +317,10 @@ def decode_png(data: bytes, scale_16bit: bool = True) -> np.ndarray:
     if paletted and plte is None:
         raise ValueError("PNG: color type 3 without PLTE")
     spp = 1 if paletted else _CHANNELS[color]
+    # plausibility gate before dimension-sized allocations (w/h are
+    # 32-bit: one corrupt header byte can declare a ~100 GB image)
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20 and w * h * spp <= 1 << 30):
+        raise ValueError(f"PNG: implausible dimensions {w}x{h}x{spp}")
     bits_pp = depth * spp
     bpp = max(1, bits_pp // 8)  # filter byte distance (spec §9.2)
     subbyte = depth < 8

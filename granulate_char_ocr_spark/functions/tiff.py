@@ -384,6 +384,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         if typ not in type_fmt:
             continue  # rationals etc. — not needed
         size = type_size[typ] * count
+        if size > len(data):
+            continue  # corrupt count: payload can't fit in the file
         if size <= 4:
             raw = data[e + 8 : e + 8 + size]
         else:
@@ -402,6 +404,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
     w, h = one(256), one(257)
     spp = one(277, 1)
+    # plausibility gate BEFORE any dimension-sized allocation: the fields
+    # are 32-bit, so one flipped byte in a corrupt file can declare a
+    # ~100 GB image — at scale that pins an executor in an hours-long
+    # C-level memset the permissive wrapper can't interrupt. A gigapixel
+    # cap is far beyond any real scanned page.
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20 and w * h * spp <= 1 << 30):
+        raise ValueError(f"TIFF: implausible dimensions {w}x{h}x{spp}")
     bits_list = tags.get(258, [1])
     bits = bits_list[0]
     comp = one(259, _NONE)
