@@ -94,3 +94,36 @@ def test_decoder_terminates_on_corrupt_input(name, data):
         assert dt < _PER_CALL_BUDGET_S, (
             f"{name} mutation {i}: decode took {dt:.1f}s on corrupt input"
         )
+
+
+def _container_cases():
+    from granulate_char_ocr_spark.functions import avi, pdf, wav
+
+    pcm = (np.sin(np.linspace(0, 200, 16000)) * 12000).astype(np.int16)
+    frame = np.full((32, 48), 200, np.uint8)
+    return [
+        ("wav", wav.encode_wav(pcm, 16000), wav.decode_wav),
+        ("avi", avi.encode_avi_mjpeg([frame, frame // 2], 10),
+         avi.decode_avi_mjpeg),
+        ("pdf14", pdf.encode_pdf(["Hello fuzz world " * 40] * 3),
+         pdf.decode_pdf_text),
+        ("pdf15", pdf.encode_pdf(["Object stream page " * 40] * 3,
+                                 object_streams=True), pdf.decode_pdf_text),
+    ]
+
+
+@pytest.mark.parametrize("name,data,dec", _container_cases(),
+                         ids=lambda v: v if isinstance(v, str) else "")
+def test_container_parser_terminates_on_corrupt_input(name, data, dec):
+    import zlib
+
+    for i, mut in enumerate(_mutations(data, seed=zlib.crc32(name.encode()))):
+        t0 = time.perf_counter()
+        try:
+            dec(mut)
+        except Exception:
+            pass
+        dt = time.perf_counter() - t0
+        assert dt < _PER_CALL_BUDGET_S, (
+            f"{name} mutation {i}: parse took {dt:.1f}s on corrupt input"
+        )
