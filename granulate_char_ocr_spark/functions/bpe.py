@@ -114,12 +114,35 @@ def load_ranks(path: str = MERGES_PATH) -> dict[tuple[str, str], int]:
     return ranks
 
 
+# The merge loop below is O(len^2) per token. Normal words are tiny, but
+# a no-whitespace run (base64 blob, DNA string, minified JS) pre-tokenizes
+# as ONE token — a 64k-char run measured 77 s, a 10 MB blob would take
+# days on one executor core. Tokens longer than this are merged in
+# independent chunks: only pairs straddling a boundary are lost, so the
+# count drifts by at most 1 symbol per 512 chars — noise for a counting
+# proxy, and deterministic (the golden oracle runs this same function).
+_MAX_MERGE_SPAN = 512
+
+# don't memoize pathological keys: a cache of 10 MB strings is its own
+# executor-memory leak; real vocabulary words are far below this
+_MAX_CACHE_KEY = 256
+
+
 def bpe_symbols(
     tok: str, ranks: dict[tuple[str, str], int]
 ) -> list[str]:
     """Apply merges to one non-whitespace pre-token: repeatedly merge the
     present pair with the lowest rank (the standard GPT-2 encode loop)."""
-    parts = _to_symbols(tok)
+    symbols = _to_symbols(tok)
+    if len(symbols) > _MAX_MERGE_SPAN:
+        out: list[str] = []
+        for i in range(0, len(symbols), _MAX_MERGE_SPAN):
+            out.extend(_merge(symbols[i : i + _MAX_MERGE_SPAN], ranks))
+        return out
+    return _merge(symbols, ranks)
+
+
+def _merge(parts: list[str], ranks: dict[tuple[str, str], int]) -> list[str]:
     while len(parts) > 1:
         best_rank, best_i = None, -1
         for i in range(len(parts) - 1):
@@ -149,7 +172,7 @@ def count_tokens(
             n += cache[tok]
             continue
         k = len(bpe_symbols(tok, ranks))
-        if cache is not None:
+        if cache is not None and len(tok) <= _MAX_CACHE_KEY:
             cache[tok] = k
         n += k
     return n

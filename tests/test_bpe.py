@@ -73,3 +73,36 @@ def test_spark_udf_matches_python_twin(spark):
     corpus_like = texts[0]
     proxy = len(bpe.pretokenize(corpus_like))
     assert want[0] < proxy * 1.01 and want[0] >= len(corpus_like.split())
+
+
+def test_giant_token_merges_in_linear_time():
+    """Perf guard: a no-whitespace run (base64 blob, DNA string)
+    pre-tokenizes as ONE token; the merge loop is quadratic per chunk, so
+    over-long tokens merge in independent _MAX_MERGE_SPAN chunks (drift
+    <= 1 symbol per boundary). 64k chars measured 77 s before chunking,
+    0.40 s after — budget leaves ~10x for load drift."""
+    import time
+
+    ranks = bpe.load_ranks()
+    tok = ("abcdefgh" * 8000)[:64000]
+    t0 = time.perf_counter()
+    n = len(bpe.bpe_symbols(tok, ranks))
+    dt = time.perf_counter() - t0
+    assert dt < 5.0, f"64k-char token merge took {dt:.1f}s"
+    # chunking must not change counts on a chunk-aligned repetition
+    per_chunk = len(bpe.bpe_symbols("abcdefgh" * 64, ranks))
+    assert n == (64000 // 512) * per_chunk
+
+
+def test_short_tokens_unaffected_by_chunking():
+    ranks = bpe.load_ranks()
+    for tok in ["Hello", " world", "the", " antidisestablishmentarianism"]:
+        parts = bpe.bpe_symbols(tok, ranks)
+        assert parts == bpe._merge(bpe._to_symbols(tok), ranks)
+
+
+def test_cache_skips_pathological_keys():
+    ranks = bpe.load_ranks()
+    cache = {}
+    bpe.count_tokens("word " + "x" * 1000, ranks, cache)
+    assert "word" in cache and not any(len(k) > 256 for k in cache)
