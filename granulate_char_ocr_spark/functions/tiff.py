@@ -206,6 +206,56 @@ def encode_tiff(
     (declared via T4Options bit 0); ``fill_order=2`` emits lsb-first
     strip bytes with tag 266 (the fax-world convention; bilevel
     none/CCITT only)."""
+    return b"II*\x00" + struct.pack("<I", 8) + _encode_page(
+        img, 8, 0, compression, rows_per_strip, predictor, bilevel,
+        t4_2d, fill_order,
+    )
+
+
+def encode_tiff_multipage(
+    pages: list[np.ndarray],
+    compression: int = _NONE,
+    rows_per_strip: int | None = None,
+    predictor: int = 1,
+    bilevel: bool = False,
+    t4_2d: bool = False,
+    fill_order: int = 1,
+) -> bytes:
+    """Multi-page TIFF (the fax/scanned-document convention: one IFD per
+    page chained by the next-IFD pointer). Page block sizes are
+    offset-independent, so a sizing pass fixes the chain offsets and a
+    second pass emits each block with absolute strip offsets."""
+    if not pages:
+        raise ValueError("encode_tiff_multipage: no pages")
+    opts = (compression, rows_per_strip, predictor, bilevel, t4_2d,
+            fill_order)
+    sizes = [len(_encode_page(p, 8, 0, *opts)) for p in pages]
+    offs, off = [], 8
+    for s in sizes:
+        offs.append(off)
+        off += s
+    blocks = [
+        _encode_page(
+            p, offs[i], offs[i + 1] if i + 1 < len(pages) else 0, *opts
+        )
+        for i, p in enumerate(pages)
+    ]
+    return b"II*\x00" + struct.pack("<I", 8) + b"".join(blocks)
+
+
+def _encode_page(
+    img: np.ndarray,
+    ifd_off: int,
+    next_ifd: int,
+    compression: int,
+    rows_per_strip: int | None,
+    predictor: int,
+    bilevel: bool,
+    t4_2d: bool,
+    fill_order: int,
+) -> bytes:
+    """One page's IFD + data block, with absolute offsets from
+    ``ifd_off`` and the next-IFD pointer set to ``next_ifd``."""
     if fill_order not in (1, 2):
         raise ValueError("encode_tiff: fill_order must be 1 or 2")
     if fill_order == 2 and not (
@@ -301,7 +351,6 @@ def encode_tiff(
         + (1 if compression == _G3 else 0)
         + (1 if fill_order == 2 else 0)
     )
-    ifd_off = 8
     ifd_size = 2 + tags_n * 12 + 4
     data_off = ifd_off + ifd_size
     extra = bytearray()
@@ -352,18 +401,16 @@ def encode_tiff(
     ifd = struct.pack("<H", tags_n)
     for (tag, typ, count, value) in entries:
         ifd += struct.pack("<HHI", tag, typ, count) + value
-    ifd += struct.pack("<I", 0)  # no next IFD
+    ifd += struct.pack("<I", next_ifd)
     assert len(ifd) == ifd_size
-    return b"II*\x00" + struct.pack("<I", ifd_off) + ifd + bytes(extra)
+    return ifd + bytes(extra)
 
 
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
-def decode_tiff(data: bytes) -> np.ndarray:
-    """TIFF bytes -> uint8 (H, W) grayscale (bilevel scales to 0/255,
-    WhiteIsZero inverts) or (H, W, 3/4) RGB(A) / palette-expanded."""
+def _tiff_end(data: bytes) -> str:
     if data[:2] == b"II":
         end = "<"
     elif data[:2] == b"MM":
@@ -373,7 +420,48 @@ def decode_tiff(data: bytes) -> np.ndarray:
     (magic,) = struct.unpack(end + "H", data[2:4])
     if magic != 42:
         raise ValueError("TIFF: bad magic")
+    return end
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """TIFF bytes -> uint8 (H, W) grayscale (bilevel scales to 0/255,
+    WhiteIsZero inverts) or (H, W, 3/4) RGB(A) / palette-expanded.
+    Multi-page files decode their FIRST page only; use
+    ``decode_tiff_pages`` for the whole IFD chain."""
+    end = _tiff_end(data)
     (ifd_off,) = struct.unpack(end + "I", data[4:8])
+    img, _ = _decode_ifd(data, end, ifd_off)
+    return img
+
+
+def decode_tiff_pages(
+    data: bytes, max_pages: int = 10000
+) -> list[np.ndarray]:
+    """Every page of a (multi-page) TIFF — the fax/scanned-document
+    convention of one IFD per page chained by the next-IFD pointer.
+    The chain is cycle-checked and capped so corrupt pointers terminate
+    instead of looping."""
+    end = _tiff_end(data)
+    (off,) = struct.unpack(end + "I", data[4:8])
+    pages: list[np.ndarray] = []
+    seen: set[int] = set()
+    while off:
+        if off in seen:
+            raise ValueError("TIFF: IFD chain cycle")
+        if len(pages) >= max_pages:
+            raise ValueError("TIFF: IFD chain exceeds max_pages")
+        seen.add(off)
+        img, off = _decode_ifd(data, end, off)
+        pages.append(img)
+    if not pages:
+        raise ValueError("TIFF: empty IFD chain")
+    return pages
+
+
+def _decode_ifd(
+    data: bytes, end: str, ifd_off: int
+) -> tuple[np.ndarray, int]:
+    """Decode the page at ``ifd_off``; returns (image, next-IFD offset)."""
     (n_tags,) = struct.unpack(end + "H", data[ifd_off : ifd_off + 2])
     tags: dict[int, list[int]] = {}
     type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
@@ -394,6 +482,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
         tags[tag] = list(
             struct.unpack(end + type_fmt[typ] * count, raw)
         )
+    nxt_at = ifd_off + 2 + 12 * n_tags
+    nxt_raw = data[nxt_at : nxt_at + 4]
+    next_ifd = struct.unpack(end + "I", nxt_raw)[0] if len(nxt_raw) == 4 else 0
 
     def one(tag, default=None):
         if tag in tags:
@@ -525,14 +616,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
         )
         if int(idx.max(initial=0)) >= n:
             raise ValueError("TIFF: palette index out of range")
-        return pal[idx]
+        return pal[idx], next_ifd
     if bits == 1:
         px = np.unpackbits(rows, axis=1)[:, :w] * np.uint8(255)
         return np.ascontiguousarray(
             px if photo == 1 else 255 - px  # photometric 0: white-is-zero
-        )
+        ), next_ifd
     if spp == 1:
         gray = rows[:, :w]
-        return np.ascontiguousarray(gray if photo == 1 else 255 - gray)
+        return np.ascontiguousarray(
+            gray if photo == 1 else 255 - gray
+        ), next_ifd
     px = rows.reshape(h, row_bytes // spp, spp)[:, :w, :]
-    return np.ascontiguousarray(px)
+    return np.ascontiguousarray(px), next_ifd

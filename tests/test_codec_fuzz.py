@@ -97,11 +97,14 @@ def test_decoder_terminates_on_corrupt_input(name, data):
 
 
 def _container_cases():
-    from granulate_char_ocr_spark.functions import avi, pdf, wav
+    from granulate_char_ocr_spark.functions import avi, pdf, tiff, wav
 
     pcm = (np.sin(np.linspace(0, 200, 16000)) * 12000).astype(np.int16)
     frame = np.full((32, 48), 200, np.uint8)
     return [
+        ("tiff_multipage",
+         tiff.encode_tiff_multipage([frame, frame // 2], compression=5),
+         tiff.decode_tiff_pages),
         ("wav", wav.encode_wav(pcm, 16000), wav.decode_wav),
         ("avi", avi.encode_avi_mjpeg([frame, frame // 2], 10),
          avi.decode_avi_mjpeg),

@@ -285,3 +285,56 @@ def test_tiff_lzw_photo_scale_budget():
     assert np.array_equal(out, img)
     assert best_enc < 6.0, f"LZW 1MP encode took {best_enc:.2f}s"
     assert best_dec < 7.0, f"LZW 1MP decode took {best_dec:.2f}s"
+
+
+def test_tiff_multipage_roundtrip():
+    """Multi-page TIFF (one IFD per page chained by the next-IFD
+    pointer — the fax/scanned-document convention) round-trips for
+    gray and bilevel compressions, and the single-page writer output
+    is byte-identical to a 1-page chain."""
+    from granulate_char_ocr_spark.functions.tiff import (
+        decode_tiff_pages,
+        encode_tiff_multipage,
+    )
+
+    rng = np.random.default_rng(2)
+    pages = [
+        (np.cumsum(rng.integers(-2, 3, (20 + i, 31)), axis=1) % 256).astype(
+            np.uint8
+        )
+        for i in range(4)
+    ]
+    for comp in (1, 5, 8, 32773):
+        data = encode_tiff_multipage(pages, compression=comp)
+        got = decode_tiff_pages(data)
+        assert len(got) == 4
+        assert all(np.array_equal(a, b) for a, b in zip(got, pages))
+        # decode_tiff stays first-page (back-compat)
+        assert np.array_equal(decode_tiff(data), pages[0])
+    bil = [(p > 128).astype(np.uint8) * 255 for p in pages]
+    data = encode_tiff_multipage(bil, compression=4, bilevel=True)
+    got = decode_tiff_pages(data)
+    assert all(np.array_equal(g > 0, b > 0) for g, b in zip(got, bil))
+    assert encode_tiff(pages[0], compression=5) == encode_tiff_multipage(
+        pages[:1], compression=5
+    )
+
+
+def test_tiff_multipage_chain_guards():
+    """A corrupt next-IFD pointer forming a cycle must raise, not loop."""
+    from granulate_char_ocr_spark.functions.tiff import (
+        decode_tiff_pages,
+        encode_tiff_multipage,
+    )
+    import struct
+
+    img = np.full((8, 8), 200, np.uint8)
+    data = bytearray(encode_tiff_multipage([img, img]))
+    # first IFD's next pointer sits after its tag array; point it at
+    # itself (offset 8) to make a cycle
+    (first_off,) = struct.unpack("<I", data[4:8])
+    (n_tags,) = struct.unpack("<H", data[first_off : first_off + 2])
+    nxt_at = first_off + 2 + 12 * n_tags
+    data[nxt_at : nxt_at + 4] = struct.pack("<I", first_off)
+    with pytest.raises(ValueError, match="cycle"):
+        decode_tiff_pages(bytes(data))
