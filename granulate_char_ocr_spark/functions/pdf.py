@@ -203,6 +203,140 @@ def encode_pdf(lines: list[str], object_streams: bool = False) -> bytes:
     return bytes(out)
 
 
+def encode_pdf_pages(
+    pages: list[list[str] | str], object_streams: bool = False
+) -> bytes:
+    """Multi-page PDF: one /Page object + one Flate content stream per
+    page under a shared /Pages tree and font. Each element of ``pages``
+    is that page's line list (a bare string is one line). Single-page
+    input delegates to ``encode_pdf`` (byte-identical output). With
+    ``object_streams`` the structure objects and every content stream's
+    indirect /Length integer pack into a /ObjStm + XRef stream (PDF
+    1.5); content streams stay top-level (streams cannot live inside an
+    object stream, ISO 32000 §7.5.7)."""
+    norm = [[p] if isinstance(p, str) else list(p) for p in pages]
+    if not norm:
+        raise ValueError("encode_pdf_pages: no pages")
+    if len(norm) == 1:
+        return encode_pdf(norm[0], object_streams)
+    contents = [_content_stream(p) for p in norm]
+    n = len(norm)
+
+    if not object_streams:
+        # 1 catalog, 2 tree, 3 font; page i: dict 4+2i, stream 5+2i
+        kids = b" ".join(b"%d 0 R" % (4 + 2 * i) for i in range(n))
+        objs: list[bytes] = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+        for i, c in enumerate(contents):
+            objs.append(
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> "
+                b"/Contents %d 0 R >>" % (5 + 2 * i)
+            )
+            objs.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c)
+                + c
+                + b"\nendstream"
+            )
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for i, body in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        xref_off = len(out)
+        out += b"xref\n0 %d\n" % (len(objs) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_off)
+        )
+        return bytes(out)
+
+    # --- 1.5 layout: 1 catalog, 2 tree, 3 font, 4..3+n page dicts (all
+    # packed), 4+n..3+2n content streams (top-level), 4+2n..3+3n /Length
+    # integers (packed), 4+3n ObjStm, 5+3n XRef stream
+    kids = b" ".join(b"%d 0 R" % (4 + i) for i in range(n))
+    packed: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    packed_nums: list[int] = [1, 2, 3]
+    for i, c in enumerate(contents):
+        packed.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % (4 + n + i)
+        )
+        packed_nums.append(4 + i)
+    for i, c in enumerate(contents):
+        packed.append(b"%d" % len(c))
+        packed_nums.append(4 + 2 * n + i)
+    offs, blob = [], bytearray()
+    for body in packed:
+        offs.append(len(blob))
+        blob += body + b"\n"
+    header = b" ".join(
+        b"%d %d" % (num, o) for num, o in zip(packed_nums, offs)
+    ) + b"\n"
+    stm_payload = zlib.compress(header + bytes(blob))
+    objstm_num, xref_num = 4 + 3 * n, 5 + 3 * n
+    objstm = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode "
+        b">>\nstream\n" % (len(packed), len(header), len(stm_payload))
+        + stm_payload
+        + b"\nendstream"
+    )
+    out = bytearray(b"%PDF-1.5\n")
+    top_offsets: dict[int, int] = {}
+    for i, c in enumerate(contents):
+        num = 4 + n + i
+        top_offsets[num] = len(out)
+        out += (
+            b"%d 0 obj\n<< /Length %d 0 R /Filter /FlateDecode >>\n"
+            b"stream\n" % (num, 4 + 2 * n + i)
+            + c
+            + b"\nendstream\nendobj\n"
+        )
+    top_offsets[objstm_num] = len(out)
+    out += b"%d 0 obj\n" % objstm_num + objstm + b"\nendobj\n"
+    xref_off = len(out)
+    size = xref_num + 1
+    entries = [(0, 0, 0xFFFF)]
+    packed_index = {num: i for i, num in enumerate(packed_nums)}
+    for num in range(1, size - 1):
+        if num in packed_index:
+            entries.append((2, objstm_num, packed_index[num]))
+        else:
+            entries.append((1, top_offsets[num], 0))
+    entries.append((1, xref_off, 0))  # the xref stream itself
+    cols = 7
+    rows = bytearray()
+    prev = bytes(cols)
+    for t, a, b in entries:
+        row = struct.pack(">BIH", t, a, b)
+        rows.append(2)  # PNG Up predictor
+        rows += bytes((c - p) & 0xFF for c, p in zip(row, prev))
+        prev = row
+    xref_payload = zlib.compress(bytes(rows))
+    xref = (
+        b"<< /Type /XRef /Size %d /Root 1 0 R /W [1 4 2] /Index [0 %d] "
+        b"/Filter /FlateDecode "
+        b"/DecodeParms << /Columns %d /Predictor 12 >> /Length %d "
+        b">>\nstream\n" % (size, size, cols, len(xref_payload))
+        + xref_payload
+        + b"\nendstream"
+    )
+    out += b"%d 0 obj\n" % xref_num + xref + b"\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
 # a dict immediately followed by the stream keyword: lazy body bound only
 # as a FALLBACK — /Length (below) slices from the keyword position instead
 _STREAM_RE = re.compile(
@@ -441,18 +575,16 @@ def _length_of(d: bytes, objmap: dict[int, bytes], data: bytes) -> int | None:
     return None
 
 
-def decode_pdf_text(data: bytes) -> str:
-    """PDF bytes -> extracted text, one line per text-positioning group,
-    content streams in document order. Handles both classic-xref (1.4)
-    and xref-stream/ObjStm (1.5+) files: object streams are expanded
-    first so indirect /Length integers packed inside them resolve."""
+def _decode_pdf_streams(data: bytes) -> list[list[str]]:
+    """Shared walk: per text-content stream, the extracted lines, in
+    document order. One content stream per page is the dominant layout
+    (and this module's writer guarantees it)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("PDF: bad header")
     if b"/Encrypt" in data:
         raise ValueError("PDF: encrypted documents unsupported")
     objmap = expand_object_streams(data)
-    lines: list[str] = []
-    found_stream = False
+    per_stream: list[list[str]] = []
     for m in _STREAM_RE.finditer(data):
         d = m.group("dict")
         # honor a direct-or-resolvable /Length, slicing from the
@@ -468,8 +600,25 @@ def decode_pdf_text(data: bytes) -> str:
         body = _inflate(d, _stream_body(m, data, _length_of(d, objmap, data)))
         if b"BT" not in body:
             continue
-        found_stream = True
+        lines: list[str] = []
         _extract_lines(body, lines)
-    if not found_stream:
+        per_stream.append(lines)
+    if not per_stream:
         raise ValueError("PDF: no text content stream found")
-    return "\n".join(lines)
+    return per_stream
+
+
+def decode_pdf_text(data: bytes) -> str:
+    """PDF bytes -> extracted text, one line per text-positioning group,
+    content streams in document order. Handles both classic-xref (1.4)
+    and xref-stream/ObjStm (1.5+) files: object streams are expanded
+    first so indirect /Length integers packed inside them resolve."""
+    return "\n".join(
+        line for lines in _decode_pdf_streams(data) for line in lines
+    )
+
+
+def decode_pdf_text_pages(data: bytes) -> list[str]:
+    """Per-page text of a PDF: one entry per text content stream in
+    document order (page boundaries for one-stream-per-page files)."""
+    return ["\n".join(lines) for lines in _decode_pdf_streams(data)]

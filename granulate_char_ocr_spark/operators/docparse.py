@@ -53,3 +53,34 @@ def pdf_texts(
     return df.select(key_col, payload_col).mapInPandas(
         fn, schema=f"{key_col} {key_type}, extracted string"
     )
+
+
+def pdf_pages(
+    df: DataFrame, payload_col: str = "payload", key_col: str = "doc_id"
+) -> DataFrame:
+    """1→N page explode: (key, pdf_bytes) -> (key, page_no, page_text),
+    one row per text content stream in document order (page boundaries
+    for one-stream-per-page files — this module's writer and the
+    dominant real-world layout). The joined page texts equal
+    ``pdf_texts``'s output exactly."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.pdf import (
+            decode_pdf_text_pages,
+        )
+
+        for pdf in batches:
+            keys, nos, texts = [], [], []
+            for k, p in zip(pdf[key_col], pdf[payload_col]):
+                for i, t in enumerate(decode_pdf_text_pages(bytes(p))):
+                    keys.append(k)
+                    nos.append(i)
+                    texts.append(t)
+            yield pd.DataFrame(
+                {key_col: keys, "page_no": nos, "page_text": texts}
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col, payload_col).mapInPandas(
+        fn, schema=f"{key_col} {key_type}, page_no int, page_text string"
+    )

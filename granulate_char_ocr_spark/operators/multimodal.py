@@ -190,6 +190,65 @@ def decode_media_store(
     return selected.mapInPandas(fn, schema=MEDIA_STORE_SCHEMA)
 
 
+PAGED_MEDIA_SCHEMA = MEDIA_STORE_SCHEMA + ", page_no int"
+
+
+def explode_tiff_pages(
+    media: DataFrame,
+    permissive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1→N page explode for multi-page TIFF payloads (the fax/scanned-
+    document convention: one IFD per page): (media_ref, word, width,
+    height, pixels=TIFF bytes) → one MEDIA_STORE-shaped row PER PAGE
+    plus ``page_no``, pixels decoded to the raw grayscale buffer the
+    extraction kernel takes. Single-page payloads yield one row with
+    page_no 0, so mixed stores work unchanged. Same explicit-repartition
+    rationale as decode_media_store: encoded pages are byte-small but
+    decode-heavy, and bytes-based split sizing would serialize the
+    stage. ``permissive`` maps a failed payload to one null-pixel row."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.tiff import decode_tiff_pages
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    pages = decode_tiff_pages(bytes(r.pixels))
+                except Exception:
+                    if not permissive:
+                        raise
+                    rows.append((r.media_ref, r.word, 0, 0, None, 0))
+                    continue
+                for i, img in enumerate(pages):
+                    if img.ndim == 3:  # kernel takes grayscale planes
+                        img = kernels.to_grayscale(img)
+                    rows.append(
+                        (
+                            r.media_ref, r.word, img.shape[1], img.shape[0],
+                            img.tobytes(), i,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "word", "width", "height", "pixels",
+                    "page_no",
+                ],
+            )
+
+    cols = ["media_ref", "word", "width", "height", "pixels"]
+    selected = media.select(*cols)
+    if num_partitions is None:
+        num_partitions = (
+            media.sparkSession.sparkContext.defaultParallelism * 4
+        )
+    if num_partitions:
+        selected = selected.repartition(num_partitions)
+    return selected.mapInPandas(fn, schema=PAGED_MEDIA_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # image: resize
 # ---------------------------------------------------------------------------

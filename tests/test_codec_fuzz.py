@@ -112,6 +112,10 @@ def _container_cases():
          pdf.decode_pdf_text),
         ("pdf15", pdf.encode_pdf(["Object stream page " * 40] * 3,
                                  object_streams=True), pdf.decode_pdf_text),
+        ("pdf_multipage",
+         pdf.encode_pdf_pages([["pg one text"], ["pg two text"],
+                               ["pg three"]], object_streams=True),
+         pdf.decode_pdf_text_pages),
     ]
 
 

@@ -258,3 +258,43 @@ def test_pdf_15_large_file_offsets():
     data = encode_pdf(lines, object_streams=True)
     assert len(data) > 0x10000
     assert decode_pdf_text(data) == "\n".join(lines)
+
+
+def test_pdf_pages_operator(spark):
+    """1→N page explode: per-page rows in document order, and the joined
+    pages equal pdf_texts' concatenated output exactly."""
+    import pandas as pd
+
+    from granulate_char_ocr_spark.functions.pdf import (
+        decode_pdf_text_pages,
+        encode_pdf_pages,
+    )
+    from granulate_char_ocr_spark.operators.docparse import pdf_pages, pdf_texts
+
+    docs = {
+        "d0": ["first page words", "second page words", "third"],
+        "d1": ["only page"],
+        "d2": ["obj stream pg 1", "obj stream pg 2"],
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "payload": [
+                encode_pdf_pages(
+                    [[line] for line in pages],
+                    object_streams=(k == "d2"),
+                )
+                for k, pages in docs.items()
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf, "doc_id string, payload binary")
+    rows = pdf_pages(df).collect()
+    got: dict[str, dict[int, str]] = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["page_no"]] = r["page_text"]
+    assert {k: [v[i] for i in sorted(v)] for k, v in got.items()} == docs
+    # python twin parity: joined pages == whole-doc extraction
+    flat = {r["doc_id"]: r["extracted"] for r in pdf_texts(df).collect()}
+    for k, pages in docs.items():
+        assert "\n".join(decode_pdf_text_pages(bytes(pdf.set_index("doc_id").loc[k, "payload"]))) == flat[k]

@@ -174,3 +174,60 @@ def test_decode_media_store_permissive_vs_strict(spark):
     }
     assert bytes(rows["ok"]["pixels"]) == good.tobytes()
     assert rows["bad"]["pixels"] is None and rows["bad"]["width"] == 0
+
+
+def test_explode_tiff_pages(spark):
+    """1→N multi-page TIFF explode into MEDIA_STORE-shaped page rows the
+    extraction kernel can consume directly; permissive mode maps a
+    corrupt payload to one null-pixel row."""
+    import pandas as pd
+
+    from granulate_char_ocr_spark.functions.tiff import encode_tiff_multipage
+    from granulate_char_ocr_spark.operators.multimodal import (
+        explode_tiff_pages,
+    )
+
+    rng = np.random.default_rng(4)
+    stores = {
+        "m0": [
+            (np.cumsum(rng.integers(-2, 3, (16 + i, 21)), axis=1) % 256)
+            .astype(np.uint8)
+            for i in range(3)
+        ],
+        "m1": [np.full((9, 11), 77, np.uint8)],
+    }
+    pdf = pd.DataFrame(
+        {
+            "media_ref": list(stores) + ["bad"],
+            "word": ["w0", "w1", "w2"],
+            "width": [21, 11, 4],
+            "height": [16, 9, 4],
+            "pixels": [
+                encode_tiff_multipage(stores["m0"], compression=5),
+                encode_tiff_multipage(stores["m1"]),
+                b"\x00garbage not a tiff",
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf,
+        "media_ref string, word string, width int, height int, pixels binary",
+    )
+    rows = explode_tiff_pages(df, permissive=True, num_partitions=4).collect()
+    by_ref: dict[str, dict[int, object]] = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], {})[r["page_no"]] = r
+    assert set(by_ref) == {"m0", "m1", "bad"}
+    assert len(by_ref["m0"]) == 3 and len(by_ref["m1"]) == 1
+    for ref, pages in stores.items():
+        for i, img in enumerate(pages):
+            r = by_ref[ref][i]
+            assert (r["height"], r["width"]) == img.shape
+            got = np.frombuffer(r["pixels"], np.uint8).reshape(img.shape)
+            assert np.array_equal(got, img)
+    assert by_ref["bad"][0]["pixels"] is None
+    # non-permissive: the corrupt payload fails the job
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        explode_tiff_pages(df, permissive=False, num_partitions=4).collect()
