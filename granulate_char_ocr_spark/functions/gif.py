@@ -179,9 +179,8 @@ def encode_gif(
     return header + gct.tobytes() + gce + img + b"\x3b"
 
 
-def decode_gif(data: bytes) -> np.ndarray:
-    """GIF bytes -> first frame as uint8 (H, W, 3) RGB, or (H, W, 4) RGBA
-    when the frame declares a transparent index."""
+def _parse_screen(data: bytes):
+    """Header + logical screen descriptor + global color table."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("GIF: bad signature")
     sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
@@ -193,54 +192,84 @@ def decode_gif(data: bytes) -> np.ndarray:
             -1, 3
         )
         pos += 3 * n
+    return sw, sh, bg, gct, pos
+
+
+def _parse_image_block(data: bytes, pos: int, gct):
+    """One image descriptor at ``pos`` (data[pos] == 0x2C): returns
+    (idx array, color table, left, top, next pos), de-interlaced."""
+    left, top, w, h, ipacked = struct.unpack(
+        "<HHHHB", data[pos + 1 : pos + 10]
+    )
+    pos += 10
+    ct = gct
+    if ipacked & 0x80:  # local color table
+        n = 2 << (ipacked & 0x07)
+        ct = np.frombuffer(
+            data[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(-1, 3)
+        pos += 3 * n
+    if ct is None:
+        raise ValueError("GIF: no color table")
+    min_code = data[pos]
+    pos += 1
+    lzw = bytearray()
+    while data[pos] != 0:
+        size = data[pos]
+        lzw += data[pos + 1 : pos + 1 + size]
+        pos += 1 + size
+    pos += 1
+    idx = _lzw_decode(bytes(lzw), min_code, w * h).reshape(h, w)
+    if ipacked & 0x40:  # de-interlace: passes wrote consecutive rows
+        out = np.empty_like(idx)
+        row = 0
+        for (start, step) in _INTERLACE_PASSES:
+            n_rows = len(range(start, h, step))
+            out[start::step] = idx[row : row + n_rows]
+            row += n_rows
+        idx = out
+    if int(idx.max(initial=0)) >= len(ct):
+        raise ValueError("GIF: palette index out of range")
+    return idx, ct, left, top, pos
+
+
+def _parse_gce(data: bytes, pos: int):
+    """Extension block at ``pos`` (data[pos] == 0x21): returns
+    (transparent index | None, disposal, next pos) — non-GCE extensions
+    yield (None, 0, next pos)."""
+    label = data[pos + 1]
+    pos += 2
+    transparent, disposal = None, 0
+    if label == 0xF9 and data[pos] >= 4:  # graphic control
+        flags, _delay, tidx = struct.unpack("<BHB", data[pos + 1 : pos + 5])
+        if flags & 0x01:
+            transparent = tidx
+        disposal = (flags >> 2) & 0x07
+    while data[pos] != 0:  # skip sub-blocks
+        pos += 1 + data[pos]
+    pos += 1
+    return transparent, disposal, pos
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> first frame as uint8 (H, W, 3) RGB, or (H, W, 4) RGBA
+    when the frame declares a transparent index. Animations decode their
+    FIRST frame; use ``decode_gif_frames`` for the composed sequence."""
+    sw, sh, bg, gct, pos = _parse_screen(data)
     transparent = None
     while pos < len(data):
         block = data[pos]
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-blocks
-            label = data[pos + 1]
-            pos += 2
-            if label == 0xF9 and data[pos] >= 4:  # graphic control
-                flags, _delay, tidx = struct.unpack(
-                    "<BHB", data[pos + 1 : pos + 5]
-                )
-                if flags & 0x01:
-                    transparent = tidx
-            while data[pos] != 0:  # skip sub-blocks
-                pos += 1 + data[pos]
-            pos += 1
+            t, _disposal, pos = _parse_gce(data, pos)
+            if t is not None:
+                transparent = t
             continue
         if block != 0x2C:
             raise ValueError(f"GIF: unknown block 0x{block:02x}")
-        left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
-        pos += 10
-        ct = gct
-        if ipacked & 0x80:  # local color table
-            n = 2 << (ipacked & 0x07)
-            ct = np.frombuffer(
-                data[pos : pos + 3 * n], dtype=np.uint8
-            ).reshape(-1, 3)
-            pos += 3 * n
-        if ct is None:
-            raise ValueError("GIF: no color table")
-        min_code = data[pos]
-        pos += 1
-        lzw = bytearray()
-        while data[pos] != 0:
-            size = data[pos]
-            lzw += data[pos + 1 : pos + 1 + size]
-            pos += 1 + size
-        pos += 1
-        idx = _lzw_decode(bytes(lzw), min_code, w * h).reshape(h, w)
-        if ipacked & 0x40:  # de-interlace: passes wrote consecutive rows
-            out = np.empty_like(idx)
-            row = 0
-            for (start, step) in _INTERLACE_PASSES:
-                n_rows = len(range(start, h, step))
-                out[start::step] = idx[row : row + n_rows]
-                row += n_rows
-            idx = out
+        idx, ct, left, top, pos = _parse_image_block(data, pos, gct)
+        h, w = idx.shape
         if (left, top, w, h) != (0, 0, sw, sh):
             # frame covers a sub-rectangle of the logical screen (optimizer
             # output): compose onto the background-filled canvas like PIL
@@ -259,3 +288,96 @@ def decode_gif(data: bytes) -> np.ndarray:
         alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
         return np.dstack([rgb, alpha])
     raise ValueError("GIF: no image descriptor")
+
+
+def encode_gif_frames(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delay_cs: int = 10,
+    transparent: int | None = None,
+) -> bytes:
+    """Animated GIF89a: each uint8 (H, W) index frame full-size with its
+    own graphic-control extension (disposal 1 = leave in place,
+    ``delay_cs`` hundredths of a second per frame)."""
+    if not frames:
+        raise ValueError("encode_gif_frames: no frames")
+    frames = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("encode_gif_frames: frames must share one size")
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    depth = max(int(len(palette) - 1).bit_length(), 1)
+    if max(int(f.max(initial=0)) for f in frames) >= (1 << depth):
+        raise ValueError("encode_gif_frames: index out of palette range")
+    gct = np.zeros((1 << depth, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack(
+            "<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0
+        )
+        + gct.tobytes()
+    )
+    min_code = max(depth, 2)
+    flags = (1 << 2) | (0x01 if transparent is not None else 0)
+    for f in frames:
+        out += (
+            b"\x21\xf9\x04"
+            + struct.pack("<BHB", flags, delay_cs, transparent or 0)
+            + b"\x00"
+        )
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out += bytes([min_code]) + _subblocks(_lzw_encode(f, min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    data: bytes, max_frames: int = 10000
+) -> list[np.ndarray]:
+    """Composed animation frames: uint8 (H, W, 3) RGB per frame at the
+    logical screen size, honoring sub-rectangle frames, per-frame
+    transparency (a compositing hole, not an alpha channel) and the
+    GIF89a disposal methods (1 leave, 2 restore-to-background,
+    3 restore-to-previous). The frame count is capped so a corrupt
+    stream terminates."""
+    sw, sh, bg, gct, pos = _parse_screen(data)
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    transparent, disposal = None, 0
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            transparent, disposal, pos = _parse_gce(data, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        if len(frames) >= max_frames:
+            raise ValueError("GIF: frame count exceeds max_frames")
+        idx, ct, left, top, pos = _parse_image_block(data, pos, gct)
+        h, w = idx.shape
+        if top + h > sh or left + w > sw:
+            raise ValueError("GIF: frame exceeds logical screen")
+        saved = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        rgb = ct[idx]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[...] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        transparent, disposal = None, 0
+    if not frames:
+        raise ValueError("GIF: no image descriptor")
+    return frames

@@ -112,6 +112,12 @@ def _container_cases():
          pdf.decode_pdf_text),
         ("pdf15", pdf.encode_pdf(["Object stream page " * 40] * 3,
                                  object_streams=True), pdf.decode_pdf_text),
+        ("gif_anim",
+         gif.encode_gif_frames(
+             [np.full((16, 16), i % 4, np.uint8) for i in range(3)],
+             np.stack([np.arange(4) * 80] * 3, axis=1).astype(np.uint8),
+         ),
+         gif.decode_gif_frames),
         ("pdf_multipage",
          pdf.encode_pdf_pages([["pg one text"], ["pg two text"],
                                ["pg three"]], object_streams=True),
