@@ -231,3 +231,48 @@ def test_explode_tiff_pages(spark):
 
     with _pytest.raises(Exception):
         explode_tiff_pages(df, permissive=False, num_partitions=4).collect()
+
+
+def test_multipage_fax_to_ocr_end_to_end(spark):
+    """Composition: a store of multi-page G4 fax TIFFs (3 word-pages per
+    file) explodes into page rows that feed the extraction kernel
+    directly — per-page recognized text equals the rendered words."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from granulate_char_ocr_spark.functions.tiff import encode_tiff_multipage
+    from granulate_char_ocr_spark.operators.extract import extract_unique_media
+    from granulate_char_ocr_spark.operators.multimodal import (
+        explode_tiff_pages,
+    )
+    from granulate_char_ocr_spark.sources.synthetic import render_word
+
+    books = {
+        "fax0": ["TEAM", "SPARK", "JOIN"],
+        "fax1": ["MERGE", "ORDER", "BATCH"],
+    }
+    rows = []
+    for ref, words in books.items():
+        pages = [render_word(w, 0) for w in words]
+        payload = encode_tiff_multipage(
+            pages, compression=4, bilevel=True
+        )
+        rows.append((ref, words[0], 0, 0, payload))
+    media = spark.createDataFrame(
+        rows,
+        "media_ref string, word string, width int, height int, pixels binary",
+    )
+    paged = explode_tiff_pages(media, num_partitions=4).withColumn(
+        "media_ref",
+        F.concat_ws("#", "media_ref", F.col("page_no").cast("string")),
+    )
+    got = {
+        r["media_ref"]: r["text"]
+        for r in extract_unique_media(paged, detail=False).collect()
+    }
+    want = {
+        f"{ref}#{i}": w
+        for ref, words in books.items()
+        for i, w in enumerate(words)
+    }
+    assert got == want
