@@ -184,6 +184,11 @@ def _parse_screen(data: bytes):
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("GIF: bad signature")
     sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    # plausibility gate before any screen-sized allocation (same class as
+    # the TIFF/PNG gates: a corrupt descriptor can declare 65535x65535
+    # -> a ~13 GB canvas per frame)
+    if not (0 < sw and 0 < sh and sw * sh <= 1 << 28):
+        raise ValueError(f"GIF: implausible logical screen {sw}x{sh}")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -235,20 +240,23 @@ def _parse_image_block(data: bytes, pos: int, gct):
 
 def _parse_gce(data: bytes, pos: int):
     """Extension block at ``pos`` (data[pos] == 0x21): returns
-    (transparent index | None, disposal, next pos) — non-GCE extensions
-    yield (None, 0, next pos)."""
+    (transparent index | None, disposal, next pos, was_gce). Non-GCE
+    extensions (comment, application, plain-text) return was_gce=False
+    so callers keep a pending graphic-control state — the GCE applies to
+    the NEXT graphic block regardless of extensions in between."""
     label = data[pos + 1]
     pos += 2
-    transparent, disposal = None, 0
+    transparent, disposal, was_gce = None, 0, False
     if label == 0xF9 and data[pos] >= 4:  # graphic control
         flags, _delay, tidx = struct.unpack("<BHB", data[pos + 1 : pos + 5])
         if flags & 0x01:
             transparent = tidx
         disposal = (flags >> 2) & 0x07
+        was_gce = True
     while data[pos] != 0:  # skip sub-blocks
         pos += 1 + data[pos]
     pos += 1
-    return transparent, disposal, pos
+    return transparent, disposal, pos, was_gce
 
 
 def decode_gif(data: bytes) -> np.ndarray:
@@ -262,8 +270,8 @@ def decode_gif(data: bytes) -> np.ndarray:
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-blocks
-            t, _disposal, pos = _parse_gce(data, pos)
-            if t is not None:
+            t, _disposal, pos, was_gce = _parse_gce(data, pos)
+            if was_gce and t is not None:
                 transparent = t
             continue
         if block != 0x2C:
@@ -280,8 +288,8 @@ def decode_gif(data: bytes) -> np.ndarray:
             )
             canvas[top : top + h, left : left + w] = idx
             idx = canvas
-        if int(idx.max(initial=0)) >= len(ct):
-            raise ValueError("GIF: palette index out of range")
+        # (range check happened in _parse_image_block; the canvas fill
+        # value is clamped below len(ct) at construction)
         rgb = ct[idx]
         if transparent is None:
             return rgb
@@ -354,7 +362,9 @@ def decode_gif_frames(
         if block == 0x3B:
             break
         if block == 0x21:
-            transparent, disposal, pos = _parse_gce(data, pos)
+            t, d, pos, was_gce = _parse_gce(data, pos)
+            if was_gce:  # keep pending GCE across comment/app extensions
+                transparent, disposal = t, d
             continue
         if block != 0x2C:
             raise ValueError(f"GIF: unknown block 0x{block:02x}")

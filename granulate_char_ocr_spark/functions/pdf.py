@@ -108,6 +108,66 @@ _STRUCT_OBJS = [  # objects 1-4: catalog, page tree, page, font
 ]
 
 
+def _assemble_classic(objs: list[bytes]) -> bytes:
+    """Objects 1..n -> a 1.4 file with the classic xref table."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_off)
+    )
+    return bytes(out)
+
+
+def _objstm_body(packed: list[bytes], nums: list[int]) -> bytes:
+    """Pack object bodies into a /ObjStm stream object body."""
+    offs, blob = [], bytearray()
+    for body in packed:
+        offs.append(len(blob))
+        blob += body + b"\n"
+    header = b" ".join(
+        b"%d %d" % (n, o) for n, o in zip(nums, offs)
+    ) + b"\n"
+    payload = zlib.compress(header + bytes(blob))
+    return (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode "
+        b">>\nstream\n" % (len(packed), len(header), len(payload))
+        + payload
+        + b"\nendstream"
+    )
+
+
+def _xref_stream_obj(entries: list[tuple[int, int, int]], size: int) -> bytes:
+    """(type, field2, field3) entries -> a /XRef stream object body.
+    W [1 4 2]: 4-byte offsets — a 2-byte field caps the file at 64 KiB
+    and crashes the packer past it (review finding r4)."""
+    cols = 7
+    rows = bytearray()
+    prev = bytes(cols)
+    for t, a, b in entries:
+        row = struct.pack(">BIH", t, a, b)
+        rows.append(2)  # PNG Up predictor (filter 2): delta vs prev row
+        rows += bytes((c - p) & 0xFF for c, p in zip(row, prev))
+        prev = row
+    payload = zlib.compress(bytes(rows))
+    return (
+        b"<< /Type /XRef /Size %d /Root 1 0 R /W [1 4 2] /Index [0 %d] "
+        b"/Filter /FlateDecode "
+        b"/DecodeParms << /Columns %d /Predictor 12 >> /Length %d "
+        b">>\nstream\n" % (size, size, cols, len(payload))
+        + payload
+        + b"\nendstream"
+    )
+
+
 def encode_pdf(lines: list[str], object_streams: bool = False) -> bytes:
     """Text lines -> a minimal single-page PDF with a Flate content
     stream (Helvetica 12pt, one Td-positioned Tj per line). With
@@ -119,45 +179,21 @@ def encode_pdf(lines: list[str], object_streams: bool = False) -> bytes:
     written in the last 15 years use."""
     content = _content_stream(lines)
     if not object_streams:
-        objs = _STRUCT_OBJS + [
-            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
-            + content
-            + b"\nendstream",
-        ]
-        out = bytearray(b"%PDF-1.4\n")
-        offsets = []
-        for i, body in enumerate(objs, start=1):
-            offsets.append(len(out))
-            out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
-        xref_off = len(out)
-        out += b"xref\n0 %d\n" % (len(objs) + 1)
-        out += b"0000000000 65535 f \n"
-        for off in offsets:
-            out += b"%010d 00000 n \n" % off
-        out += (
-            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objs) + 1, xref_off)
+        return _assemble_classic(
+            _STRUCT_OBJS
+            + [
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(content)
+                + content
+                + b"\nendstream",
+            ]
         )
-        return bytes(out)
 
     # --- PDF 1.5: ObjStm (obj 6) + XRef stream (obj 7) -----------------------
     # object 8 (inside the ObjStm) is the content stream's /Length integer,
     # exercising indirect-Length resolution through an object stream
-    packed = _STRUCT_OBJS + [b"%d" % len(content)]
-    packed_nums = [1, 2, 3, 4, 8]
-    offs, blob = [], bytearray()
-    for body in packed:
-        offs.append(len(blob))
-        blob += body + b"\n"
-    header = b" ".join(
-        b"%d %d" % (n, o) for n, o in zip(packed_nums, offs)
-    ) + b"\n"
-    stm_payload = zlib.compress(header + bytes(blob))
-    objstm = (
-        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode "
-        b">>\nstream\n" % (len(packed), len(header), len(stm_payload))
-        + stm_payload
-        + b"\nendstream"
+    objstm = _objstm_body(
+        _STRUCT_OBJS + [b"%d" % len(content)], [1, 2, 3, 4, 8]
     )
     content_obj = (
         b"<< /Length 8 0 R /Filter /FlateDecode >>\nstream\n"
@@ -170,9 +206,6 @@ def encode_pdf(lines: list[str], object_streams: bool = False) -> bytes:
         top_offsets[num] = len(out)
         out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
     xref_off = len(out)
-    # entries for objects 0..8, W [1 4 2]: 4-byte offsets — a 2-byte
-    # field caps the file at 64 KiB and crashes the packer past it
-    # (review finding r4)
     entries = [(0, 0, 0xFFFF)]  # free head
     for i in range(4):
         entries.append((2, 6, i))  # objects 1-4 live in ObjStm 6
@@ -180,25 +213,7 @@ def encode_pdf(lines: list[str], object_streams: bool = False) -> bytes:
     entries.append((1, top_offsets[6], 0))
     entries.append((1, xref_off, 0))  # the xref stream itself
     entries.append((2, 6, 4))  # object 8: the /Length integer
-    cols = 7
-    rows = bytearray()
-    prev = bytes(cols)
-    for t, a, b in entries:
-        row = struct.pack(">BIH", t, a, b)
-        # PNG Up predictor (filter 2): delta vs previous row
-        rows.append(2)
-        rows += bytes((c - p) & 0xFF for c, p in zip(row, prev))
-        prev = row
-    xref_payload = zlib.compress(bytes(rows))
-    xref = (
-        b"<< /Type /XRef /Size 9 /Root 1 0 R /W [1 4 2] /Index [0 9] "
-        b"/Filter /FlateDecode "
-        b"/DecodeParms << /Columns %d /Predictor 12 >> /Length %d "
-        b">>\nstream\n" % (cols, len(xref_payload))
-        + xref_payload
-        + b"\nendstream"
-    )
-    out += b"7 0 obj\n" + xref + b"\nendobj\n"
+    out += b"7 0 obj\n" + _xref_stream_obj(entries, 9) + b"\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)
 
@@ -241,21 +256,7 @@ def encode_pdf_pages(
                 + c
                 + b"\nendstream"
             )
-        out = bytearray(b"%PDF-1.4\n")
-        offsets = []
-        for i, body in enumerate(objs, start=1):
-            offsets.append(len(out))
-            out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
-        xref_off = len(out)
-        out += b"xref\n0 %d\n" % (len(objs) + 1)
-        out += b"0000000000 65535 f \n"
-        for off in offsets:
-            out += b"%010d 00000 n \n" % off
-        out += (
-            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objs) + 1, xref_off)
-        )
-        return bytes(out)
+        return _assemble_classic(objs)
 
     # --- 1.5 layout: 1 catalog, 2 tree, 3 font, 4..3+n page dicts (all
     # packed), 4+n..3+2n content streams (top-level), 4+2n..3+3n /Length
@@ -277,21 +278,8 @@ def encode_pdf_pages(
     for i, c in enumerate(contents):
         packed.append(b"%d" % len(c))
         packed_nums.append(4 + 2 * n + i)
-    offs, blob = [], bytearray()
-    for body in packed:
-        offs.append(len(blob))
-        blob += body + b"\n"
-    header = b" ".join(
-        b"%d %d" % (num, o) for num, o in zip(packed_nums, offs)
-    ) + b"\n"
-    stm_payload = zlib.compress(header + bytes(blob))
     objstm_num, xref_num = 4 + 3 * n, 5 + 3 * n
-    objstm = (
-        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode "
-        b">>\nstream\n" % (len(packed), len(header), len(stm_payload))
-        + stm_payload
-        + b"\nendstream"
-    )
+    objstm = _objstm_body(packed, packed_nums)
     out = bytearray(b"%PDF-1.5\n")
     top_offsets: dict[int, int] = {}
     for i, c in enumerate(contents):
@@ -315,24 +303,11 @@ def encode_pdf_pages(
         else:
             entries.append((1, top_offsets[num], 0))
     entries.append((1, xref_off, 0))  # the xref stream itself
-    cols = 7
-    rows = bytearray()
-    prev = bytes(cols)
-    for t, a, b in entries:
-        row = struct.pack(">BIH", t, a, b)
-        rows.append(2)  # PNG Up predictor
-        rows += bytes((c - p) & 0xFF for c, p in zip(row, prev))
-        prev = row
-    xref_payload = zlib.compress(bytes(rows))
-    xref = (
-        b"<< /Type /XRef /Size %d /Root 1 0 R /W [1 4 2] /Index [0 %d] "
-        b"/Filter /FlateDecode "
-        b"/DecodeParms << /Columns %d /Predictor 12 >> /Length %d "
-        b">>\nstream\n" % (size, size, cols, len(xref_payload))
-        + xref_payload
-        + b"\nendstream"
+    out += (
+        b"%d 0 obj\n" % xref_num
+        + _xref_stream_obj(entries, size)
+        + b"\nendobj\n"
     )
-    out += b"%d 0 obj\n" % xref_num + xref + b"\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)
 
@@ -585,6 +560,7 @@ def _decode_pdf_streams(data: bytes) -> list[list[str]]:
         raise ValueError("PDF: encrypted documents unsupported")
     objmap = expand_object_streams(data)
     per_stream: list[list[str]] = []
+    found_stream = False
     for m in _STREAM_RE.finditer(data):
         d = m.group("dict")
         # honor a direct-or-resolvable /Length, slicing from the
@@ -600,10 +576,12 @@ def _decode_pdf_streams(data: bytes) -> list[list[str]]:
         body = _inflate(d, _stream_body(m, data, _length_of(d, objmap, data)))
         if b"BT" not in body:
             continue
+        found_stream = True
         lines: list[str] = []
         _extract_lines(body, lines)
-        per_stream.append(lines)
-    if not per_stream:
+        if lines:  # a BT/ET block with no text ops is not a text page —
+            per_stream.append(lines)  # keeps pages/flat-join parity exact
+    if not found_stream:
         raise ValueError("PDF: no text content stream found")
     return per_stream
 
@@ -620,5 +598,7 @@ def decode_pdf_text(data: bytes) -> str:
 
 def decode_pdf_text_pages(data: bytes) -> list[str]:
     """Per-page text of a PDF: one entry per text content stream in
-    document order (page boundaries for one-stream-per-page files)."""
+    document order (page boundaries for one-stream-per-page files).
+    Streams whose BT/ET blocks yield no text lines (graphics-only pages)
+    are omitted, so ``"\\n".join(...)`` equals ``decode_pdf_text``."""
     return ["\n".join(lines) for lines in _decode_pdf_streams(data)]

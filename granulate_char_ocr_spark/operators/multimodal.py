@@ -223,7 +223,9 @@ def explode_tiff_pages(
                     continue
                 for i, img in enumerate(pages):
                     if img.ndim == 3:  # kernel takes grayscale planes
-                        img = kernels.to_grayscale(img)
+                        # decode_tiff returns RGB(A); to_grayscale weights
+                        # BGR (B first) — reverse like every other caller
+                        img = kernels.to_grayscale(img[..., 2::-1])
                     rows.append(
                         (
                             r.media_ref, r.word, img.shape[1], img.shape[0],

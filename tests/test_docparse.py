@@ -298,3 +298,30 @@ def test_pdf_pages_operator(spark):
     flat = {r["doc_id"]: r["extracted"] for r in pdf_texts(df).collect()}
     for k, pages in docs.items():
         assert "\n".join(decode_pdf_text_pages(bytes(pdf.set_index("doc_id").loc[k, "payload"]))) == flat[k]
+
+
+def test_pdf_pages_skip_textless_streams():
+    """Review fix: a BT/ET block with no text operators is not a page —
+    page join stays exactly equal to whole-document extraction."""
+    import zlib as _zlib
+
+    from granulate_char_ocr_spark.functions.pdf import (
+        decode_pdf_text,
+        decode_pdf_text_pages,
+        encode_pdf_pages,
+    )
+
+    data = encode_pdf_pages([["page one"], ["page two"]])
+    # graft a text-less BT/ET stream object between the pages
+    empty = _zlib.compress(b"BT\nET")
+    graft = (
+        b"9 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(empty)
+        + empty
+        + b"\nendstream\nendobj\n"
+    )
+    i = data.index(b"xref")
+    patched = data[:i] + graft + data[i:]
+    pages = decode_pdf_text_pages(patched)
+    assert pages == ["page one", "page two"]
+    assert "\n".join(pages) == decode_pdf_text(patched)

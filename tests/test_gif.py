@@ -258,3 +258,58 @@ def test_gif_animation_disposal_methods():
     assert np.array_equal(seq[2][1, 1], pal[3])  # frame 3's own patch
     # after disposal 3, frame 4 paints over the RESTORED canvas
     assert np.array_equal(seq[3], pal[base])
+
+
+def test_gif_gce_survives_interleaved_extensions():
+    """Review fix: a comment/application extension between a GCE and its
+    image descriptor must not clobber the pending transparency/disposal
+    (the GCE applies to the NEXT graphic block)."""
+    import struct
+
+    from granulate_char_ocr_spark.functions.gif import (
+        _lzw_encode,
+        _subblocks,
+        decode_gif,
+        decode_gif_frames,
+    )
+
+    pal = np.stack([np.arange(16) * 17] * 3, axis=1).astype(np.uint8)
+    gct = np.zeros((16, 3), np.uint8)
+    gct[:] = pal
+    f0 = np.zeros((6, 6), np.uint8)
+    f1 = np.full((6, 6), 3, np.uint8)
+    f1[2:4, 2:4] = 7  # transparent index
+    header = b"GIF89a" + struct.pack("<HHBBB", 6, 6, 0x80 | 0x03, 0, 0)
+    comment = b"\x21\xfe" + bytes([5]) + b"hello" + b"\x00"
+
+    def img_block(idx):
+        return (
+            struct.pack("<BHHHHB", 0x2C, 0, 0, 6, 6, 0)
+            + bytes([4])
+            + _subblocks(_lzw_encode(idx, 4))
+        )
+
+    gce = b"\x21\xf9\x04" + struct.pack("<BHB", 0x01, 1, 7) + b"\x00"
+    data = (
+        header + gct.tobytes()
+        + img_block(f0)
+        + gce + comment + img_block(f1)  # comment BETWEEN gce and image
+        + b"\x3b"
+    )
+    seq = decode_gif_frames(data)
+    assert np.array_equal(seq[1][2, 2], pal[0])  # hole shows frame 0
+    assert np.array_equal(seq[1][0, 0], pal[3])
+    # decode_gif (first frame) unaffected
+    assert decode_gif(data).shape == (6, 6, 3)
+
+
+def test_gif_implausible_screen_rejected():
+    """Review fix: a corrupt logical-screen descriptor declaring a
+    gigapixel canvas must reject before allocation."""
+    import struct
+
+    from granulate_char_ocr_spark.functions.gif import decode_gif_frames
+
+    data = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0) + b"\x3b"
+    with pytest.raises(ValueError, match="implausible"):
+        decode_gif_frames(data)

@@ -276,3 +276,34 @@ def test_multipage_fax_to_ocr_end_to_end(spark):
         for i, w in enumerate(words)
     }
     assert got == want
+
+
+def test_explode_tiff_pages_rgb_luminance(spark):
+    """Review fix: decode_tiff returns RGB; the grayscale conversion must
+    reverse to BGR before kernels.to_grayscale (R weight 0.299)."""
+    import pandas as pd
+
+    from granulate_char_ocr_spark.functions.tiff import encode_tiff_multipage
+    from granulate_char_ocr_spark.operators.multimodal import (
+        explode_tiff_pages,
+    )
+
+    red = np.zeros((8, 8, 3), np.uint8)
+    red[..., 0] = 255  # pure red
+    payload = encode_tiff_multipage([red])
+    pdf = pd.DataFrame(
+        {
+            "media_ref": ["m"],
+            "word": ["w"],
+            "width": [8],
+            "height": [8],
+            "pixels": [payload],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf,
+        "media_ref string, word string, width int, height int, pixels binary",
+    )
+    [row] = explode_tiff_pages(df, num_partitions=1).collect()
+    gray = np.frombuffer(row["pixels"], np.uint8).reshape(8, 8)
+    assert int(gray[0, 0]) == 76  # 0.299 * 255, not 0.114 * 255 = 29
