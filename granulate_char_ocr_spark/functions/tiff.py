@@ -224,7 +224,9 @@ def encode_tiff_multipage(
     """Multi-page TIFF (the fax/scanned-document convention: one IFD per
     page chained by the next-IFD pointer). Page block sizes are
     offset-independent, so a sizing pass fixes the chain offsets and a
-    second pass emits each block with absolute strip offsets."""
+    second pass emits each block with absolute strip offsets (pages
+    encode twice — an accepted cost: writes are corpus-generation only,
+    decode is the hot path)."""
     if not pages:
         raise ValueError("encode_tiff_multipage: no pages")
     opts = (compression, rows_per_strip, predictor, bilevel, t4_2d,
