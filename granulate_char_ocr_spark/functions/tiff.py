@@ -198,6 +198,7 @@ def encode_tiff(
     bilevel: bool = False,
     t4_2d: bool = False,
     fill_order: int = 1,
+    tile: int | None = None,
 ) -> bytes:
     """uint8 (H, W) gray / (H, W, 3) RGB -> little-endian TIFF bytes.
     ``bilevel`` packs a 0/255 grayscale image as 1-bit BlackIsZero rows;
@@ -205,10 +206,12 @@ def encode_tiff(
     ``t4_2d`` selects the two-dimensional G3 mode under compression 3
     (declared via T4Options bit 0); ``fill_order=2`` emits lsb-first
     strip bytes with tag 266 (the fax-world convention; bilevel
-    none/CCITT only)."""
+    none/CCITT only); ``tile`` (a multiple of 16) writes the tiled
+    layout (TIFF 6.0 §15, tags 322-325) instead of strips — the form
+    large scans use."""
     return b"II*\x00" + struct.pack("<I", 8) + _encode_page(
         img, 8, 0, compression, rows_per_strip, predictor, bilevel,
-        t4_2d, fill_order,
+        t4_2d, fill_order, tile,
     )
 
 
@@ -220,6 +223,7 @@ def encode_tiff_multipage(
     bilevel: bool = False,
     t4_2d: bool = False,
     fill_order: int = 1,
+    tile: int | None = None,
 ) -> bytes:
     """Multi-page TIFF (the fax/scanned-document convention: one IFD per
     page chained by the next-IFD pointer). Page block sizes are
@@ -230,7 +234,7 @@ def encode_tiff_multipage(
     if not pages:
         raise ValueError("encode_tiff_multipage: no pages")
     opts = (compression, rows_per_strip, predictor, bilevel, t4_2d,
-            fill_order)
+            fill_order, tile)
     sizes = [len(_encode_page(p, 8, 0, *opts)) for p in pages]
     offs, off = [], 8
     for s in sizes:
@@ -255,6 +259,7 @@ def _encode_page(
     bilevel: bool,
     t4_2d: bool,
     fill_order: int,
+    tile: int | None = None,
 ) -> bytes:
     """One page's IFD + data block, with absolute offsets from
     ``ifd_off`` and the next-IFD pointer set to ``next_ifd``."""
@@ -274,6 +279,23 @@ def _encode_page(
     spp = 1 if gray else 3
     if compression in _BILEVEL_COMPS and not bilevel:
         raise ValueError("encode_tiff: CCITT compressions are bilevel-only")
+    if tile is not None:
+        # tiled layout (§15): dims must be multiples of 16, which also
+        # byte-aligns bilevel tile columns; edges pad to the grid (the
+        # decoder crops back to the tagged image size)
+        if tile <= 0 or tile % 16:
+            raise ValueError(
+                "encode_tiff: tile must be a positive multiple of 16"
+            )
+        if rows_per_strip is not None:
+            raise ValueError(
+                "encode_tiff: tile and rows_per_strip are exclusive"
+            )
+        pad_h, pad_w = (-h) % tile, (-w) % tile
+        if pad_h or pad_w:
+            pad = [(0, pad_h), (0, pad_w)] + ([] if gray else [(0, 0)])
+            img = np.pad(img, pad, mode="edge")
+    ph, pw = img.shape[0], img.shape[1]
     if bilevel:
         if not gray:
             raise ValueError("encode_tiff: bilevel requires grayscale")
@@ -285,17 +307,15 @@ def _encode_page(
             rows = np.packbits(img > 127, axis=1)
     else:
         bits = 8
-        rows = img.reshape(h, w * spp)
+        rows = img.reshape(ph, pw * spp)
     if predictor == 2 and compression not in (_NONE, _LZW, _DEFLATE, _DEFLATE_OLD):
         # TIFF 6.0 defines predictor 2 for LZW/Deflate; under lossy JPEG
         # it would accumulate quantization error row over row
         raise ValueError(
             "encode_tiff: predictor 2 requires none/LZW/Deflate compression"
         )
-    rps = rows_per_strip or h
-    strips = []
-    for y0 in range(0, h, rps):
-        chunk = rows[y0 : y0 + rps]
+    def encode_chunk(chunk: np.ndarray, px_w: int) -> bytes:
+        """One strip or tile of packed rows -> compressed payload."""
         if predictor == 2:
             if bits != 8:
                 raise ValueError("encode_tiff: predictor needs 8-bit samples")
@@ -312,7 +332,7 @@ def _encode_page(
         elif compression in _BILEVEL_COMPS:
             from granulate_char_ocr_spark.functions import ccitt
 
-            black = np.unpackbits(chunk, axis=1)[:, :w].astype(bool)
+            black = np.unpackbits(chunk, axis=1)[:, :px_w].astype(bool)
             if compression == _G4:
                 payload = ccitt.encode_g4(black)
             elif compression == _G3 and t4_2d:
@@ -338,7 +358,28 @@ def _encode_page(
             raise ValueError(f"encode_tiff: compression {compression}")
         if fill_order == 2:
             payload = _reverse_bits(payload)
-        strips.append(payload)
+        return payload
+
+    rps = rows_per_strip or h
+    strips = []
+    if tile is not None:
+        tcb = tile * bits * spp // 8  # tile column bytes (16 | tile)
+        for ty in range(ph // tile):
+            for tx in range(pw // tile):
+                strips.append(
+                    encode_chunk(
+                        np.ascontiguousarray(
+                            rows[
+                                ty * tile : (ty + 1) * tile,
+                                tx * tcb : (tx + 1) * tcb,
+                            ]
+                        ),
+                        tile,
+                    )
+                )
+    else:
+        for y0 in range(0, h, rps):
+            strips.append(encode_chunk(rows[y0 : y0 + rps], w))
 
     entries = []  # (tag, type, count, value)
     def entry(tag, typ, count, value):
@@ -346,9 +387,10 @@ def _encode_page(
 
     # layout: header(8) IFD region, then data region
     n_strips = len(strips)
-    # IFD entry count depends on optional tag presence
+    # IFD entry count depends on optional tag presence (tiled layout
+    # swaps 273/278/279 for 322/323/324/325: one extra entry)
     tags_n = (
-        11
+        (12 if tile is not None else 11)
         + (1 if predictor == 2 else 0)
         + (1 if compression == _G3 else 0)
         + (1 if fill_order == 2 else 0)
@@ -391,10 +433,16 @@ def _encode_page(
     if compression == _G3:
         # T4Options: bit 0 = 2D coding, no EOL byte-alignment
         entry(292, 4, 1, struct.pack("<I", 1 if t4_2d else 0))
-    entry(273, 4, n_strips, arr_value(strip_offsets, 4))
+    if tile is not None:
+        entry(322, 4, 1, struct.pack("<I", tile))
+        entry(323, 4, 1, struct.pack("<I", tile))
+        entry(324, 4, n_strips, arr_value(strip_offsets, 4))
+        entry(325, 4, n_strips, arr_value(counts, 4))
+    else:
+        entry(273, 4, n_strips, arr_value(strip_offsets, 4))
+        entry(278, 4, 1, struct.pack("<I", rps))
+        entry(279, 4, n_strips, arr_value(counts, 4))
     entry(277, 3, 1, struct.pack("<HH", spp, 0))
-    entry(278, 4, 1, struct.pack("<I", rps))
-    entry(279, 4, n_strips, arr_value(counts, 4))
     entry(282, 3, 1, struct.pack("<HH", 72, 0))  # XResolution (short-cheat)
     entry(283, 3, 1, struct.pack("<HH", 72, 0))
     if predictor == 2:
@@ -510,10 +558,17 @@ def _decode_ifd(
     photo = one(262, 1)
     predictor = one(317, 1)
     rps = one(278, h)
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if offsets is None or counts is None:
-        raise ValueError("TIFF: missing strip offsets/counts")
+    tiled = 322 in tags or 324 in tags
+    if tiled:
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if offsets is None or counts is None:
+            raise ValueError("TIFF: missing tile offsets/counts")
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if offsets is None or counts is None:
+            raise ValueError("TIFF: missing strip offsets/counts")
     if comp not in (
         _NONE, _MH_RLE, _G3, _G4, _LZW, _JPEG, _DEFLATE, _DEFLATE_OLD,
         _PACKBITS,
@@ -547,12 +602,10 @@ def _decode_ifd(
         )
 
     row_bytes = (w * bits * spp + 7) // 8
-    rows = np.zeros((h, row_bytes), dtype=np.uint8)
-    y = 0
-    for off, cnt in zip(offsets, counts):
-        n_rows = min(rps, h - y)
-        expected = n_rows * row_bytes
-        chunk = data[off : off + cnt]
+
+    def decode_chunk(chunk: bytes, px_w: int, n_rows: int, rb: int):
+        """One strip or tile -> (n_rows, rb) uint8 packed rows."""
+        expected = n_rows * rb
         if fill_order == 2 and comp in (_MH_RLE, _G3, _G4):
             chunk = _reverse_bits(chunk)  # lsb-first entropy stream
         if comp == _PACKBITS:
@@ -563,12 +616,12 @@ def _decode_ifd(
             from granulate_char_ocr_spark.functions import ccitt
 
             if comp == _G4:
-                black = ccitt.decode_g4(chunk, w, n_rows)
+                black = ccitt.decode_g4(chunk, px_w, n_rows)
             elif comp == _G3 and one(292, 0) & 1:
-                black = ccitt.decode_g3_2d(chunk, w, n_rows)
+                black = ccitt.decode_g3_2d(chunk, px_w, n_rows)
             else:
                 black = ccitt.decode_mh(
-                    chunk, w, n_rows, "rle" if comp == _MH_RLE else "g3"
+                    chunk, px_w, n_rows, "rle" if comp == _MH_RLE else "g3"
                 )
             raw = np.packbits(black, axis=1).tobytes()
         elif comp in (_DEFLATE, _DEFLATE_OLD):
@@ -591,18 +644,54 @@ def _decode_ifd(
             raw = chunk[:expected]
             if fill_order == 2:
                 raw = _reverse_bits(raw)  # lsb-first packed pixels
-        strip = np.frombuffer(raw, dtype=np.uint8).reshape(n_rows, row_bytes)
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(n_rows, rb)
         if predictor == 2:
             if bits != 8:
                 raise ValueError("TIFF: predictor on non-8-bit samples")
-            s = strip.reshape(n_rows, -1, spp)
-            strip = np.cumsum(s, axis=1, dtype=np.uint8).reshape(
-                n_rows, row_bytes
+            s = arr.reshape(n_rows, -1, spp)
+            arr = np.cumsum(s, axis=1, dtype=np.uint8).reshape(n_rows, rb)
+        return arr
+
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    if tiled:
+        # TIFF 6.0 §15: the image is a grid of equal tiles, every tile a
+        # full independently-compressed block, edges padded; dims must be
+        # multiples of 16 (which also byte-aligns bilevel tile columns)
+        tile_w, tile_h = one(322), one(323)
+        if (
+            tile_w <= 0 or tile_h <= 0 or tile_w % 16 or tile_h % 16
+            or tile_w * tile_h > 1 << 26
+        ):
+            raise ValueError(
+                f"TIFF: tile size {tile_w}x{tile_h} invalid "
+                "(positive multiples of 16, bounded)"
             )
-        rows[y : y + n_rows] = strip
-        y += n_rows
-    if y < h:
-        raise ValueError("TIFF: strips cover fewer rows than ImageLength")
+        across = (w + tile_w - 1) // tile_w
+        down = (h + tile_h - 1) // tile_h
+        if len(offsets) < across * down or len(counts) < across * down:
+            raise ValueError("TIFF: tile count mismatch")
+        trb = (tile_w * bits * spp + 7) // 8
+        for i in range(across * down):
+            ty, tx = divmod(i, across)
+            tile = decode_chunk(
+                data[offsets[i] : offsets[i] + counts[i]],
+                tile_w, tile_h, trb,
+            )
+            y0 = ty * tile_h
+            x0 = tx * tile_w * bits * spp // 8
+            hh = min(tile_h, h - y0)
+            wb = min(trb, row_bytes - x0)
+            rows[y0 : y0 + hh, x0 : x0 + wb] = tile[:hh, :wb]
+    else:
+        y = 0
+        for off, cnt in zip(offsets, counts):
+            n_rows = min(rps, h - y)
+            rows[y : y + n_rows] = decode_chunk(
+                data[off : off + cnt], w, n_rows, row_bytes
+            )
+            y += n_rows
+        if y < h:
+            raise ValueError("TIFF: strips cover fewer rows than ImageLength")
 
     if photo == 3:  # palette: 16-bit colormap, R then G then B planes
         cmap = tags.get(320)

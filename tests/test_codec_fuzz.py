@@ -53,6 +53,7 @@ def _encoders() -> list[tuple[str, bytes]]:
         ("tiff_g4", tiff.encode_tiff(bil, compression=4, bilevel=True)),
         ("tiff_g3_2d", tiff.encode_tiff(bil, compression=3, bilevel=True,
                                         t4_2d=True)),
+        ("tiff_tiled", tiff.encode_tiff(img, compression=5, tile=16)),
         ("tiff_mh_rle", tiff.encode_tiff(bil, compression=2, bilevel=True)),
     ]
     return out

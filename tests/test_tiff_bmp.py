@@ -338,3 +338,49 @@ def test_tiff_multipage_chain_guards():
     data[nxt_at : nxt_at + 4] = struct.pack("<I", first_off)
     with pytest.raises(ValueError, match="cycle"):
         decode_tiff_pages(bytes(data))
+
+
+def test_tiff_tiled_roundtrip():
+    """TIFF 6.0 §15 tiled layout (tags 322-325): equal independently-
+    compressed tiles, edges padded to the grid and cropped on decode;
+    tile dims are spec-required multiples of 16 (which byte-aligns
+    bilevel tile columns)."""
+    rng = np.random.default_rng(12)
+    gray = (np.cumsum(rng.integers(-2, 3, (70, 90)), axis=1) % 256).astype(
+        np.uint8
+    )
+    rgb = rng.integers(0, 256, (50, 45, 3), dtype=np.uint8)
+    bil = (gray > 128).astype(np.uint8) * 255
+    for comp in (1, 5, 8, 32773):
+        data = encode_tiff(gray, compression=comp, tile=32)
+        assert b"\x42\x01" in data  # tag 322 present
+        assert np.array_equal(decode_tiff(data), gray)
+    # predictor applies per tile
+    data = encode_tiff(gray, compression=5, predictor=2, tile=16)
+    assert np.array_equal(decode_tiff(data), gray)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(rgb, compression=8, tile=16)), rgb
+    )
+    # CCITT tiles: each tile its own fax-coded stream
+    for comp in (2, 3, 4):
+        data = encode_tiff(bil, compression=comp, bilevel=True, tile=32)
+        assert np.array_equal(decode_tiff(data) > 0, bil > 0)
+    # exact-multiple dims need no padding
+    sq = gray[:64, :64]
+    assert np.array_equal(
+        decode_tiff(encode_tiff(sq, compression=5, tile=32)), sq
+    )
+
+
+def test_tiff_tile_validation():
+    img = np.zeros((20, 20), np.uint8)
+    with pytest.raises(ValueError, match="multiple of 16"):
+        encode_tiff(img, tile=20)
+    with pytest.raises(ValueError, match="exclusive"):
+        encode_tiff(img, tile=16, rows_per_strip=8)
+    # a tiled file claiming a non-multiple-of-16 tile rejects on decode
+    data = bytearray(encode_tiff(img, tile=16))
+    i = data.find(b"\x42\x01")  # tag 322 value
+    data[i + 8] = 20
+    with pytest.raises(ValueError, match="tile size"):
+        decode_tiff(bytes(data))
