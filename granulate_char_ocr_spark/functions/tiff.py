@@ -1,9 +1,10 @@
 """Pure-NumPy baseline TIFF codec — the canonical scanned-document format.
 
 Implements the TIFF 6.0 baseline slice OCR scan corpora actually use:
-little- and big-endian files, multi-strip layout, bilevel (1-bit,
-both photometric polarities), 8-bit grayscale (both polarities), 8-bit
-RGB(A), and 16-bit-valued palette color; compressions none (1),
+little- and big-endian files, multi-strip and tiled (§15) layouts,
+single- and multi-page (IFD chains), bilevel (1-bit, both photometric
+polarities), 8-bit grayscale (both polarities), 8-bit RGB(A), 16-bit
+gray/RGB samples, and 16-bit-valued palette color; compressions none (1),
 CCITT MH-RLE (2), G3 in both 1D and 2D modes (3, T4Options-driven),
 G4 fax (4) — functions/ccitt.py —
 TIFF-flavor LZW (5, MSB-first codes with the early-change rule) with
@@ -271,7 +272,8 @@ def _encode_page(
         raise ValueError(
             "encode_tiff: fill_order=2 requires bilevel none/CCITT"
         )
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+    deep = np.asarray(img).dtype == np.uint16  # 16-bit samples
+    img = np.ascontiguousarray(img, dtype=np.uint16 if deep else np.uint8)
     gray = img.ndim == 2
     if not gray and not (img.ndim == 3 and img.shape[2] == 3):
         raise ValueError("encode_tiff: (H, W) grayscale or (H, W, 3) RGB")
@@ -279,6 +281,15 @@ def _encode_page(
     spp = 1 if gray else 3
     if compression in _BILEVEL_COMPS and not bilevel:
         raise ValueError("encode_tiff: CCITT compressions are bilevel-only")
+    if deep and (
+        bilevel
+        or predictor != 1
+        or compression not in (_NONE, _LZW, _DEFLATE, _DEFLATE_OLD, _PACKBITS)
+    ):
+        raise ValueError(
+            "encode_tiff: 16-bit samples support none/LZW/Deflate/PackBits "
+            "without predictor or bilevel"
+        )
     if tile is not None:
         # tiled layout (§15): dims must be multiples of 16, which also
         # byte-aligns bilevel tile columns; edges pad to the grid (the
@@ -305,6 +316,11 @@ def _encode_page(
             rows = np.packbits(img <= 127, axis=1)
         else:
             rows = np.packbits(img > 127, axis=1)
+    elif deep:
+        bits = 16  # little-endian sample bytes, matching the header
+        rows = (
+            img.reshape(ph, pw * spp).astype("<u2").view(np.uint8)
+        )
     else:
         bits = 8
         rows = img.reshape(ph, pw * spp)
@@ -473,19 +489,19 @@ def _tiff_end(data: bytes) -> str:
     return end
 
 
-def decode_tiff(data: bytes) -> np.ndarray:
+def decode_tiff(data: bytes, scale_16bit: bool = True) -> np.ndarray:
     """TIFF bytes -> uint8 (H, W) grayscale (bilevel scales to 0/255,
     WhiteIsZero inverts) or (H, W, 3/4) RGB(A) / palette-expanded.
     Multi-page files decode their FIRST page only; use
     ``decode_tiff_pages`` for the whole IFD chain."""
     end = _tiff_end(data)
     (ifd_off,) = struct.unpack(end + "I", data[4:8])
-    img, _ = _decode_ifd(data, end, ifd_off)
+    img, _ = _decode_ifd(data, end, ifd_off, scale_16bit)
     return img
 
 
 def decode_tiff_pages(
-    data: bytes, max_pages: int = 10000
+    data: bytes, max_pages: int = 10000, scale_16bit: bool = True
 ) -> list[np.ndarray]:
     """Every page of a (multi-page) TIFF — the fax/scanned-document
     convention of one IFD per page chained by the next-IFD pointer.
@@ -501,7 +517,7 @@ def decode_tiff_pages(
         if len(pages) >= max_pages:
             raise ValueError("TIFF: IFD chain exceeds max_pages")
         seen.add(off)
-        img, off = _decode_ifd(data, end, off)
+        img, off = _decode_ifd(data, end, off, scale_16bit)
         pages.append(img)
     if not pages:
         raise ValueError("TIFF: empty IFD chain")
@@ -509,7 +525,7 @@ def decode_tiff_pages(
 
 
 def _decode_ifd(
-    data: bytes, end: str, ifd_off: int
+    data: bytes, end: str, ifd_off: int, scale_16bit: bool = True
 ) -> tuple[np.ndarray, int]:
     """Decode the page at ``ifd_off``; returns (image, next-IFD offset)."""
     (n_tags,) = struct.unpack(end + "H", data[ifd_off : ifd_off + 2])
@@ -578,12 +594,23 @@ def _decode_ifd(
             "(none/MH-RLE/G3-1D/G4/LZW/JPEG/Deflate/PackBits only; "
             "old-style JPEG (6) needs its own handling)"
         )
-    if bits not in (1, 8) or any(b != bits for b in bits_list):
-        raise ValueError(f"TIFF: {bits_list}-bit samples unsupported (1/8)")
+    if bits not in (1, 8, 16) or any(b != bits for b in bits_list):
+        raise ValueError(
+            f"TIFF: {bits_list}-bit samples unsupported (1/8/16)"
+        )
     if bits == 1 and spp != 1:
         raise ValueError("TIFF: bilevel must be single-sample")
     if comp in _BILEVEL_COMPS and bits != 1:
         raise ValueError("TIFF: CCITT compressions require bilevel samples")
+    if bits == 16 and (
+        comp not in (_NONE, _LZW, _DEFLATE, _DEFLATE_OLD, _PACKBITS)
+        or predictor != 1
+        or photo == 3
+    ):
+        raise ValueError(
+            "TIFF: 16-bit samples support none/LZW/Deflate/PackBits "
+            "without predictor or palette"
+        )
     # reject-with-reason for layout variants this decoder would otherwise
     # silently scramble (ADVICE r3): planar-separated samples (tag 284=2)
     if one(284, 1) != 1:
@@ -713,6 +740,16 @@ def _decode_ifd(
         return np.ascontiguousarray(
             px if photo == 1 else 255 - px  # photometric 0: white-is-zero
         ), next_ifd
+    if bits == 16:
+        samples = np.frombuffer(
+            rows.tobytes(), dtype=end + "u2"
+        ).reshape(h, (row_bytes // 2 // spp), spp)[:, :w, :]
+        if photo == 0:
+            samples = np.uint16(0xFFFF) - samples
+        if scale_16bit:  # match decode_png's default: high byte -> uint8
+            samples = (samples >> 8).astype(np.uint8)
+        out = samples[..., 0] if spp == 1 else samples
+        return np.ascontiguousarray(out), next_ifd
     if spp == 1:
         gray = rows[:, :w]
         return np.ascontiguousarray(

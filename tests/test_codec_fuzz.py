@@ -54,6 +54,8 @@ def _encoders() -> list[tuple[str, bytes]]:
         ("tiff_g3_2d", tiff.encode_tiff(bil, compression=3, bilevel=True,
                                         t4_2d=True)),
         ("tiff_tiled", tiff.encode_tiff(img, compression=5, tile=16)),
+        ("tiff_16bit", tiff.encode_tiff(
+            (img.astype(np.uint16) << 8) | 7, compression=8)),
         ("tiff_mh_rle", tiff.encode_tiff(bil, compression=2, bilevel=True)),
     ]
     return out

@@ -384,3 +384,31 @@ def test_tiff_tile_validation():
     data[i + 8] = 20
     with pytest.raises(ValueError, match="tile size"):
         decode_tiff(bytes(data))
+
+
+def test_tiff_16bit_roundtrip():
+    """16-bit samples (scientific/high-bit-depth scans): exact uint16
+    round-trip with scale_16bit=False, high-byte uint8 by default
+    (matching decode_png), strips and tiles, gray and RGB."""
+    rng = np.random.default_rng(13)
+    deep = rng.integers(0, 65536, (40, 55), dtype=np.uint16)
+    for comp in (1, 5, 8, 32773):
+        data = encode_tiff(deep, compression=comp)
+        full = decode_tiff(data, scale_16bit=False)
+        assert full.dtype == np.uint16 and np.array_equal(full, deep)
+        scaled = decode_tiff(data)
+        assert scaled.dtype == np.uint8
+        assert np.array_equal(scaled, (deep >> 8).astype(np.uint8))
+    rgb = rng.integers(0, 65536, (24, 17, 3), dtype=np.uint16)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(rgb, compression=8), scale_16bit=False), rgb
+    )
+    assert np.array_equal(
+        decode_tiff(encode_tiff(deep, compression=5, tile=16),
+                    scale_16bit=False),
+        deep,
+    )
+    with pytest.raises(ValueError):  # CCITT-bilevel check fires first
+        encode_tiff(deep, compression=4)
+    with pytest.raises(ValueError, match="16-bit"):
+        encode_tiff(deep, predictor=2, compression=5)
