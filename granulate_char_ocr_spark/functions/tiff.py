@@ -283,12 +283,11 @@ def _encode_page(
         raise ValueError("encode_tiff: CCITT compressions are bilevel-only")
     if deep and (
         bilevel
-        or predictor != 1
         or compression not in (_NONE, _LZW, _DEFLATE, _DEFLATE_OLD, _PACKBITS)
     ):
         raise ValueError(
             "encode_tiff: 16-bit samples support none/LZW/Deflate/PackBits "
-            "without predictor or bilevel"
+            "without bilevel"
         )
     if tile is not None:
         # tiled layout (§15): dims must be multiples of 16, which also
@@ -333,11 +332,25 @@ def _encode_page(
     def encode_chunk(chunk: np.ndarray, px_w: int) -> bytes:
         """One strip or tile of packed rows -> compressed payload."""
         if predictor == 2:
-            if bits != 8:
-                raise ValueError("encode_tiff: predictor needs 8-bit samples")
-            d = chunk.reshape(chunk.shape[0], -1, spp).astype(np.int16)
-            d[:, 1:] -= d[:, :-1].copy()
-            chunk = (d % 256).astype(np.uint8).reshape(chunk.shape[0], -1)
+            if bits == 8:
+                d = chunk.reshape(chunk.shape[0], -1, spp).astype(np.int16)
+                d[:, 1:] -= d[:, :-1].copy()
+                chunk = (
+                    (d % 256).astype(np.uint8).reshape(chunk.shape[0], -1)
+                )
+            elif bits == 16:
+                # §14 differencing is per SAMPLE value, not per byte
+                v = chunk.view("<u2").reshape(chunk.shape[0], -1, spp)
+                d = v.astype(np.int32)
+                d[:, 1:] -= d[:, :-1].copy()
+                chunk = (
+                    (d % 65536).astype("<u2").view(np.uint8)
+                    .reshape(chunk.shape[0], -1)
+                )
+            else:
+                raise ValueError(
+                    "encode_tiff: predictor needs 8/16-bit samples"
+                )
         raw = chunk.tobytes()
         if compression == _PACKBITS:
             payload = b"".join(
@@ -604,12 +617,11 @@ def _decode_ifd(
         raise ValueError("TIFF: CCITT compressions require bilevel samples")
     if bits == 16 and (
         comp not in (_NONE, _LZW, _DEFLATE, _DEFLATE_OLD, _PACKBITS)
-        or predictor != 1
         or photo == 3
     ):
         raise ValueError(
             "TIFF: 16-bit samples support none/LZW/Deflate/PackBits "
-            "without predictor or palette"
+            "without palette"
         )
     # reject-with-reason for layout variants this decoder would otherwise
     # silently scramble (ADVICE r3): planar-separated samples (tag 284=2)
@@ -673,10 +685,21 @@ def _decode_ifd(
                 raw = _reverse_bits(raw)  # lsb-first packed pixels
         arr = np.frombuffer(raw, dtype=np.uint8).reshape(n_rows, rb)
         if predictor == 2:
-            if bits != 8:
-                raise ValueError("TIFF: predictor on non-8-bit samples")
-            s = arr.reshape(n_rows, -1, spp)
-            arr = np.cumsum(s, axis=1, dtype=np.uint8).reshape(n_rows, rb)
+            if bits == 8:
+                s = arr.reshape(n_rows, -1, spp)
+                arr = np.cumsum(s, axis=1, dtype=np.uint8).reshape(
+                    n_rows, rb
+                )
+            elif bits == 16:
+                v = np.frombuffer(arr.tobytes(), dtype=end + "u2").reshape(
+                    n_rows, -1, spp
+                )
+                acc = np.cumsum(v, axis=1, dtype=np.uint16)
+                arr = np.frombuffer(
+                    acc.astype(end + "u2").tobytes(), dtype=np.uint8
+                ).reshape(n_rows, rb)
+            else:
+                raise ValueError("TIFF: predictor on non-8/16-bit samples")
         return arr
 
     rows = np.zeros((h, row_bytes), dtype=np.uint8)

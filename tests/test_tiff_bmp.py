@@ -410,5 +410,14 @@ def test_tiff_16bit_roundtrip():
     )
     with pytest.raises(ValueError):  # CCITT-bilevel check fires first
         encode_tiff(deep, compression=4)
-    with pytest.raises(ValueError, match="16-bit"):
-        encode_tiff(deep, predictor=2, compression=5)
+    # predictor 2 differs per 16-bit SAMPLE (§14), and pays off on
+    # smooth data: exact round-trip, strips and tiles
+    smooth = (
+        np.cumsum(rng.integers(-300, 301, (40, 55)), axis=1) % 65536
+    ).astype(np.uint16)
+    for kw in ({}, {"tile": 16}):
+        d2 = encode_tiff(smooth, compression=5, predictor=2, **kw)
+        assert np.array_equal(decode_tiff(d2, scale_16bit=False), smooth)
+    assert len(encode_tiff(smooth, compression=5, predictor=2)) < len(
+        encode_tiff(smooth, compression=5)
+    )
