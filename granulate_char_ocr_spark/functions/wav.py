@@ -21,16 +21,68 @@ import struct
 import numpy as np
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(ulaw_decode, alaw_decode) int16 LUTs for all 256 codes, built
+    from the ITU-T G.711 reference expansion formulas (the classic Sun
+    reference implementation's arithmetic)."""
+    u = np.arange(256, dtype=np.int32)
+    cu = (~u) & 0xFF
+    t = (((cu & 0x0F) << 3) + 0x84) << ((cu & 0x70) >> 4)
+    ulaw = np.where(cu & 0x80, 0x84 - t, t - 0x84)
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    base = (a & 0x0F) << 4
+    mag = np.where(
+        seg == 0,
+        base + 8,
+        np.where(
+            seg == 1,
+            base + 0x108,
+            (base + 0x108) << np.maximum(seg - 1, 0),
+        ),
+    )
+    alaw = np.where(a & 0x80, mag, -mag)
+    return ulaw.astype(np.int16), alaw.astype(np.int16)
+
+
+_ULAW_DEC, _ALAW_DEC = _g711_tables()
+
+
+def _g711_encode(samples: np.ndarray, dec: np.ndarray) -> bytes:
+    """Nearest-decoded-value companding: exact inverse of the LUT on its
+    own outputs, monotone on everything else (sidesteps the historical
+    off-by-one variants of the segment-search encoders)."""
+    order = np.argsort(dec, kind="stable")
+    sorted_vals = dec[order].astype(np.int32)
+    x = np.clip(samples.astype(np.int32), -32768, 32767).reshape(-1)
+    idx = np.searchsorted(sorted_vals, x)
+    idx = np.clip(idx, 1, len(sorted_vals) - 1)
+    left, right = sorted_vals[idx - 1], sorted_vals[idx]
+    pick = np.where(np.abs(x - left) <= np.abs(right - x), idx - 1, idx)
+    return order[pick].astype(np.uint8).tobytes()
+
+
 def encode_wav(
-    samples: np.ndarray, sample_rate: int, bits: int = 16
+    samples: np.ndarray, sample_rate: int, bits: int = 16,
+    codec: str = "pcm",
 ) -> bytes:
     """int16 (n,) mono or (n, ch) multi-channel samples -> WAV bytes.
-    ``bits`` 8 (unsigned PCM), 16 (signed PCM) or 32 (IEEE float)."""
+    ``bits`` 8 (unsigned PCM), 16 (signed PCM) or 32 (IEEE float);
+    ``codec`` 'pcm' (default), or the G.711 telephony compandings
+    'ulaw' / 'alaw' (format 7 / 6, 8-bit)."""
     samples = np.asarray(samples)
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
-    if bits == 16:
+    if codec == "ulaw":
+        fmt, bits = 7, 8
+        data = _g711_encode(samples, _ULAW_DEC)
+    elif codec == "alaw":
+        fmt, bits = 6, 8
+        data = _g711_encode(samples, _ALAW_DEC)
+    elif codec != "pcm":
+        raise ValueError("encode_wav: codec must be pcm/ulaw/alaw")
+    elif bits == 16:
         fmt, data = 1, samples.astype("<i2").tobytes()
     elif bits == 8:
         fmt = 1
@@ -104,11 +156,15 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(raw, dtype="<f4").astype(np.float64) * 32768.0
     elif audio_format == 3 and bits == 64:
         x = np.frombuffer(raw, dtype="<f8").astype(np.float64) * 32768.0
+    elif audio_format == 6 and bits == 8:  # G.711 A-law (telephony)
+        x = _ALAW_DEC[np.frombuffer(raw, dtype=np.uint8)].astype(np.float64)
+    elif audio_format == 7 and bits == 8:  # G.711 mu-law (telephony)
+        x = _ULAW_DEC[np.frombuffer(raw, dtype=np.uint8)].astype(np.float64)
     else:
         raise ValueError(
             f"WAV: unsupported (format={audio_format}, bits={bits}) — "
-            "PCM 8/16/24/32 and IEEE float32/64 only (MP3/AAC need a codec "
-            "library)"
+            "PCM 8/16/24/32, IEEE float32/64 and G.711 u-law/A-law only "
+            "(MP3/AAC need a codec library)"
         )
     n = len(x) - len(x) % ch
     mono = x[:n].reshape(-1, ch).mean(axis=1)

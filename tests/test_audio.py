@@ -59,3 +59,36 @@ def test_gate_query_matches_golden(spark):
         ).fetchall()
     }
     assert got == want  # bit-identical doubles, no tolerance
+
+
+def test_g711_companding():
+    """ITU-T G.711 u-law/A-law (WAV formats 7/6): LUTs match the spec's
+    landmark values, every code round-trips through the nearest-value
+    encoder, and a companded sine keeps textbook SNR (~37 dB)."""
+    from granulate_char_ocr_spark.functions.wav import (
+        _ALAW_DEC,
+        _ULAW_DEC,
+        _g711_encode,
+        decode_wav,
+        encode_wav,
+    )
+
+    assert _ULAW_DEC[0xFF] == 0 and _ULAW_DEC[0x7F] == 0
+    assert _ULAW_DEC.max() == 32124 and _ULAW_DEC.min() == -32124
+    assert _ALAW_DEC.max() == 32256 and _ALAW_DEC.min() == -32256
+    assert _ALAW_DEC[0x55] == -8 and _ALAW_DEC[0xD5] == 8
+    for dec in (_ULAW_DEC, _ALAW_DEC):
+        codes = np.frombuffer(
+            _g711_encode(dec.astype(np.int16), dec), np.uint8
+        )
+        assert np.array_equal(dec[codes], dec)
+    t = np.arange(8000)
+    sine = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype(np.int16)
+    for codec in ("ulaw", "alaw"):
+        out, rate = decode_wav(encode_wav(sine, 8000, codec=codec))
+        assert rate == 8000 and len(out) == len(sine)
+        err = (out.astype(np.float64) - sine) ** 2
+        snr = 10 * np.log10(
+            (sine.astype(np.float64) ** 2).mean() / err.mean()
+        )
+        assert snr > 30

@@ -109,6 +109,8 @@ def _container_cases():
          tiff.encode_tiff_multipage([frame, frame // 2], compression=5),
          tiff.decode_tiff_pages),
         ("wav", wav.encode_wav(pcm, 16000), wav.decode_wav),
+        ("wav_ulaw", wav.encode_wav(pcm, 8000, codec="ulaw"),
+         wav.decode_wav),
         ("avi", avi.encode_avi_mjpeg([frame, frame // 2], 10),
          avi.decode_avi_mjpeg),
         ("pdf14", pdf.encode_pdf(["Hello fuzz world " * 40] * 3),
