@@ -4,8 +4,9 @@ The audio leg of the multimodal column family previously accepted only
 engine-native raw int16 PCM buffers; real corpora carry containers. This
 implements the PCM slice of the format uncompressed corpora actually
 use — RIFF/WAVE with a ``fmt `` chunk of format 1 (integer PCM, 8-bit
-unsigned / 16-bit signed / 24-bit signed / 32-bit signed) or format 3
-(IEEE float32/64), any channel count — decoded to int16 mono (channel
+unsigned / 16-bit signed / 24-bit signed / 32-bit signed), format 3
+(IEEE float32/64), or the ITU-T G.711 telephony compandings A-law (6)
+and u-law (7), any channel count — decoded to int16 mono (channel
 mean) plus the container's sample rate. Compressed audio (MP3/AAC)
 remains honestly out of scope in-sandbox (no codec library).
 
