@@ -5,8 +5,8 @@ engine-native raw int16 PCM buffers; real corpora carry containers. This
 implements the PCM slice of the format uncompressed corpora actually
 use — RIFF/WAVE with a ``fmt `` chunk of format 1 (integer PCM, 8-bit
 unsigned / 16-bit signed / 24-bit signed / 32-bit signed), format 3
-(IEEE float32/64), or the ITU-T G.711 telephony compandings A-law (6)
-and u-law (7), any channel count — decoded to int16 mono (channel
+(IEEE float32/64), the ITU-T G.711 telephony compandings A-law (6)
+and u-law (7), or mono IMA/DVI ADPCM (0x11), any channel count — decoded to int16 mono (channel
 mean) plus the container's sample rate. Compressed audio (MP3/AAC)
 remains honestly out of scope in-sandbox (no codec library).
 
@@ -63,14 +63,121 @@ def _g711_encode(samples: np.ndarray, dec: np.ndarray) -> bytes:
     return order[pick].astype(np.uint8).tobytes()
 
 
+# IMA/DVI ADPCM (WAV format 0x11): 4-bit adaptive delta coding with the
+# canonical 89-entry step table and 8-entry index adaptation table
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(pred, index, nib):
+    """One decoder update, vectorized over blocks: the per-sample loop
+    runs only block-length times regardless of audio duration."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    diff = diff + np.where(nib & 1, step >> 2, 0)
+    diff = diff + np.where(nib & 2, step >> 1, 0)
+    diff = diff + np.where(nib & 4, step, 0)
+    pred = np.clip(pred + np.where(nib & 8, -diff, diff), -32768, 32767)
+    index = np.clip(index + _IMA_INDEX[nib & 7], 0, 88)
+    return pred, index
+
+
+def _ima_decode(raw: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA ADPCM data -> int16 samples (whole blocks)."""
+    if block_align < 5:
+        raise ValueError("WAV: IMA ADPCM block too small")
+    nblocks = len(raw) // block_align
+    if nblocks == 0:
+        raise ValueError("WAV: IMA ADPCM data shorter than one block")
+    blocks = np.frombuffer(
+        raw[: nblocks * block_align], dtype=np.uint8
+    ).reshape(nblocks, block_align)
+    pred = (
+        blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
+    )
+    index = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    nib_bytes = blocks[:, 4:]
+    nibs = np.empty((nblocks, nib_bytes.shape[1] * 2), dtype=np.int32)
+    nibs[:, 0::2] = nib_bytes & 0x0F  # low nibble first (spec order)
+    nibs[:, 1::2] = nib_bytes >> 4
+    out = np.empty((nblocks, 1 + nibs.shape[1]), dtype=np.int16)
+    out[:, 0] = pred
+    for j in range(nibs.shape[1]):
+        pred, index = _ima_step(pred, index, nibs[:, j])
+        out[:, j + 1] = pred
+    return out.reshape(-1)
+
+
+def _ima_encode(samples: np.ndarray, block_align: int = 1024) -> bytes:
+    """int16 mono -> IMA ADPCM blocks (standard quantize-then-track-the-
+    decoder loop, vectorized over blocks)."""
+    spb = (block_align - 4) * 2 + 1  # samples per block incl. header
+    x = samples.astype(np.int32).reshape(-1)
+    if len(x) == 0:
+        raise ValueError("encode_wav: empty ADPCM input")
+    pad = (-len(x)) % spb
+    x = np.concatenate([x, np.full(pad, x[-1], dtype=np.int32)])
+    nblocks = len(x) // spb
+    # each block independently covers spb consecutive samples: the
+    # header carries the first one verbatim, nibbles code the rest
+    starts = np.arange(nblocks) * spb
+    pred = x[starts]
+    # per-block initial index from the first delta (recorded in the
+    # header, so any conformant decoder tracks): avoids the slow
+    # step-table attack a cold index-0 start pays on loud signals
+    first_delta = np.abs(
+        x[np.minimum(starts + 1, len(x) - 1)] - pred
+    )
+    index = np.clip(
+        np.searchsorted(_IMA_STEPS, first_delta), 0, 88
+    ).astype(np.int32)
+    index0 = index.copy()
+    nibs = np.empty((nblocks, spb - 1), dtype=np.uint8)
+    for j in range(spb - 1):
+        s = x[starts + 1 + j]
+        step = _IMA_STEPS[index]
+        diff = s - pred
+        sign = diff < 0
+        mag = np.abs(diff)
+        b4 = mag >= step
+        mag = mag - np.where(b4, step, 0)
+        b2 = mag >= step >> 1
+        mag = mag - np.where(b2, step >> 1, 0)
+        b1 = mag >= step >> 2
+        nib = (
+            sign.astype(np.int32) * 8
+            + b4.astype(np.int32) * 4
+            + b2.astype(np.int32) * 2
+            + b1.astype(np.int32)
+        )
+        nibs[:, j] = nib
+        pred, index = _ima_step(pred, index, nib)
+    out = np.zeros((nblocks, block_align), dtype=np.uint8)
+    out[:, :2] = (
+        x[starts].astype("<i2")[:, None].view(np.uint8)
+    )
+    out[:, 2] = index0.astype(np.uint8)
+    out[:, 4:] = nibs[:, 0::2] | (nibs[:, 1::2] << 4)
+    return out.tobytes()
+
+
 def encode_wav(
     samples: np.ndarray, sample_rate: int, bits: int = 16,
     codec: str = "pcm",
 ) -> bytes:
     """int16 (n,) mono or (n, ch) multi-channel samples -> WAV bytes.
     ``bits`` 8 (unsigned PCM), 16 (signed PCM) or 32 (IEEE float);
-    ``codec`` 'pcm' (default), or the G.711 telephony compandings
-    'ulaw' / 'alaw' (format 7 / 6, 8-bit)."""
+    ``codec`` 'pcm' (default), the G.711 telephony compandings
+    'ulaw' / 'alaw' (format 7 / 6, 8-bit), or mono IMA/DVI ADPCM
+    'ima' (format 0x11, 4-bit blocks)."""
     samples = np.asarray(samples)
     if samples.ndim == 1:
         samples = samples[:, None]
@@ -81,8 +188,24 @@ def encode_wav(
     elif codec == "alaw":
         fmt, bits = 6, 8
         data = _g711_encode(samples, _ALAW_DEC)
+    elif codec == "ima":
+        if ch != 1:
+            raise ValueError("encode_wav: IMA ADPCM is mono-only here")
+        fmt, bits = 0x11, 4
+        data = _ima_encode(samples[:, 0])
+        block = 1024  # ADPCM block size, not ch*bits/8
+        fmt_chunk = struct.pack(
+            "<HHIIHH", fmt, ch, sample_rate,
+            sample_rate * block // ((block - 4) * 2 + 1), block, bits,
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
     elif codec != "pcm":
-        raise ValueError("encode_wav: codec must be pcm/ulaw/alaw")
+        raise ValueError("encode_wav: codec must be pcm/ulaw/alaw/ima")
     elif bits == 16:
         fmt, data = 1, samples.astype("<i2").tobytes()
     elif bits == 8:
@@ -161,6 +284,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         x = _ALAW_DEC[np.frombuffer(raw, dtype=np.uint8)].astype(np.float64)
     elif audio_format == 7 and bits == 8:  # G.711 mu-law (telephony)
         x = _ULAW_DEC[np.frombuffer(raw, dtype=np.uint8)].astype(np.float64)
+    elif audio_format == 0x11 and bits == 4:  # IMA/DVI ADPCM
+        if ch != 1:
+            raise ValueError("WAV: multi-channel IMA ADPCM unsupported")
+        return _ima_decode(raw, _block), int(rate)
     else:
         raise ValueError(
             f"WAV: unsupported (format={audio_format}, bits={bits}) — "

@@ -111,6 +111,8 @@ def _container_cases():
         ("wav", wav.encode_wav(pcm, 16000), wav.decode_wav),
         ("wav_ulaw", wav.encode_wav(pcm, 8000, codec="ulaw"),
          wav.decode_wav),
+        ("wav_ima", wav.encode_wav(pcm, 8000, codec="ima"),
+         wav.decode_wav),
         ("avi", avi.encode_avi_mjpeg([frame, frame // 2], 10),
          avi.decode_avi_mjpeg),
         ("pdf14", pdf.encode_pdf(["Hello fuzz world " * 40] * 3),
