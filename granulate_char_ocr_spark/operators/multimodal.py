@@ -342,11 +342,34 @@ def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
                 codec = r.codec
                 if codec == "auto":
                     head = bytes(r.payload[:12])
-                    codec = (
-                        "avi"
-                        if head[:4] == b"RIFF" and head[8:12] == b"AVI "
-                        else "raw"
+                    if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+                        codec = "avi"
+                    elif head[:6] in (b"GIF87a", b"GIF89a"):
+                        codec = "gif"
+                    else:
+                        codec = "raw"
+                if codec == "gif":
+                    from granulate_char_ocr_spark.functions.gif import (
+                        decode_gif_frames,
                     )
+
+                    # GIF composition is sequential (each frame builds on
+                    # the previous canvas), so every frame decodes even
+                    # when sampled — unlike MJPEG, whose frames are
+                    # independent standalone JPEGs
+                    for i, frame in enumerate(
+                        decode_gif_frames(bytes(r.payload))
+                    ):
+                        if i % every_k:
+                            continue
+                        g = kernels.to_grayscale(frame[..., 2::-1])
+                        out.append(
+                            (
+                                r.media_ref, i, g.shape[1], g.shape[0],
+                                g.tobytes(),
+                            )
+                        )
+                    continue
                 if codec in ("avi", "mjpeg"):
                     from granulate_char_ocr_spark.functions.avi import (
                         iter_mjpeg_payloads,

@@ -114,3 +114,37 @@ def test_ima_adpcm_roundtrip():
     assert np.abs(out2[:100].astype(np.float64) - short).max() < 2000
     with pytest.raises(ValueError, match="mono"):
         encode_wav(np.zeros((10, 2), np.int16), 8000, codec="ima")
+
+
+def test_audio_features_g711_container(spark):
+    """G.711 and ADPCM WAVs flow through the audio featurizer end to
+    end via the container sniff — real duration and finite features."""
+    import pandas as pd
+
+    from granulate_char_ocr_spark.functions.wav import encode_wav
+    from granulate_char_ocr_spark.operators.multimodal import audio_features
+
+    t = np.arange(8000)
+    sine = (np.sin(2 * np.pi * 440 * t / 8000) * 18000).astype(np.int16)
+    pdf = pd.DataFrame(
+        {
+            "media_ref": ["u", "a", "i"],
+            "codec": ["auto"] * 3,
+            "sample_rate": [0] * 3,
+            "payload": [
+                encode_wav(sine, 8000, codec="ulaw"),
+                encode_wav(sine, 8000, codec="alaw"),
+                encode_wav(sine, 8000, codec="ima"),
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf,
+        "media_ref string, codec string, sample_rate int, payload binary",
+    )
+    rows = {r["media_ref"]: r for r in audio_features(df).collect()}
+    assert set(rows) == {"u", "a", "i"}
+    for r in rows.values():
+        assert 0.9 < r["duration_sec"] < 1.1  # ~1 s (ADPCM pads blocks)
+        assert len(r["features"]) == 16
+        assert all(np.isfinite(v) for v in r["features"])

@@ -307,3 +307,39 @@ def test_explode_tiff_pages_rgb_luminance(spark):
     [row] = explode_tiff_pages(df, num_partitions=1).collect()
     gray = np.frombuffer(row["pixels"], np.uint8).reshape(8, 8)
     assert int(gray[0, 0]) == 76  # 0.299 * 255, not 0.114 * 255 = 29
+
+
+def test_sample_frames_animated_gif(spark):
+    """Animated GIFs sniff under 'auto' and fan out per composed frame
+    (every_k sampling), grayscale like the AVI path."""
+    import pandas as pd
+
+    from granulate_char_ocr_spark.functions.gif import encode_gif_frames
+    from granulate_char_ocr_spark.operators.multimodal import sample_frames
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    frames = [np.full((12, 10), 40 * i, np.uint8) for i in range(5)]
+    payload = encode_gif_frames(frames, pal)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": ["g0"],
+                "codec": ["auto"],
+                "width": [10],
+                "height": [12],
+                "n_frames": [5],
+                "payload": [payload],
+            }
+        ),
+        "media_ref string, codec string, width int, height int, "
+        "n_frames int, payload binary",
+    )
+    rows = sample_frames(df, every_k=2).collect()
+    got = {r["frame_index"]: r for r in rows}
+    assert sorted(got) == [0, 2, 4]
+    for i, r in got.items():
+        assert (r["height"], r["width"]) == (12, 10)
+        plane = np.frombuffer(r["payload"], np.uint8).reshape(12, 10)
+        # neutral palette -> gray == index, within 1 LSB of the
+        # float-weight truncation in to_grayscale
+        assert np.all(np.abs(plane.astype(int) - 40 * i) <= 1)
