@@ -340,22 +340,23 @@ def encode_gif_frames(
     return bytes(out)
 
 
-def decode_gif_frames(
-    data: bytes, max_frames: int = 10000
-) -> list[np.ndarray]:
-    """Composed animation frames: uint8 (H, W, 3) RGB per frame at the
-    logical screen size, honoring sub-rectangle frames, per-frame
-    transparency (a compositing hole, not an alpha channel) and the
-    GIF89a disposal methods (1 leave, 2 restore-to-background,
-    3 restore-to-previous). The frame count is capped so a corrupt
-    stream terminates."""
+def iter_gif_frames(data: bytes, max_frames: int = 10000):
+    """Yield composed animation frames one at a time: uint8 (H, W, 3)
+    RGB at the logical screen size, honoring sub-rectangle frames,
+    per-frame transparency (a compositing hole, not an alpha channel)
+    and the GIF89a disposal methods (1 leave, 2 restore-to-background,
+    3 restore-to-previous). Composition is inherently sequential, but a
+    streaming consumer (e.g. a frame sampler) holds only one canvas at
+    a time instead of the whole animation. The frame count is capped so
+    a corrupt stream terminates; a stream with no image descriptor
+    raises on the first next()."""
     sw, sh, bg, gct, pos = _parse_screen(data)
     bg_rgb = (
         gct[bg] if gct is not None and bg < len(gct)
         else np.zeros(3, np.uint8)
     )
     canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
-    frames: list[np.ndarray] = []
+    n_frames = 0
     transparent, disposal = None, 0
     while pos < len(data):
         block = data[pos]
@@ -368,7 +369,7 @@ def decode_gif_frames(
             continue
         if block != 0x2C:
             raise ValueError(f"GIF: unknown block 0x{block:02x}")
-        if len(frames) >= max_frames:
+        if n_frames >= max_frames:
             raise ValueError("GIF: frame count exceeds max_frames")
         idx, ct, left, top, pos = _parse_image_block(data, pos, gct)
         h, w = idx.shape
@@ -382,12 +383,19 @@ def decode_gif_frames(
             region[mask] = rgb[mask]
         else:
             region[...] = rgb
-        frames.append(canvas.copy())
+        n_frames += 1
+        yield canvas.copy()
         if disposal == 2:
             canvas[top : top + h, left : left + w] = bg_rgb
         elif disposal == 3 and saved is not None:
             canvas = saved
         transparent, disposal = None, 0
-    if not frames:
+    if n_frames == 0:
         raise ValueError("GIF: no image descriptor")
-    return frames
+
+
+def decode_gif_frames(
+    data: bytes, max_frames: int = 10000
+) -> list[np.ndarray]:
+    """All composed animation frames as a list — see iter_gif_frames."""
+    return list(iter_gif_frames(data, max_frames))

@@ -665,7 +665,10 @@ def _decode_ifd(
             raw = np.packbits(black, axis=1).tobytes()
         elif comp in (_DEFLATE, _DEFLATE_OLD):
             try:
-                raw = zlib.decompress(chunk)[:expected]
+                # bounded inflate: a zlib bomb must not expand past the
+                # declared strip size (same executor-pinning class as the
+                # dimension plausibility gates)
+                raw = zlib.decompressobj().decompress(chunk, expected)
             except zlib.error as e:
                 raise ValueError(f"TIFF: bad Deflate strip ({e})") from None
             if len(raw) < expected:
@@ -718,6 +721,14 @@ def _decode_ifd(
             )
         across = (w + tile_w - 1) // tile_w
         down = (h + tile_h - 1) // tile_h
+        # amplification gate: a tiny image declaring huge tiles would
+        # allocate/decompress the full tile grid before cropping — bound
+        # the padded grid area relative to the declared image
+        if across * tile_w * down * tile_h > max(4 * w * h, 1 << 22):
+            raise ValueError(
+                f"TIFF: tile grid {across * tile_w}x{down * tile_h} "
+                f"implausibly exceeds image {w}x{h}"
+            )
         if len(offsets) < across * down or len(counts) < across * down:
             raise ValueError("TIFF: tile count mismatch")
         trb = (tile_w * bits * spp + 7) // 8

@@ -91,15 +91,26 @@ def _ima_step(pred, index, nib):
 
 
 def _ima_decode(raw: bytes, block_align: int) -> np.ndarray:
-    """Mono IMA ADPCM data -> int16 samples (whole blocks)."""
+    """Mono IMA ADPCM data -> int16 samples. A partial final block
+    (real writers produce one) decodes its true sample count:
+    (tail_bytes - 4) * 2 + 1."""
     if block_align < 5:
         raise ValueError("WAV: IMA ADPCM block too small")
-    nblocks = len(raw) // block_align
-    if nblocks == 0:
-        raise ValueError("WAV: IMA ADPCM data shorter than one block")
-    blocks = np.frombuffer(
-        raw[: nblocks * block_align], dtype=np.uint8
-    ).reshape(nblocks, block_align)
+    spb = (block_align - 4) * 2 + 1
+    nblocks, tail = divmod(len(raw), block_align)
+    n_samples = nblocks * spb
+    if tail > 4:
+        n_samples += (tail - 4) * 2 + 1
+    elif tail:
+        raise ValueError("WAV: truncated IMA ADPCM block header")
+    if n_samples == 0:
+        raise ValueError("WAV: empty IMA ADPCM data")
+    if tail:  # zero-pad the partial block; output is trimmed below
+        raw = raw + bytes(block_align - tail)
+        nblocks += 1
+    blocks = np.frombuffer(raw, dtype=np.uint8).reshape(
+        nblocks, block_align
+    )
     pred = (
         blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
     )
@@ -113,7 +124,7 @@ def _ima_decode(raw: bytes, block_align: int) -> np.ndarray:
     for j in range(nibs.shape[1]):
         pred, index = _ima_step(pred, index, nibs[:, j])
         out[:, j + 1] = pred
-    return out.reshape(-1)
+    return out.reshape(-1)[:n_samples]
 
 
 def _ima_encode(samples: np.ndarray, block_align: int = 1024) -> bytes:
@@ -182,47 +193,51 @@ def encode_wav(
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
+    fact = b""
     if codec == "ulaw":
         fmt, bits = 7, 8
         data = _g711_encode(samples, _ULAW_DEC)
+        block = ch
+        byte_rate = sample_rate * block
     elif codec == "alaw":
         fmt, bits = 6, 8
         data = _g711_encode(samples, _ALAW_DEC)
+        block = ch
+        byte_rate = sample_rate * block
     elif codec == "ima":
         if ch != 1:
             raise ValueError("encode_wav: IMA ADPCM is mono-only here")
         fmt, bits = 0x11, 4
-        data = _ima_encode(samples[:, 0])
         block = 1024  # ADPCM block size, not ch*bits/8
-        fmt_chunk = struct.pack(
-            "<HHIIHH", fmt, ch, sample_rate,
-            sample_rate * block // ((block - 4) * 2 + 1), block, bits,
-        )
-        body = (
-            b"WAVE"
-            + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
-            + b"data" + struct.pack("<I", len(data)) + data
-        )
-        return b"RIFF" + struct.pack("<I", len(body)) + body
+        data = _ima_encode(samples[:, 0], block)
+        byte_rate = sample_rate * block // ((block - 4) * 2 + 1)
+        # fact chunk: true sample count (blocks pad to a multiple)
+        fact = b"fact" + struct.pack("<II", 4, n)
     elif codec != "pcm":
         raise ValueError("encode_wav: codec must be pcm/ulaw/alaw/ima")
     elif bits == 16:
         fmt, data = 1, samples.astype("<i2").tobytes()
+        block = ch * bits // 8
+        byte_rate = sample_rate * block
     elif bits == 8:
         fmt = 1
         data = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+        block = ch * bits // 8
+        byte_rate = sample_rate * block
     elif bits == 32:
         fmt = 3
         data = (samples.astype(np.float64) / 32768.0).astype("<f4").tobytes()
+        block = ch * bits // 8
+        byte_rate = sample_rate * block
     else:
         raise ValueError("encode_wav: bits must be 8, 16 or 32")
-    block = ch * bits // 8
     fmt_chunk = struct.pack(
-        "<HHIIHH", fmt, ch, sample_rate, sample_rate * block, block, bits
+        "<HHIIHH", fmt, ch, sample_rate, byte_rate, block, bits
     )
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + fact
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -237,6 +252,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     pos = 12
     fmt = None
     raw = None
+    n_fact = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -245,6 +261,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             if size < 16:
                 raise ValueError("WAV: short fmt chunk")
             fmt = struct.unpack("<HHIIHH", payload[:16])
+        elif tag == b"fact" and size >= 4:
+            (n_fact,) = struct.unpack("<I", payload[:4])
         elif tag == b"data":
             if len(payload) < size:
                 raise ValueError("WAV: truncated data chunk")
@@ -287,12 +305,15 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     elif audio_format == 0x11 and bits == 4:  # IMA/DVI ADPCM
         if ch != 1:
             raise ValueError("WAV: multi-channel IMA ADPCM unsupported")
-        return _ima_decode(raw, _block), int(rate)
+        mono = _ima_decode(raw, _block)
+        if n_fact is not None:  # fact chunk: true pre-padding length
+            mono = mono[:n_fact]
+        return mono, int(rate)
     else:
         raise ValueError(
             f"WAV: unsupported (format={audio_format}, bits={bits}) — "
-            "PCM 8/16/24/32, IEEE float32/64 and G.711 u-law/A-law only "
-            "(MP3/AAC need a codec library)"
+            "PCM 8/16/24/32, IEEE float32/64, G.711 u-law/A-law and mono "
+            "IMA ADPCM only (MP3/AAC need a codec library)"
         )
     n = len(x) - len(x) % ch
     mono = x[:n].reshape(-1, ch).mean(axis=1)

@@ -350,15 +350,16 @@ def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
                         codec = "raw"
                 if codec == "gif":
                     from granulate_char_ocr_spark.functions.gif import (
-                        decode_gif_frames,
+                        iter_gif_frames,
                     )
 
                     # GIF composition is sequential (each frame builds on
                     # the previous canvas), so every frame decodes even
                     # when sampled — unlike MJPEG, whose frames are
-                    # independent standalone JPEGs
+                    # independent standalone JPEGs. The generator keeps
+                    # only one canvas resident, not the whole animation.
                     for i, frame in enumerate(
-                        decode_gif_frames(bytes(r.payload))
+                        iter_gif_frames(bytes(r.payload))
                     ):
                         if i % every_k:
                             continue

@@ -148,3 +148,30 @@ def test_audio_features_g711_container(spark):
         assert 0.9 < r["duration_sec"] < 1.1  # ~1 s (ADPCM pads blocks)
         assert len(r["features"]) == 16
         assert all(np.isfinite(v) for v in r["features"])
+
+
+def test_ima_adpcm_fact_and_partial_blocks():
+    """Review fixes: the writer records the true sample count in a fact
+    chunk (decode returns exactly the input length, so short clips keep
+    real durations), and a foreign partial final block decodes its
+    (tail-4)*2+1 samples instead of being dropped or rejected."""
+    from granulate_char_ocr_spark.functions.wav import (
+        _ima_decode,
+        _ima_encode,
+        decode_wav,
+        encode_wav,
+    )
+
+    short = (np.sin(np.arange(100) / 5.0) * 15000).astype(np.int16)
+    out, rate = decode_wav(encode_wav(short, 8000, codec="ima"))
+    assert len(out) == 100  # fact chunk trims block padding
+    # foreign file: raw blocks with a partial tail (no fact chunk)
+    full = _ima_encode(np.zeros(4082, np.int16), 1024)  # two blocks
+    assert len(full) == 2048
+    tail = full[:1024] + full[1024 : 1024 + 14]  # 1 block + 10 nibble bytes
+    got = _ima_decode(tail, 1024)
+    assert len(got) == 2041 + (14 - 4) * 2 + 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        _ima_decode(full[:1026], 1024)  # mid-header tail

@@ -313,3 +313,21 @@ def test_gif_implausible_screen_rejected():
     data = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0) + b"\x3b"
     with pytest.raises(ValueError, match="implausible"):
         decode_gif_frames(data)
+
+
+def test_gif_frame_iterator_matches_list():
+    """Review fix: iter_gif_frames streams one canvas at a time; the
+    list wrapper is exactly equal."""
+    from granulate_char_ocr_spark.functions.gif import (
+        decode_gif_frames,
+        encode_gif_frames,
+        iter_gif_frames,
+    )
+
+    pal = np.stack([np.arange(8) * 32] * 3, axis=1).astype(np.uint8)
+    frames = [np.full((9, 7), i % 8, np.uint8) for i in range(4)]
+    data = encode_gif_frames(frames, pal)
+    streamed = [f.copy() for f in iter_gif_frames(data)]
+    listed = decode_gif_frames(data)
+    assert len(streamed) == len(listed) == 4
+    assert all(np.array_equal(a, b) for a, b in zip(streamed, listed))

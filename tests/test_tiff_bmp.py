@@ -421,3 +421,41 @@ def test_tiff_16bit_roundtrip():
     assert len(encode_tiff(smooth, compression=5, predictor=2)) < len(
         encode_tiff(smooth, compression=5)
     )
+
+
+def test_tiff_deflate_bomb_bounded():
+    """Review fix: a Deflate strip that inflates far past the declared
+    strip size must not expand fully in memory — inflation is bounded
+    by the expected byte count."""
+    import struct
+    import time
+    import zlib as _zlib
+
+    img = np.zeros((16, 16), np.uint8)
+    data = bytearray(encode_tiff(img, compression=8))
+    bomb = _zlib.compress(bytes(50_000_000), 9)  # ~48 KB -> 50 MB
+    off = len(data)
+    i273 = data.find(b"\x11\x01")
+    struct.pack_into("<I", data, i273 + 8, off)
+    i279 = data.find(b"\x17\x01")
+    struct.pack_into("<I", data, i279 + 8, len(bomb))
+    data += bomb
+    t0 = time.perf_counter()
+    out = decode_tiff(bytes(data))
+    dt = time.perf_counter() - t0
+    assert np.array_equal(out, img)  # first 256 inflated bytes are zeros
+    assert dt < 2.0, f"bounded inflate took {dt:.1f}s"
+
+
+def test_tiff_tile_grid_amplification_rejected():
+    """Review fix: a tiny image declaring huge tiles (allocation
+    amplification) rejects before decompressing the tile grid."""
+    import struct
+
+    img = np.zeros((16, 16), np.uint8)
+    data = bytearray(encode_tiff(img, tile=16))
+    for tag in (b"\x42\x01", b"\x43\x01"):  # TileWidth/TileLength
+        i = data.find(tag)
+        struct.pack_into("<I", data, i + 8, 8192)
+    with pytest.raises(ValueError, match="implausibly exceeds"):
+        decode_tiff(bytes(data))
