@@ -581,16 +581,11 @@ def pdf_extract_docs(spark, sf_dir):
     return pdf_texts(pdfs)
 
 
-@q(
-    "customer_order_distribution",
-    """
-    SELECT n_orders, count(*) AS n_customers FROM (
-      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
-      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-      GROUP BY 1) t
-    GROUP BY 1
-    """,
-)
+# gate slot freed for html_main_content_docs (r4): the TPC-H q13 shape
+# left the 50-entry graded surface but stays pytest-covered
+# (tests/test_plans.py::test_customer_order_distribution) — its
+# outer-join + two-level aggregate shape is also visible via
+# rollup_order_priority and distinct_users_per_type
 def customer_order_distribution(spark, sf_dir):
     """TPC-H q13 shape — outer join preserving empty groups, then a second
     aggregation over the group sizes (the two-level aggregate no single
@@ -1014,6 +1009,69 @@ def html_extract_docs(spark, sf_dir):
         ),
     )
     return html_main_texts(docs.select("doc_id", page.alias("html")))
+
+
+# page skeleton for html_main_content_docs: class-named link farms that
+# the NAME-based strip cannot see (no nav/aside tags anywhere) — only
+# the density rule removes them. Whitespace-decoding numeric references
+# sit inside a kept block so the decode affects the compared value.
+_DOM_PREFIX = (
+    '<html><head><title>Doc</title><style>p{color:#000}</style>'
+    '<script>var trap = "<p>&amp;not content</p>";</script></head><body>'
+    '<div class="menu"><a href="/">Home</a> <a href="/a">Archive</a> '
+    '<a href="/c">Contact</a></div>'
+    '<div class="related"><a href="/1">A long related-article teaser '
+    'headline one</a> <a href="/2">A long related-article teaser '
+    "headline two</a></div><p>"
+)
+_DOM_SUFFIX = (
+    "</p><p>A closing&#32;&#x20;paragraph that cites "
+    '<a href="/ref">one source</a>&#9;while reading as prose.</p>'
+    '<div class="share"><a href="/t">Tweet</a> <a href="/f">Share</a>'
+    "</div><footer>(c) corp</footer></body></html>"
+)
+
+
+def _dom_oracle_sql() -> str:
+    from granulate_char_ocr_spark.functions.dom import (
+        main_content_oracle_sql,
+    )
+
+    esc = (
+        "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), "
+        "'>', '&gt;')"
+    )
+    page = (
+        f"('{_DOM_PREFIX.replace(chr(39), chr(39) * 2)}' || {esc} || "
+        f"'{_DOM_SUFFIX.replace(chr(39), chr(39) * 2)}')"
+    )
+    return f"""
+    SELECT doc_id, {main_content_oracle_sql(page)} AS main_content
+    FROM documents
+    """
+
+
+@q("html_main_content_docs", _dom_oracle_sql())
+def html_main_content_docs(spark, sf_dir):
+    """The north rule's "DOM heuristics" leg: each document's text is
+    entity-escaped into a page whose boilerplate is all CLASS-named
+    (menu/related/share divs — invisible to the name-based strip), and
+    the density-based extractor (functions/dom.py) must keep exactly
+    the content paragraphs. The oracle synthesizes the SAME page in SQL
+    and applies the byte-identical RE2 transform, so the page build AND
+    the block scoring are both under test; documents whose text
+    collapses under MIN_BLOCK_CHARS lose their paragraph on BOTH sides
+    (the rule, not an accident)."""
+    from granulate_char_ocr_spark.functions.html import escape_text
+    from granulate_char_ocr_spark.operators.docparse import (
+        html_main_contents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(_DOM_PREFIX), escape_text(F.col("text")), F.lit(_DOM_SUFFIX)
+    )
+    return html_main_contents(docs.select("doc_id", page.alias("html")))
 
 
 @q(

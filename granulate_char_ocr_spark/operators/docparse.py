@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from granulate_char_ocr_spark.functions.dom import main_content_expr
 from granulate_char_ocr_spark.functions.html import main_text_expr
 
 
@@ -25,6 +26,18 @@ def html_main_texts(
     no Python in the plan."""
     return df.select(
         key_col, main_text_expr(F.col(html_col)).alias("main_text")
+    )
+
+
+def html_main_contents(
+    df: DataFrame, html_col: str = "html", key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, html) -> (key, main_content): density-selected content text
+    (the DOM-heuristic leg, functions/dom.py) — link-dense and short
+    blocks dropped by measure, not by element name. No Python in the
+    plan."""
+    return df.select(
+        key_col, main_content_expr(F.col(html_col)).alias("main_content")
     )
 
 

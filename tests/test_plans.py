@@ -201,3 +201,31 @@ def test_sorted_unique_event_types(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_customer_order_distribution(spark):
+    """TPC-H q13 shape (left the 50-entry gate for html_main_content_docs
+    in r4): outer join preserving empty groups + two-level aggregate,
+    checked against DuckDB."""
+    import duckdb
+
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["n_orders"], r["n_customers"])
+        for r in driver_queries.customer_order_distribution(
+            spark, sf
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            "SELECT n_orders, count(*) AS n_customers FROM ("
+            "  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders"
+            f"  FROM '{sf}/customer.parquet' c"
+            f"  LEFT JOIN '{sf}/orders.parquet' o"
+            "   ON c.c_custkey = o.o_custkey GROUP BY 1) t GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want
