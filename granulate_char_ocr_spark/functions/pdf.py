@@ -23,6 +23,7 @@ parser's.
 
 from __future__ import annotations
 
+import bisect
 import re
 import struct
 import zlib
@@ -177,7 +178,13 @@ def encode_pdf(lines: list[str], object_streams: bool = False) -> bytes:
     and the content stream's /Length as an indirect reference whose
     integer lives inside the object stream — the layout most PDFs
     written in the last 15 years use."""
-    content = _content_stream(lines)
+    return _assemble_single(_content_stream(lines), object_streams)
+
+
+def _assemble_single(content: bytes, object_streams: bool) -> bytes:
+    """One compressed content stream -> a complete single-page file
+    (classic 1.4 table or 1.5 ObjStm+XRef-stream layout). Object
+    numbering is pinned by the xref round-trip tests — do not renumber."""
     if not object_streams:
         return _assemble_classic(
             _STRUCT_OBJS
@@ -216,6 +223,33 @@ def encode_pdf(lines: list[str], object_streams: bool = False) -> bytes:
     out += b"7 0 obj\n" + _xref_stream_obj(entries, 9) + b"\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)
+
+
+def _fmt_num(v: float) -> bytes:
+    """PDF numeric operand: integers bare, reals with trailing zeros
+    trimmed (4-decimal precision is exact for layout coordinates)."""
+    if float(v) == int(v):
+        return b"%d" % int(v)
+    return f"{v:.4f}".rstrip("0").rstrip(".").encode()
+
+
+def encode_pdf_runs(
+    runs: list[tuple[float, float, str]],
+    object_streams: bool = False,
+    size: int = 12,
+) -> bytes:
+    """Positioned text runs -> a single-page PDF whose content stream
+    shows each run at its absolute (x, y) via a ``1 0 0 1 x y Tm`` text
+    matrix, IN THE GIVEN ORDER — the draw order need not be the reading
+    order (real generators emit columns, footnotes and floats out of
+    sequence), which is exactly what ``decode_pdf_text_layout`` must
+    undo. Same structural objects/numbering as ``encode_pdf``."""
+    ops = [b"BT", b"/F1 %d Tf" % size]
+    for x, y, s in runs:
+        ops.append(b"1 0 0 1 %s %s Tm" % (_fmt_num(x), _fmt_num(y)))
+        ops.append(_encode_pdf_string(s) + b" Tj")
+    ops.append(b"ET")
+    return _assemble_single(zlib.compress(b"\n".join(ops)), object_streams)
 
 
 def encode_pdf_pages(
@@ -371,7 +405,9 @@ def _tokenize_content(body: bytes):
 
 def _extract_lines(body: bytes, lines: list[str]) -> None:
     """Walk one content stream's tokens: strings shown by Tj / ' / " / TJ
-    accumulate into the current line; Td/TD/T* start a new one."""
+    accumulate into the current line; Td/TD/T* start a new one (and so
+    do ' and " themselves — ISO 32000-1 Table 107 defines them as
+    move-to-next-line THEN show)."""
     parts: list[str] = []
     strings: list[bytes] = []  # operand stack of pending strings
     for kind, tok in _tokenize_content(body):
@@ -379,6 +415,9 @@ def _extract_lines(body: bytes, lines: list[str]) -> None:
             strings.append(tok)
             continue
         if tok in (b"Tj", b"'", b'"'):
+            if tok != b"Tj" and parts:
+                lines.append("".join(parts))
+                parts = []
             if strings:
                 parts.append(_decode_pdf_string(strings[-1]))
             strings = []
@@ -554,13 +593,24 @@ def _decode_pdf_streams(data: bytes) -> list[list[str]]:
     """Shared walk: per text-content stream, the extracted lines, in
     document order. One content stream per page is the dominant layout
     (and this module's writer guarantees it)."""
+    per_stream: list[list[str]] = []
+    for body in _text_stream_bodies(data):
+        lines: list[str] = []
+        _extract_lines(body, lines)
+        if lines:  # a BT/ET block with no text ops is not a text page —
+            per_stream.append(lines)  # keeps pages/flat-join parity exact
+    return per_stream
+
+
+def _text_stream_bodies(data: bytes) -> list[bytes]:
+    """All inflated BT-bearing content-stream bodies, document order
+    (the shared front half of line- and run-extraction)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("PDF: bad header")
     if b"/Encrypt" in data:
         raise ValueError("PDF: encrypted documents unsupported")
     objmap = expand_object_streams(data)
-    per_stream: list[list[str]] = []
-    found_stream = False
+    bodies: list[bytes] = []
     for m in _STREAM_RE.finditer(data):
         d = m.group("dict")
         # honor a direct-or-resolvable /Length, slicing from the
@@ -574,16 +624,11 @@ def _decode_pdf_streams(data: bytes) -> list[list[str]]:
         if re.search(rb"/Type\s*/(XRef|ObjStm)\b", d):
             continue  # structure streams, never text content
         body = _inflate(d, _stream_body(m, data, _length_of(d, objmap, data)))
-        if b"BT" not in body:
-            continue
-        found_stream = True
-        lines: list[str] = []
-        _extract_lines(body, lines)
-        if lines:  # a BT/ET block with no text ops is not a text page —
-            per_stream.append(lines)  # keeps pages/flat-join parity exact
-    if not found_stream:
+        if b"BT" in body:
+            bodies.append(body)
+    if not bodies:
         raise ValueError("PDF: no text content stream found")
-    return per_stream
+    return bodies
 
 
 def decode_pdf_text(data: bytes) -> str:
@@ -602,3 +647,149 @@ def decode_pdf_text_pages(data: bytes) -> list[str]:
     Streams whose BT/ET blocks yield no text lines (graphics-only pages)
     are omitted, so ``"\\n".join(...)`` equals ``decode_pdf_text``."""
     return ["\n".join(lines) for lines in _decode_pdf_streams(data)]
+
+
+# --- layout parse: positioned runs -> reading order --------------------------
+# The line-based extractor above reads text in DRAW order; generators
+# that emit multi-column layouts (or floats/footnotes first) interleave
+# the columns there. The run extractor below tracks the text matrix
+# (Tm/Td/TD/T*/TL per ISO 32000-1 §9.4.2) so every show operator gets an
+# absolute position, and _reading_order applies a one-level XY-cut
+# (Nagy & Seth 1984, the classic layout-analysis split): columns are the
+# maximal x-interval groups separated by a full-height gutter in the
+# union of estimated run extents, read left-to-right, each top-to-bottom.
+# Run widths are ESTIMATED (chars x em-fraction x font size — no glyph
+# metrics in a minimal parser); the estimate can never invent a gutter
+# where runs overlap, only between runs, which is the deterministic
+# failure mode the tests pin.
+
+_CHAR_EM = 0.6  # estimated advance per char, em fraction (Courier = 0.6)
+_MIN_GUTTER = 8.0  # pt; narrower x-gaps do not split columns
+_LINE_TOL = 1.0  # pt; runs within this y-band are one line
+
+
+def _extract_runs(
+    body: bytes, runs: list[tuple[float, float, float, str]]
+) -> None:
+    """Walk one content stream tracking the text LINE matrix; append
+    (x, y, font_size, text) per show operator. Consecutive shows without
+    repositioning share a position and stay in emission order (the sort
+    below is stable). Kerning offsets inside TJ arrays are ignored —
+    sub-glyph spacing, not layout."""
+    m = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    size, leading = 12.0, 0.0
+    nums: list[float] = []
+    strings: list[bytes] = []
+
+    def translate(tx: float, ty: float) -> None:
+        m[4] = tx * m[0] + ty * m[2] + m[4]
+        m[5] = tx * m[1] + ty * m[3] + m[5]
+
+    def show(parts: list[bytes]) -> None:
+        text = "".join(_decode_pdf_string(s) for s in parts)
+        if text:
+            runs.append((m[4], m[5], size, text))
+
+    for kind, tok in _tokenize_content(body):
+        if kind == "str":
+            strings.append(tok)
+            continue
+        if tok == b"BT":
+            m[:] = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+        elif tok == b"Tf":
+            if nums:
+                size = nums[-1]
+        elif tok == b"Tm":
+            if len(nums) >= 6:
+                m[:] = nums[-6:]
+        elif tok in (b"Td", b"TD"):
+            if len(nums) >= 2:
+                if tok == b"TD":
+                    leading = -nums[-1]
+                translate(nums[-2], nums[-1])
+        elif tok == b"TL":
+            if nums:
+                leading = nums[-1]
+        elif tok == b"T*":
+            translate(0.0, -leading)
+        elif tok == b"Tj":
+            if strings:
+                show([strings[-1]])
+        elif tok in (b"'", b'"'):
+            translate(0.0, -leading)
+            if strings:
+                show([strings[-1]])
+        elif tok == b"TJ":
+            show(strings)
+        elif tok.startswith(b"/") or tok in (b"[", b"]"):
+            continue  # operand (name / array bracket): keep the stack
+        else:
+            try:
+                nums.append(float(tok))
+                continue
+            except ValueError:
+                pass  # some other operator: fall through to clear
+        nums, strings = [], []
+
+
+def _reading_order(runs: list[tuple[float, float, float, str]]) -> list[str]:
+    """Runs -> text lines in reading order: one-level XY-cut into
+    columns, columns left-to-right, lines top-to-bottom, runs within a
+    line left-to-right and concatenated without separators (runs carry
+    their own spacing)."""
+    if not runs:
+        return []
+    spans = sorted(
+        (x, x + _CHAR_EM * size * max(len(t), 1))
+        for x, y, size, t in runs
+    )
+    cuts: list[float] = []
+    reach = spans[0][1]
+    for s, e in spans[1:]:
+        if s - reach >= _MIN_GUTTER:
+            cuts.append((reach + s) / 2.0)
+        reach = max(reach, e)
+    cols: list[list[tuple[float, float, float, str]]] = [
+        [] for _ in range(len(cuts) + 1)
+    ]
+    for r in runs:
+        cols[bisect.bisect_left(cuts, r[0])].append(r)
+    lines: list[str] = []
+    for col in cols:
+        col.sort(key=lambda r: -r[1])  # stable: emission order on ties
+        groups: list[list[tuple[float, float, float, str]]] = []
+        for r in col:
+            if not groups or groups[-1][0][1] - r[1] > _LINE_TOL:
+                groups.append([])
+            groups[-1].append(r)
+        for g in groups:
+            g.sort(key=lambda r: r[0])
+            lines.append("".join(r[3] for r in g))
+    return lines
+
+
+def decode_pdf_runs(data: bytes) -> list[tuple[float, float, str]]:
+    """PDF bytes -> positioned text runs (x, y, text) in draw order,
+    all content streams flattened."""
+    runs: list[tuple[float, float, float, str]] = []
+    for body in _text_stream_bodies(data):
+        _extract_runs(body, runs)
+    return [(x, y, t) for x, y, _, t in runs]
+
+
+def decode_pdf_layout_pages(data: bytes) -> list[str]:
+    """Per-page text in READING order (see _reading_order); streams with
+    no shown text omitted, mirroring decode_pdf_text_pages."""
+    pages = []
+    for body in _text_stream_bodies(data):
+        runs: list[tuple[float, float, float, str]] = []
+        _extract_runs(body, runs)
+        if runs:
+            pages.append("\n".join(_reading_order(runs)))
+    return pages
+
+
+def decode_pdf_text_layout(data: bytes) -> str:
+    """PDF bytes -> text in reading order — the layout-parse twin of
+    decode_pdf_text (which reads in draw order)."""
+    return "\n".join(decode_pdf_layout_pages(data))

@@ -42,22 +42,32 @@ def html_main_contents(
 
 
 def pdf_texts(
-    df: DataFrame, payload_col: str = "payload", key_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    key_col: str = "doc_id",
+    layout: bool = False,
 ) -> DataFrame:
-    """(key, pdf_bytes) -> (key, extracted): the text layer of each PDF
-    in operator order. The key column keeps its input type. Per-row parse
-    failures raise (wrap upstream when a corpus needs the permissive
-    contract)."""
+    """(key, pdf_bytes) -> (key, extracted): the text layer of each PDF —
+    in operator (draw) order by default, or in READING order with
+    ``layout=True`` (text-matrix tracking + XY-cut column sort,
+    functions/pdf.py), which un-interleaves multi-column and
+    out-of-sequence draws. The key column keeps its input type. Per-row
+    parse failures raise (wrap upstream when a corpus needs the
+    permissive contract)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from granulate_char_ocr_spark.functions.pdf import decode_pdf_text
+        from granulate_char_ocr_spark.functions.pdf import (
+            decode_pdf_text,
+            decode_pdf_text_layout,
+        )
 
+        decode = decode_pdf_text_layout if layout else decode_pdf_text
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     key_col: pdf[key_col],
                     "extracted": [
-                        decode_pdf_text(bytes(p)) for p in pdf[payload_col]
+                        decode(bytes(p)) for p in pdf[payload_col]
                     ],
                 }
             )
