@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "bpe_token_count_docs",
     "mm_audio_features",
     "quality_score_docs",
+    "repetition_signals_docs",
     "html_extract_docs",
     "pdf_extract_docs",
     "winnow_fingerprints_docs",

@@ -202,6 +202,108 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dup_word_frac, top2_char_frac, top3_char_frac,
+    dup5_char_frac): the Gopher repetition filters (Rae et al. 2021,
+    'Scaling Language Models: ... Gopher', Table A1 — the standard
+    LLM-corpus curation rules alongside the length/stopword heuristics
+    in quality_score):
+
+    - dup_word_frac: fraction of word occurrences beyond each word's
+      first (1 - types/tokens) — the coarsest repetition signal.
+    - topN_char_frac (N=2,3): characters covered by all occurrences of
+      the single most frequent word N-gram, over total characters.
+      Ties break to the longer gram; grams tied on both count and
+      length have identical coverage, so the value is deterministic.
+    - dup5_char_frac: characters in occurrences of DUPLICATED 5-grams
+      over characters in all 5-gram occurrences (the overlap-counting
+      proxy the open reimplementations use; exact span coverage is
+      ill-defined for overlapping grams).
+
+    Docs with fewer than N tokens score 0 for that signal. Shape: one
+    projection builds (n, gram) pairs for n in {2,3,5}, ONE explode,
+    count per (doc_id, n, gram), conditional re-aggregate per doc, one
+    doc_id equi-join back to the base stats — no UDF, no all-pairs,
+    both shuffles keyed on doc_id, so the plan is the same at 100x."""
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.length("text"), F.lit(1)).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    )
+
+    def grams(n: int) -> str:
+        # word n-grams, space-joined, tagged with n
+        return (
+            f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
+            f"i -> struct({n} as n, "
+            f"array_join(slice(_toks, i, {n}), ' ') as gram))"
+        )
+
+    pairs = (
+        docs.select(F.col("doc_id"), F.split("text", " ").alias("_toks"))
+        .where(F.size("_toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"concat({grams(2)}, {grams(3)}, {grams(5)})"
+                )
+            ).alias("g"),
+            F.size("_toks").alias("_nt"),
+        )
+        # sequence(1, greatest(.., 1)) pads short docs with one
+        # truncated gram — drop grams past the real count
+        .where(F.col("g.n") <= F.col("_nt"))
+    )
+    counted = pairs.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    glen = F.length("g.gram")
+    cov = F.col("cnt") * glen
+
+    def top(n: int) -> F.Column:
+        s = F.when(
+            F.col("g.n") == n, F.struct(F.col("cnt"), glen.alias("len"))
+        )
+        return F.max(s)
+
+    per_doc = counted.groupBy("doc_id").agg(
+        top(2).alias("top2"),
+        top(3).alias("top3"),
+        F.sum(
+            F.when((F.col("g.n") == 5) & (F.col("cnt") > 1), cov)
+        ).alias("dup5_chars"),
+        F.sum(F.when(F.col("g.n") == 5, cov)).alias("tot5_chars"),
+    )
+
+    def frac(t: str) -> F.Column:
+        return F.round(
+            F.coalesce(
+                F.col(f"{t}.cnt") * F.col(f"{t}.len") / F.col("n_chars"),
+                F.lit(0.0),
+            ),
+            6,
+        )
+
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            1.0 - F.col("n_types") / F.greatest("n_tokens", F.lit(1)), 6
+        ).alias("dup_word_frac"),
+        frac("top2").alias("top2_char_frac"),
+        frac("top3").alias("top3_char_frac"),
+        F.round(
+            F.coalesce(
+                F.col("dup5_chars")
+                / F.greatest(F.col("tot5_chars"), F.lit(1)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup5_char_frac"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp): md5 document fingerprint of case/whitespace-normalized
     text (the cheap exact-dup key; rolling/simhash variants in dedup.py)."""

@@ -229,3 +229,27 @@ def test_customer_order_distribution(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_percentile_order_prices(spark):
+    """Interpolated percentiles (left the 50-entry gate for
+    repetition_signals_docs in r4): Spark `percentile` must equal DuckDB
+    `quantile_cont` exactly — both linear interpolation."""
+    import duckdb
+
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["priority"], r["median_price"], r["p90_price"], r["n"])
+        for r in driver_queries.percentile_order_prices(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.PERCENTILE_ORACLE).fetchall()
+    }
+    assert got == want
