@@ -21,7 +21,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "sessionize_events",
-    "rank_orders_per_customer",
+    "tfidf_top_terms_docs",
+    "decontaminate_docs",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -20,7 +20,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from granulate_char_ocr_spark.operators import dedup, similarity, textstats
+from granulate_char_ocr_spark.operators import (
+    curation,
+    dedup,
+    similarity,
+    textstats,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -140,14 +145,17 @@ def q3_top_revenue_orders(spark, sf_dir):
     )
 
 
-@q(
-    "agg_colsum_events",
-    """
+# (agg_colsum_events left the 50-entry gate window in r4 for the
+# curation family: the A2 multi-aggregate shape is a strict subset of
+# q1_pricing_summary's sum/avg/count block, and the exact parity stays
+# pinned by tests/test_plans.py against the oracle below.)
+AGG_COLSUM_ORACLE = """
     SELECT event_type, round(sum(value), 4) AS total_value,
            count(*) AS n_events, round(avg(value), 6) AS avg_value
     FROM events GROUP BY event_type
-    """,
-)
+    """
+
+
 def agg_colsum_events(spark, sf_dir):
     """The column-projection-sum analog (SURVEY §2.4 A2)."""
     return (
@@ -284,17 +292,21 @@ def semi_join_active_customers(spark, sf_dir):
     ).select("c_custkey", "c_acctbal")
 
 
-@q(
-    "rank_orders_per_customer",
-    """
+# (rank_orders_per_customer left the 50-entry gate window in r4 for the
+# curation family: W5 per-group top-k stays gate-visible via
+# q3_top_revenue_orders / ann_cosine_topk / tfidf_top_terms_docs, and the
+# exact window parity stays pinned by tests/test_plans.py against the
+# oracle below.)
+RANK_ORDERS_ORACLE = """
     SELECT custkey, orderkey, totalprice, rnk FROM (
       SELECT o_custkey AS custkey, o_orderkey AS orderkey,
              o_totalprice AS totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
       FROM orders) t WHERE rnk <= 3
-    """,
-)
+    """
+
+
 def rank_orders_per_customer(spark, sf_dir):
     """Per-group top-k ranking window (SURVEY §2.5 W5)."""
     o = _t(spark, sf_dir, "orders")
@@ -401,16 +413,19 @@ def sorted_unique_event_types(spark, sf_dir):
     )
 
 
-@q(
-    "mode_event_type_per_user",
-    """
+# (mode_event_type_per_user left the 50-entry gate window in r4 for the
+# curation family: the A12 grouped-mode/vote semantics stay gate-visible
+# via ocr_extract_noisy's pinned 'vote' method tier, and the exact parity
+# stays pinned by tests/test_plans.py against the oracle below.)
+MODE_EVENT_ORACLE = """
     SELECT user_id, event_type AS top_event FROM (
       SELECT user_id, event_type,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY count(*) DESC, event_type) AS rn
       FROM events GROUP BY user_id, event_type) t WHERE rn = 1
-    """,
-)
+    """
+
+
 def mode_event_type_per_user(spark, sf_dir):
     """Grouped mode with deterministic tie-break (SURVEY §2.4 A12)."""
     ev = _t(spark, sf_dir, "events")
@@ -477,13 +492,16 @@ def json_props_sum(spark, sf_dir):
     )
 
 
-@q(
-    "events_per_day",
-    """
+# (events_per_day left the 50-entry gate window in r4 for the curation
+# family: timestamp handling stays gate-visible via sessionize_events /
+# lag_event_deltas, and the date_trunc bucketing parity stays pinned by
+# tests/test_plans.py against the oracle below.)
+EVENTS_PER_DAY_ORACLE = """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
     FROM events GROUP BY 1
-    """,
-)
+    """
+
+
 def events_per_day(spark, sf_dir):
     """Date bucketing (SURVEY §2.8 F18 timestamps)."""
     ev = _t(spark, sf_dir, "events")
@@ -1173,6 +1191,167 @@ def repetition_signals_docs(spark, sf_dir):
     next to quality_score's length/stopword heuristics). One explode +
     doc_id-keyed aggregations, no UDF — operators/textstats.py."""
     return textstats.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+# The synthetic documents carry no real PII (letters-only word soup), so
+# the PII gate query injects a deterministic doc_id-derived suffix —
+# identical expression on both sides — into 2/3 of the docs before
+# redacting: the graded comparison then exercises nonzero match counts
+# AND untouched-text passthrough, not a vacuous zero-matches parity.
+_PII_INJECT = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text
+                ELSE text || ' contact user' || doc_id ||
+                     '@example.com or 10.' || (doc_id % 200) || '.4.' ||
+                     (doc_id % 250) || ' call 555-867-5309' END AS text
+    FROM documents
+"""
+
+
+@q(
+    "pii_redact_docs",
+    f"""
+    WITH injected AS ({_PII_INJECT})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+             AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+             AS BIGINT) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+             '<EMAIL>', 'g'),
+             '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+             '<IP>', 'g') AS redacted
+    FROM injected
+    """,
+)
+def pii_redact_docs(spark, sf_dir):
+    """PII scrub (emails/phones/IPv4 counted + masked — the C4/Dolma-
+    style publication pass) over documents with deterministically
+    injected PII (see _PII_INJECT rationale). Pure per-row projection,
+    no shuffle — operators/curation.py."""
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(d % 3 == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                "text",
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@example.com or 10."),
+                (d % 200).cast("string"),
+                F.lit(".4."),
+                (d % 250).cast("string"),
+                F.lit(" call 555-867-5309"),
+            )
+        )
+        .alias("text"),
+    )
+    return curation.pii_redact(injected)
+
+
+@q(
+    "decontaminate_docs",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT g.doc_id, count(*) AS n_shared
+      FROM grams g JOIN bench USING (g)
+      WHERE g.doc_id % 97 <> 0 GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared_grams,
+           CASE WHEN h.n_shared IS NOT NULL THEN 1 ELSE 0
+             END AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def decontaminate_docs(spark, sf_dir):
+    """Eval-set decontamination (GPT-3 §C style): flag corpus docs
+    sharing any word n-gram with the held-out benchmark slice
+    (doc_id % 97 — the driver table has no separate eval table, so a
+    deterministic slice plays that role). n=3 because the synthetic
+    vocab is tiny; real corpora use 8-13. Benchmark grams broadcast —
+    operators/curation.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+
+
+@q(
+    "pack_sequences_docs",
+    """
+    WITH sized AS (
+      SELECT doc_id, doc_id % 16 AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_before
+      FROM sized)
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(cum_before / 256.0) AS BIGINT) AS pack_id,
+           CAST(cum_before % 256 AS BIGINT) AS pack_offset
+    FROM packed
+    """,
+)
+def pack_sequences_docs(spark, sf_dir):
+    """GPT-style training-sequence packing: concat docs in doc_id order
+    per shard, slice into 256-token sequences, report each doc's pack
+    and offset. Shard-partitioned running-sum window (a global window
+    would serialize) — operators/curation.py."""
+    return curation.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=256, n_shards=16
+    )
+
+
+@q(
+    "tfidf_top_terms_docs",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words
+           WHERE term <> '' GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    r AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf / df.df DESC, tf.term) AS rnk
+      FROM tf JOIN df USING (term))
+    SELECT doc_id, term, tf, df, round(tf / df, 6) AS score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms_docs(spark, sf_dir):
+    """Per-doc top-5 keywords by tf/df (rank-equivalent to tf-idf for
+    any decreasing idf, exactly orderable across engines — see the
+    operator docstring). Vocabulary-sized df table broadcasts back —
+    operators/curation.py."""
+    return curation.tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), k=5
+    )
 
 
 # (fingerprint_docs was retired from the 50-entry gate window in r3 in

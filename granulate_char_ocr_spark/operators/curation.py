@@ -1,0 +1,172 @@
+"""Corpus-curation operators an LLM training-data pipeline runs after the
+text-analysis pass: PII redaction, benchmark decontamination, training-
+sequence packing, and TF-IDF keyword extraction. All pure column
+expressions (whole-stage codegen, no UDF anywhere), each with an exact
+DuckDB oracle in driver_queries.py.
+
+Regex dialect note (shared with textstats/html): every pattern stays in
+the common Java-regex / RE2 subset — character classes, bounded
+quantifiers, ``\\b`` word boundaries, no backreferences or lookaround —
+so Spark and the DuckDB oracle match identically on ASCII text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# PII patterns, applied in this order (emails first: their local parts can
+# contain digits and dots that the later numeric patterns must not see).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ipv4, redacted): count and mask the
+    three highest-frequency PII shapes (the C4/Dolma-style scrub pass that
+    precedes publication of any web-scale corpus). Counting happens on the
+    raw text; masking is a fixed email -> phone -> ipv4 cascade so the
+    numeric patterns never fire inside an address already masked.
+
+    Pure per-row projection — no shuffle at all, so the plan is identical
+    at any scale; the regexes stay in the Java/RE2 common subset (module
+    header) for oracle parity."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ipv4"),
+        redacted.alias("redacted"),
+    )
+
+
+def _distinct_word_grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g): each doc's DISTINCT space-joined word n-grams; docs
+    shorter than n tokens contribute no rows (empty-array explode)."""
+    grams = (
+        f"case when size(_toks) >= {n} then "
+        f"array_distinct(transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> array_join(slice(_toks, i, {n}), ' '))) "
+        f"else array() end"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("_toks"))
+        .select("doc_id", F.explode(F.expr(grams)).alias("g"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 3
+) -> DataFrame:
+    """(doc_id, n_shared_grams, contaminated): for every corpus document,
+    how many of its distinct word n-grams also occur anywhere in the
+    benchmark set — the GPT-3-style eval-decontamination test (Brown et
+    al. 2020 §C use 13-grams; n is a parameter because real corpora pick
+    8-13 while the tiny synthetic vocab here needs n=3 to produce hits).
+
+    Scale shape: the benchmark gram set is small by construction (eval
+    suites are KB-MB against a TB corpus), so it broadcasts; the corpus
+    side is one explode feeding a broadcast-hash semi-style join and a
+    doc_id-keyed count — no shuffle of corpus text, no all-pairs."""
+    bench_grams = _distinct_word_grams(benchmark, n).select("g").distinct()
+    hits = (
+        _distinct_word_grams(corpus, n)
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.when(F.col("n_shared_grams").isNotNull(), 1)
+            .otherwise(0)
+            .alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 256, n_shards: int = 16
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, pack_id, pack_offset): GPT-style
+    sequence packing — documents are concatenated in doc_id order and
+    sliced into fixed ``budget``-token training sequences, documents
+    straddling boundaries (the standard concat-then-chunk scheme; each
+    doc reports the pack and offset where it starts).
+
+    Packing is per shard (doc_id mod n_shards), which is both what real
+    pipelines do (each worker packs its own shard) and what keeps the
+    running-sum window partitioned — a global unpartitioned window would
+    serialize on one task at scale."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % n_shards).alias("shard"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor(F.col("cum_before") / budget).alias("pack_id"),
+            (F.col("cum_before") % budget).alias("pack_offset"),
+        )
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, term, tf, df, score, rnk): each document's top-k keyword
+    terms by tf/df — rank-equivalent to tf-idf for ANY strictly
+    decreasing idf(df), but exactly orderable across engines: two small-
+    integer ratios tf1/df1 vs tf2/df2 differ by at least 1/(df1*df2)
+    when they differ at all, far above double epsilon, so the float
+    ORDER BY is deterministic and identical in Spark and DuckDB (no
+    transcendental log in the sort key). Ties break on term asc.
+
+    Scale shape: one explode, a (doc_id, term) partial-aggregated count,
+    a document-frequency rollup whose output is vocabulary-sized (small
+    -> broadcast back), and a per-doc top-k window. The corpus never
+    self-joins."""
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("tf") / F.col("df")), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") / F.col("df"), 6).alias("score"),
+            "rnk",
+        )
+    )

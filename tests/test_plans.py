@@ -253,3 +253,87 @@ def test_percentile_order_prices(spark):
         for r in con.execute(driver_queries.PERCENTILE_ORACLE).fetchall()
     }
     assert got == want
+
+
+def _duck_events(sf):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    con.execute("SET TimeZone = 'UTC'")
+    return con
+
+
+def test_rank_orders_per_customer(spark):
+    """W5 per-group top-k (left the 50-entry gate for the curation family
+    in r4): checked against DuckDB via the retained oracle."""
+    import duckdb
+
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.rank_orders_per_customer(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.RANK_ORDERS_ORACLE).fetchall()
+    }
+    assert got == want
+
+
+def test_mode_event_type_per_user(spark):
+    """A12 grouped mode (left the 50-entry gate for the curation family
+    in r4): checked against DuckDB via the retained oracle."""
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.mode_event_type_per_user(spark, sf).collect()
+    }
+    con = _duck_events(sf)
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.MODE_EVENT_ORACLE).fetchall()
+    }
+    assert got == want
+
+
+def test_agg_colsum_events(spark):
+    """A2 multi-aggregate (left the 50-entry gate for the curation family
+    in r4): checked against DuckDB via the retained oracle."""
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.agg_colsum_events(spark, sf).collect()
+    }
+    con = _duck_events(sf)
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.AGG_COLSUM_ORACLE).fetchall()
+    }
+    assert got == want
+
+
+def test_events_per_day(spark):
+    """F18 date bucketing (left the 50-entry gate for the curation family
+    in r4): checked against DuckDB via the retained oracle."""
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["day"], r["n"])
+        for r in driver_queries.events_per_day(spark, sf).collect()
+    }
+    con = _duck_events(sf)
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.EVENTS_PER_DAY_ORACLE).fetchall()
+    }
+    assert got == want
