@@ -21,6 +21,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "sessionize_events",
+    "asof_last_purchase_events",
     "tfidf_top_terms_docs",
     "decontaminate_docs",
     "dedup_exact",

@@ -325,9 +325,11 @@ def rank_orders_per_customer(spark, sf_dir):
     )
 
 
-@q(
-    "lag_event_deltas",
-    """
+# (lag_event_deltas left the 50-entry gate window in r4 for the temporal
+# join family: lag() stays gate-visible in sessionize_events' own oracle,
+# and the exact parity stays pinned by tests/test_plans.py against the
+# oracle below.)
+LAG_DELTAS_ORACLE = """
     WITH d AS (
       SELECT event_type,
              epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_ms
@@ -335,8 +337,9 @@ def rank_orders_per_customer(spark, sf_dir):
     SELECT event_type, count(delta_ms) AS n_deltas,
            round(avg(delta_ms), 4) AS avg_delta_ms
     FROM d GROUP BY event_type
-    """,
-)
+    """
+
+
 def lag_event_deltas(spark, sf_dir):
     """lag/lead neighbor pass (SURVEY §2.5 W3, §2.3 J5)."""
     ev = _t(spark, sf_dir, "events").withColumn("ms", F.unix_millis(F.col("ts").cast("timestamp")))
@@ -438,9 +441,12 @@ def mode_event_type_per_user(spark, sf_dir):
     )
 
 
-@q(
-    "value_islands_per_user",
-    """
+# (value_islands_per_user left the 50-entry gate window in r4 for the
+# temporal join family: its lag -> change-flag -> grouped conditional-sum
+# shape stays gate-visible via sessionize_events, the running-sum window
+# via pack_sequences_docs, and the exact parity stays pinned by
+# tests/test_plans.py against the oracle below.)
+VALUE_ISLANDS_ORACLE = """
     WITH f AS (
       SELECT user_id, CASE WHEN value > 50 THEN 1 ELSE 0 END AS flag,
              lag(CASE WHEN value > 50 THEN 1 ELSE 0 END)
@@ -451,8 +457,9 @@ def mode_event_type_per_user(spark, sf_dir):
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_islands,
            CAST(sum(flag) AS BIGINT) AS n_above
     FROM f GROUP BY user_id
-    """,
-)
+    """
+
+
 def value_islands_per_user(spark, sf_dir):
     """Threshold run-length islands over an ordered stream — the projection
     segmentation (SURVEY §2.5 W1) as a relational window."""
@@ -1351,6 +1358,108 @@ def tfidf_top_terms_docs(spark, sf_dir):
     operators/curation.py."""
     return curation.tfidf_top_terms(
         _t(spark, sf_dir, "documents"), k=5
+    )
+
+
+@q(
+    "asof_last_purchase_events",
+    """
+    WITH v AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, epoch_ms(ts) AS pms, max(value) AS pvalue
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT v.event_id, v.user_id, v.ms,
+           p.pvalue AS purchase_value,
+           v.ms - p.pms AS ms_since_purchase
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND v.ms >= p.pms
+    """,
+)
+def asof_last_purchase_events(spark, sf_dir):
+    """As-of join (operators/temporal.py): each view event joined to the
+    same user's latest prior-or-equal purchase — the canonical trades-to-
+    quotes shape, against DuckDB's native ASOF JOIN. The purchase side is
+    pre-aggregated per (user, ms) so duplicate-timestamp winners are
+    deterministic on both engines. max(value) passes through raw (an
+    aggregate that returns a member value bit-exactly — no rounding)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ms"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ms")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    from granulate_char_ocr_spark.operators import temporal
+
+    return temporal.asof_join(
+        views, purchases, on="ms", by=["user_id"], values=["pvalue"]
+    ).select(
+        "event_id",
+        "user_id",
+        "ms",
+        F.col("pvalue_asof").alias("purchase_value"),
+        (F.col("ms") - F.col("ms_asof")).alias("ms_since_purchase"),
+    )
+
+
+@q(
+    "purchases_within_72h_events",
+    """
+    WITH v AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, epoch_ms(ts) AS pms
+          FROM events WHERE event_type = 'purchase')
+    SELECT v.event_id, v.user_id,
+           CAST(count(p.pms) AS BIGINT) AS n_purchases_72h
+    FROM v LEFT JOIN p
+      ON p.user_id = v.user_id
+     AND p.pms >= v.ms AND p.pms < v.ms + 259200000
+    GROUP BY 1, 2
+    """,
+)
+def purchases_within_72h_events(spark, sf_dir):
+    """Point-in-interval range join (operators/temporal.py): purchases
+    landing in each view's [ms, ms+72h) follow-window, counted per view
+    with zero-preserving left semantics. Bucket width = window length, so
+    each interval explodes to exactly 2 grid rows and the plan is a plain
+    equi-join + residual filter — the oracle is the naive non-equi join
+    DuckDB can afford at this scale."""
+    from granulate_char_ocr_spark.operators import temporal
+
+    window_ms = 72 * 3600 * 1000
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        F.col("ms").alias("start_ms"),
+        (F.col("ms") + window_ms).alias("end_ms"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ms").alias("pms")
+    )
+    counts = (
+        temporal.range_join(
+            purchases,
+            views,
+            point_on="pms",
+            start_on="start_ms",
+            end_on="end_ms",
+            by=["user_id"],
+            bucket_width=window_ms,
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    return views.join(counts, ["event_id", "user_id"], "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("_n", F.lit(0)).cast("bigint").alias("n_purchases_72h"),
     )
 
 

@@ -337,3 +337,39 @@ def test_events_per_day(spark):
         for r in con.execute(driver_queries.EVENTS_PER_DAY_ORACLE).fetchall()
     }
     assert got == want
+
+
+def test_lag_event_deltas(spark):
+    """W2 lag deltas (left the 50-entry gate for the temporal join family
+    in r4): checked against DuckDB via the retained oracle."""
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.lag_event_deltas(spark, sf).collect()
+    }
+    con = _duck_events(sf)
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.LAG_DELTAS_ORACLE).fetchall()
+    }
+    assert got == want
+
+
+def test_value_islands_per_user(spark):
+    """W1 threshold islands (left the 50-entry gate for the temporal join
+    family in r4): checked against DuckDB via the retained oracle."""
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.value_islands_per_user(spark, sf).collect()
+    }
+    con = _duck_events(sf)
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.VALUE_ISLANDS_ORACLE).fetchall()
+    }
+    assert got == want
