@@ -52,18 +52,12 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _distinct_word_grams(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, g): each doc's DISTINCT space-joined word n-grams; docs
-    shorter than n tokens contribute no rows (empty-array explode)."""
-    grams = (
-        f"case when size(_toks) >= {n} then "
-        f"array_distinct(transform(sequence(1, size(_toks) - {n - 1}), "
-        f"i -> array_join(slice(_toks, i, {n}), ' '))) "
-        f"else array() end"
-    )
-    return (
-        docs.select("doc_id", F.split("text", " ").alias("_toks"))
-        .select("doc_id", F.explode(F.expr(grams)).alias("g"))
-    )
+    """(doc_id, g): each doc's DISTINCT space-joined word n-grams —
+    dedup.shingles is exactly this extraction (same tokenization, in-row
+    distinct), reused so gram semantics live in one place."""
+    from granulate_char_ocr_spark.operators import dedup
+
+    return dedup.shingles(docs, n).withColumnRenamed("shingle", "g")
 
 
 def decontaminate(

@@ -43,18 +43,20 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle): distinct n-word shingles per document."""
+    """(doc_id, shingle): distinct n-word shingles per document. The
+    distinct happens IN-ROW (array_distinct before the explode), not as a
+    post-explode ``.distinct()`` — same rows for unique doc_ids, zero
+    shuffle. Docs shorter than n tokens contribute no rows."""
     toks = TOKENS()
     expr = (
         f"case when size(_toks) >= {n} then "
-        f"transform(sequence(0, size(_toks) - {n}), "
-        f"i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
+        f"array_distinct(transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))) "
         "else array() end"
     )
     return (
         docs.withColumn("_toks", toks)
         .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
-        .distinct()
     )
 
 

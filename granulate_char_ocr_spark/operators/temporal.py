@@ -52,6 +52,11 @@ def asof_join(
     duplicate (by, on) pairs, pre-aggregate it: which duplicate wins is
     otherwise plan-dependent (DuckDB's ASOF has the same caveat).
 
+    Null handling matches a relational equi-join: right rows with a null
+    ``by`` key are dropped up front (equality never matches null), so
+    null-keyed left rows come back unmatched rather than paired with each
+    other.
+
     Scale shape: unionByName (no shuffle) then ONE exchange on ``by``
     with an in-partition sort — no non-equi join anywhere, so this stays
     a hash-exchange + window at any size. Heavily skewed ``by`` keys
@@ -60,17 +65,32 @@ def asof_join(
         raise ValueError(f"direction must be backward/forward: {direction!r}")
     by, values = list(by), list(values)
     r_on = on + suffix
-    # left keeps every column; right contributes only key + axis + payload,
-    # renamed so the union never collides with left's columns
+    reserved = (
+        {"_is_left", "_asof_payload", r_on}
+        | {v + suffix for v in values}
+    )
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(f"left columns collide with asof outputs: {clash}")
+    if "_on" in values:
+        raise ValueError("'_on' is reserved inside the asof payload")
+
     tagged_l = left.withColumn("_is_left", F.lit(1))
-    tagged_r = right.select(
+    r_valid = right
+    for k in by:
+        r_valid = r_valid.where(F.col(k).isNotNull())
+    # the whole right row travels as ONE struct so a match is atomic: a
+    # null payload field in the latest matching row stays null instead of
+    # being backfilled from an older row (pandas merge_asof semantics)
+    tagged_r = r_valid.select(
         *by,
-        F.col(on).alias(r_on),
-        *[F.col(v).alias(v + suffix) for v in values],
+        F.struct(F.col(on).alias("_on"), *[F.col(v) for v in values]).alias(
+            "_asof_payload"
+        ),
     ).withColumn("_is_left", F.lit(0))
     both = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
 
-    axis = F.coalesce(F.col(on), F.col(r_on))
+    axis = F.coalesce(F.col(on), F.col("_asof_payload._on"))
     order = axis.asc() if direction == "backward" else axis.desc()
     # right rows sort before left rows at equal axis values -> inclusive
     w = (
@@ -78,15 +98,10 @@ def asof_join(
         .orderBy(order, F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = both.select(
-        "*",
-        *[
-            F.last(c + suffix, ignorenulls=True).over(w).alias("_c_" + c)
-            for c in values
-        ],
-        F.last(r_on, ignorenulls=True).over(w).alias("_c_on"),
+    carried = both.withColumn(
+        "_c", F.last("_asof_payload", ignorenulls=True).over(w)
     )
-    matched_on = F.col("_c_on")
+    matched_on = F.col("_c._on")
     in_tol = (
         F.lit(True)
         if tolerance is None
@@ -95,8 +110,8 @@ def asof_join(
     return carried.where(F.col("_is_left") == 1).select(
         *left.columns,
         *[
-            F.when(in_tol, F.col("_c_" + c)).alias(c + suffix)
-            for c in values
+            F.when(in_tol, F.col(f"_c.{v}")).alias(v + suffix)
+            for v in values
         ],
         F.when(in_tol, matched_on).alias(r_on),
     )
@@ -123,8 +138,12 @@ def range_join(
     is a plain equi-join on ``by`` + bucket that AQE can re-plan like any
     other, followed by the residual containment filter. Empty intervals
     (end <= start) vanish in the explode, matching the inner-join
-    contract."""
+    contract. Null ``by`` keys never match (plain equi-join semantics).
+    """
     by = list(by)
+    taken = {"_bucket"} & (set(points.columns) | set(intervals.columns))
+    if taken:
+        raise ValueError("inputs must not carry a '_bucket' column")
     grid = F.explode(
         F.sequence(
             F.floor(F.col(start_on) / bucket_width),

@@ -181,3 +181,61 @@ def test_asof_gate_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------- review-finding regressions
+
+
+def test_asof_null_payload_is_atomic(spark):
+    """A null payload field in the LATEST matching right row must come
+    through as null — not backfilled from an older right row (pandas
+    merge_asof / DuckDB ASOF semantics)."""
+    left = spark.createDataFrame([("A", 6)], "sym string, ms bigint")
+    right = spark.createDataFrame(
+        [("A", 3, 10.0), ("A", 5, None)], "sym string, ms bigint, px double"
+    )
+    [r] = temporal.asof_join(
+        left, right, on="ms", by=["sym"], values=["px"]
+    ).collect()
+    assert r["ms_asof"] == 5 and r["px_asof"] is None
+
+
+def test_asof_null_by_keys_never_match(spark):
+    """Equi-join semantics: null by-keys on either side never pair up."""
+    left = spark.createDataFrame(
+        [(1, None, 6), (2, "A", 6)], "id bigint, sym string, ms bigint"
+    )
+    right = spark.createDataFrame(
+        [(None, 3, 10.0), ("A", 4, 11.0)], "sym string, ms bigint, px double"
+    )
+    out = {
+        r["id"]: r["px_asof"]
+        for r in temporal.asof_join(
+            left, right, on="ms", by=["sym"], values=["px"]
+        ).collect()
+    }
+    assert out == {1: None, 2: 11.0}
+
+
+def test_asof_rejects_colliding_left_columns(spark, trades, quotes):
+    with pytest.raises(ValueError, match="collide"):
+        temporal.asof_join(
+            trades.withColumn("px_asof", F.lit(0.0)),
+            quotes,
+            on="ms",
+            by=["sym"],
+            values=["px"],
+        )
+
+
+def test_range_join_rejects_bucket_column(spark, points, intervals):
+    with pytest.raises(ValueError, match="_bucket"):
+        temporal.range_join(
+            points.withColumn("_bucket", F.lit(0)),
+            intervals,
+            "ms",
+            "lo",
+            "hi",
+            by=["sym"],
+            bucket_width=8,
+        )
