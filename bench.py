@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_ivf_multiprobe_topk",
+    "kmeans_assign_embeddings",
     "ocr_extract_compressed",
     "ocr_extract_noisy",
     "ocr_extract_multirow",

@@ -276,13 +276,17 @@ def anti_join_inactive_customers(spark, sf_dir):
     ).select("c_custkey", "c_name")
 
 
-@q(
-    "semi_join_active_customers",
-    """
+# (semi_join_active_customers left the 50-entry gate window in r4 for the
+# clustering family: membership semantics stay gate-visible via
+# anti_join_inactive_customers (the null-aware complement) and
+# decontaminate_docs' broadcast hit-join, and the exact left-semi parity
+# stays pinned by tests/test_plans.py against the oracle below.)
+SEMI_JOIN_ORACLE = """
     SELECT c_custkey, c_acctbal FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
+    """
+
+
 def semi_join_active_customers(spark, sf_dir):
     """Left-semi join (SURVEY §2.7 E3 membership)."""
     c = _t(spark, sf_dir, "customer")
@@ -1358,6 +1362,44 @@ def tfidf_top_terms_docs(spark, sf_dir):
     operators/curation.py."""
     return curation.tfidf_top_terms(
         _t(spark, sf_dir, "documents"), k=5
+    )
+
+
+@q(
+    "kmeans_assign_embeddings",
+    """
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE)
+                     - CAST(c.cv[i] AS DOUBLE)) ^ 2)) AS dist2
+      FROM embeddings e CROSS JOIN c
+    ),
+    r AS (SELECT vec_id, cid, dist2,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist2, cid) AS rn
+          FROM d)
+    SELECT vec_id, CAST(cid AS INT) AS cluster_id, round(dist2, 4) AS dist2
+    FROM r WHERE rn = 1
+    """,
+)
+def kmeans_assign_embeddings(spark, sf_dir):
+    """k-means assignment (operators/clustering.py): every embedding to
+    its nearest of 8 deterministic seed centroids (the 8 lowest vec_ids —
+    no RNG, so the oracle derives identical seeds). The Spark side is a
+    pure zero-shuffle projection (literal centroids, array_min argmin);
+    the oracle is the naive cross-join argmin DuckDB can afford at this
+    scale. dist2 rounded 4dp on both sides (sum fold order differs)."""
+    from granulate_char_ocr_spark.operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = clustering.seed_centroids(emb, 8)
+    return clustering.assign(emb, cent).select(
+        "vec_id", "cluster_id", F.round("dist2", 4).alias("dist2")
     )
 
 

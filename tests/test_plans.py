@@ -373,3 +373,25 @@ def test_value_islands_per_user(spark):
         for r in con.execute(driver_queries.VALUE_ISLANDS_ORACLE).fetchall()
     }
     assert got == want
+
+
+def test_semi_join_active_customers(spark):
+    """E3 left-semi join (left the 50-entry gate for the clustering family
+    in r4): checked against DuckDB via the retained oracle."""
+    import duckdb
+
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.semi_join_active_customers(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.SEMI_JOIN_ORACLE).fetchall()
+    }
+    assert got == want
