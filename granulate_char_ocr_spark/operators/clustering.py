@@ -88,10 +88,10 @@ def kmeans_fit(
             .groupBy("cluster_id", "dim")
             .agg(
                 F.avg(F.col("x").cast("double")).alias("mean_x"),
-                # dist2 is constant per vector; dividing the per-dim sum by
-                # the count recovers the plain per-cluster inertia share
+                # dist2 repeats once per exploded dim, so summing it per
+                # (cluster, dim) and reading only the dim==0 rows below
+                # yields each cluster's inertia exactly once
                 F.sum("dist2").alias("dist2_sum"),
-                F.count("*").alias("n"),
             )
             .collect()
         )
@@ -116,8 +116,13 @@ def semdedup(
     convention). The pairwise stage joins on cluster_id, so candidate
     pairs are cluster-local, not corpus-global."""
     cent, _ = kmeans_fit(emb, k=k, iters=iters)
-    a = similarity.with_norm(assign(emb, cent)).select(
-        "vec_id", "cluster_id", "embedding", "norm"
+    # the assignment projection feeds three plan branches (both self-join
+    # sides + the final keep-join): persist it so the corpus is scanned
+    # and the k-centroid argmin evaluated once, not three times
+    a = (
+        similarity.with_norm(assign(emb, cent))
+        .select("vec_id", "cluster_id", "embedding", "norm")
+        .persist()
     )
     l, r = a.alias("l"), a.alias("r")
     dropped = (

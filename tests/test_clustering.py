@@ -81,9 +81,8 @@ def test_semdedup_drops_near_duplicates(spark):
 
 def test_semdedup_pairwise_is_cluster_local(spark):
     emb = _emb(spark, [(i, [float(i), 1.0]) for i in range(6)])
-    # build the same dropped-side join and check it is an equi-join on
-    # cluster_id, not a nested-loop over all pairs
-    cent, _ = clustering.kmeans_fit(emb, k=2, iters=1)
+    # the dropped-side join must be an equi-join on cluster_id, not a
+    # nested loop over all pairs
     plan = (
         clustering.semdedup(emb, k=2, iters=1, threshold=0.999)
         ._jdf.queryExecution()
