@@ -130,6 +130,80 @@ def pack_sequences(
     )
 
 
+def chunk_lines(docs: DataFrame, words_per_line: int = 8) -> DataFrame:
+    """(doc_id, lines): deterministic fixed-width word chunks standing in
+    for newline-delimited lines (the driver corpus is single-line word
+    soup; real corpora split on '\\n' instead — only this helper changes).
+    The final chunk may be short; empty docs get an empty array."""
+    w = words_per_line
+    expr = (
+        f"transform(sequence(0, greatest(cast(ceil(size(_toks) / {w}.0) "
+        f"as int) - 1, 0)), i -> array_join(slice(_toks, i * {w} + 1, {w}), ' '))"
+    )
+    return docs.select(
+        "doc_id", F.split("text", " ").alias("_toks")
+    ).select("doc_id", F.expr(expr).alias("lines"))
+
+
+def dedup_boilerplate_lines(docs_lines: DataFrame, min_df: int = 2) -> DataFrame:
+    """(doc_id, n_lines, n_removed, clean_text): RefinedWeb/CCNet-style
+    line-level dedup — a line occurring in >= ``min_df`` DISTINCT documents
+    is boilerplate (nav menus, cookie banners, footers) and is removed from
+    every document, order of the surviving lines preserved. Input needs
+    (doc_id, lines array<string>); see chunk_lines.
+
+    Scale shape: per-doc-distinct explode -> line document-frequency (a
+    partial-aggregated groupBy whose output is vocabulary-of-lines-sized),
+    then posexplode + broadcast-sized hash anti-join against the boilerplate
+    set and one groupBy(doc_id) stitch (sort_array over (pos, line) structs)
+    to reassemble order — the same re-assembly pattern as the OCR span
+    stitch. No driver-side collect anywhere."""
+    per_doc = docs_lines.select(
+        "doc_id", F.explode(F.array_distinct("lines")).alias("line")
+    )
+    boiler = (
+        per_doc.groupBy("line")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("line")
+    )
+    pos = docs_lines.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.posexplode_outer("lines").alias("pos", "line"),
+    )
+    # marker left-join rather than anti-join: a fully-boilerplate document
+    # must still come out (n_removed == n_lines, empty text), and the
+    # posexplode_outer null row keeps empty-array docs alive too
+    marked = pos.join(
+        boiler.withColumn("_b", F.lit(1)), "line", "left"
+    )
+    keep_row = F.col("_b").isNull() & F.col("line").isNotNull()
+    return (
+        marked.groupBy("doc_id", "n_lines")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(keep_row, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.when(keep_row, 1)).alias("_n_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.col("_n_kept")).alias("n_removed"),
+            "clean_text",
+        )
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, term, tf, df, score, rnk): each document's top-k keyword
     terms by tf/df — rank-equivalent to tf-idf for ANY strictly
