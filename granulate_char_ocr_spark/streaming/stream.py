@@ -14,6 +14,8 @@ result history (last 50, ``useOCRStore.ts:27-33``). The honest Spark analog:
   for a batch-shaped corpus replayed as a stream).
 * ``keep_last_n``           — the bounded-history state (T3): last N results
   per key with ``applyInPandasWithState``.
+* ``interval_join_stream``  — watermark-bounded stream-stream time-interval
+  join, the streaming twin of operators/temporal.range_join.
 
 No watermark/event-time claims are made beyond what the reference has
 (none) — late data handling would be watermark + window once a true
@@ -97,6 +99,36 @@ def dedupe_stream(
     return spans.withWatermark(
         "event_time", watermark_delay
     ).dropDuplicatesWithinWatermark(keys or ["media_ref"])
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    on: str = "event_time",
+    window: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join of right rows landing inside each left
+    row's ``[on, on + window)`` follow-window on the same ``by`` key — the
+    streaming twin of operators/temporal.range_join. Spark's native
+    stream-stream join handles this directly: the time-range predicate
+    plus watermarks on BOTH sides is exactly what lets the engine bound
+    the join state (without the range condition, each side's state grows
+    forever). Output columns are prefixed l_/r_ so both event times
+    survive.
+
+    Input columns must not already be l_/r_-prefixed duplicates; both
+    sides need ``by`` + ``on``."""
+    l = left.withWatermark(on, watermark_delay).alias("l")
+    r = right.withWatermark(on, watermark_delay).alias("r")
+    cond = F.expr(
+        f"l.{by} = r.{by} AND r.{on} >= l.{on} "
+        f"AND r.{on} < l.{on} + interval {window}"
+    )
+    lcols = [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns]
+    rcols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]
+    return l.join(r, cond).select(*lcols, *rcols)
 
 
 LAST_N_STATE_SCHEMA = "texts array<string>"

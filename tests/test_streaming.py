@@ -212,3 +212,52 @@ def test_assemble_stream_foreachbatch(spark, tmp_path):
     [r] = rows
     assert [s["text"] for s in r["spans"]] == ["A", "B"]  # offset order
     assert [s["order"] for s in r["spans"]] == [0, 1]
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream time-interval join (the streaming twin of
+    temporal.range_join): replayed streams must produce exactly the pairs
+    the equivalent batch inequality join produces."""
+    lsrc, rsrc = str(tmp_path / "ij_l"), str(tmp_path / "ij_r")
+    views = [
+        (1, 7, "2026-01-01 00:00:00"),
+        (2, 7, "2026-01-01 01:30:00"),
+        (3, 8, "2026-01-01 00:10:00"),
+    ]
+    purchases = [
+        (10, 7, "2026-01-01 00:30:00"),  # inside view 1's hour
+        (11, 7, "2026-01-01 01:30:00"),  # == view 2 ts (inclusive start)
+        (12, 7, "2026-01-01 02:30:00"),  # == view 2 end (exclusive)
+        (13, 8, "2026-01-01 00:05:00"),  # before view 3 -> no match
+        (14, 9, "2026-01-01 00:20:00"),  # key absent on left
+    ]
+
+    def _write(rows, path):
+        spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, ts string"
+        ).withColumn("event_time", F.col("ts").cast("timestamp")).drop(
+            "ts"
+        ).write.mode("overwrite").parquet(path)
+
+    _write(views, lsrc)
+    _write(purchases, rsrc)
+    schema = "event_id bigint, user_id bigint, event_time timestamp"
+    joined = gstream.interval_join_stream(
+        spark.readStream.schema(schema).parquet(lsrc),
+        spark.readStream.schema(schema).parquet(rsrc),
+        by="user_id",
+        on="event_time",
+        window="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .start()
+    )
+    rows = _await_rows(
+        spark, q, "SELECT l_event_id, r_event_id FROM ij_out", 2
+    )
+    got = {(r["l_event_id"], r["r_event_id"]) for r in rows}
+    want = {(1, 10), (2, 11)}
+    assert got == want
