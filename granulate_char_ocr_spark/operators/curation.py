@@ -1,8 +1,10 @@
 """Corpus-curation operators an LLM training-data pipeline runs after the
 text-analysis pass: PII redaction, benchmark decontamination, training-
-sequence packing, and TF-IDF keyword extraction. All pure column
-expressions (whole-stage codegen, no UDF anywhere), each with an exact
-DuckDB oracle in driver_queries.py.
+sequence packing, TF-IDF keyword extraction, and boilerplate line dedup.
+All pure column expressions (whole-stage codegen, no UDF anywhere); the
+first four are graded at the gate with exact DuckDB oracles in
+driver_queries.py, the line dedup (the driver surface is capped at 50
+entries) is pinned against a DuckDB replica in tests/test_curation.py.
 
 Regex dialect note (shared with textstats/html): every pattern stays in
 the common Java-regex / RE2 subset — character classes, bounded
@@ -134,15 +136,23 @@ def chunk_lines(docs: DataFrame, words_per_line: int = 8) -> DataFrame:
     """(doc_id, lines): deterministic fixed-width word chunks standing in
     for newline-delimited lines (the driver corpus is single-line word
     soup; real corpora split on '\\n' instead — only this helper changes).
-    The final chunk may be short; empty docs get an empty array."""
+    The final chunk may be short; null/empty text gets an empty array
+    (split('') would otherwise yield [''], making '' a spurious
+    'boilerplate line' shared by every empty doc)."""
     w = words_per_line
-    expr = (
+    chunks = (
         f"transform(sequence(0, greatest(cast(ceil(size(_toks) / {w}.0) "
         f"as int) - 1, 0)), i -> array_join(slice(_toks, i * {w} + 1, {w}), ' '))"
     )
+    t = F.col("text")
     return docs.select(
-        "doc_id", F.split("text", " ").alias("_toks")
-    ).select("doc_id", F.expr(expr).alias("lines"))
+        "doc_id", "text", F.split("text", " ").alias("_toks")
+    ).select(
+        "doc_id",
+        F.when(t.isNull() | (t == ""), F.array().cast("array<string>"))
+        .otherwise(F.expr(chunks))
+        .alias("lines"),
+    )
 
 
 def dedup_boilerplate_lines(docs_lines: DataFrame, min_df: int = 2) -> DataFrame:
@@ -154,10 +164,11 @@ def dedup_boilerplate_lines(docs_lines: DataFrame, min_df: int = 2) -> DataFrame
 
     Scale shape: per-doc-distinct explode -> line document-frequency (a
     partial-aggregated groupBy whose output is vocabulary-of-lines-sized),
-    then posexplode + broadcast-sized hash anti-join against the boilerplate
-    set and one groupBy(doc_id) stitch (sort_array over (pos, line) structs)
-    to reassemble order — the same re-assembly pattern as the OCR span
-    stitch. No driver-side collect anywhere."""
+    then posexplode + an explicitly broadcast hash join against the
+    (vocabulary-of-boilerplate-sized) set and one groupBy(doc_id) stitch
+    (sort_array over (pos, line) structs) to reassemble order — the same
+    re-assembly pattern as the OCR span stitch. No driver-side collect
+    anywhere."""
     per_doc = docs_lines.select(
         "doc_id", F.explode(F.array_distinct("lines")).alias("line")
     )
@@ -176,7 +187,7 @@ def dedup_boilerplate_lines(docs_lines: DataFrame, min_df: int = 2) -> DataFrame
     # must still come out (n_removed == n_lines, empty text), and the
     # posexplode_outer null row keeps empty-array docs alive too
     marked = pos.join(
-        boiler.withColumn("_b", F.lit(1)), "line", "left"
+        F.broadcast(boiler.withColumn("_b", F.lit(1))), "line", "left"
     )
     keep_row = F.col("_b").isNull() & F.col("line").isNotNull()
     return (

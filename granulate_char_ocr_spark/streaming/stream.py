@@ -17,9 +17,11 @@ result history (last 50, ``useOCRStore.ts:27-33``). The honest Spark analog:
 * ``interval_join_stream``  — watermark-bounded stream-stream time-interval
   join, the streaming twin of operators/temporal.range_join.
 
-No watermark/event-time claims are made beyond what the reference has
-(none) — late data handling would be watermark + window once a true
-event-time source exists.
+The reference itself has no event-time semantics; the watermark-bearing
+operators here (``windowed_span_stats``, ``dedupe_stream``,
+``interval_join_stream``) are beyond-reference additions whose late-data
+contract is Spark's own: rows later than the watermark delay are dropped,
+and the watermark is what bounds window/dedup/join state.
 """
 
 from __future__ import annotations
@@ -122,9 +124,15 @@ def interval_join_stream(
     sides need ``by`` + ``on``."""
     l = left.withWatermark(on, watermark_delay).alias("l")
     r = right.withWatermark(on, watermark_delay).alias("r")
-    cond = F.expr(
-        f"l.{by} = r.{by} AND r.{on} >= l.{on} "
-        f"AND r.{on} < l.{on} + interval {window}"
+    # F.col with backticks (not raw SQL interpolation) so column names
+    # containing spaces/dots resolve instead of misparsing; only the
+    # interval literal goes through expr
+    lc = lambda c: F.col(f"l.`{c}`")
+    rc = lambda c: F.col(f"r.`{c}`")
+    cond = (
+        (lc(by) == rc(by))
+        & (rc(on) >= lc(on))
+        & (rc(on) < lc(on) + F.expr(f"interval {window}"))
     )
     lcols = [F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns]
     rcols = [F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns]

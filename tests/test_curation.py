@@ -248,13 +248,45 @@ def test_dedup_boilerplate_lines_semantics(spark):
     assert len(out) == 6
 
 
+def test_chunk_lines_empty_and_null_text(spark):
+    """Null/empty text yields an EMPTY lines array — split('') would give
+    [''], turning '' into a fake boilerplate line shared by every empty
+    doc and inflating n_removed."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, None)], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r["lines"]
+        for r in curation.chunk_lines(docs, 2).collect()
+    }
+    assert out[1] == ["a b", "c"]
+    assert out[2] == [] and out[3] == []
+    dedup = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"])
+        for r in curation.dedup_boilerplate_lines(
+            curation.chunk_lines(docs, 2), min_df=2
+        ).collect()
+    }
+    assert dedup[2] == (0, 0) and dedup[3] == (0, 0)
+
+
+def test_dedup_boilerplate_lines_broadcasts_boiler_set(spark):
+    plan = (
+        curation.dedup_boilerplate_lines(
+            _lines(spark, [(1, ["a", "b"]), (2, ["a"])]), min_df=2
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_dedup_boilerplate_lines_duckdb_parity(spark):
     """chunk_lines + dedup_boilerplate_lines over the real docs (with a
     deterministically injected banner line so removal is non-vacuous)
     must match a DuckDB replica exactly."""
     import duckdb
-
-    from pyspark.sql import functions as F
 
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet").select(
@@ -291,11 +323,13 @@ def test_dedup_boilerplate_lines_duckdb_parity(spark):
           FROM documents),
         l AS (
           SELECT doc_id,
-                 list_transform(
+                 CASE WHEN text IS NULL OR text = '' THEN []
+                 ELSE list_transform(
                    range(0, greatest(CAST(ceil(len(t) / 8.0) AS INT), 1)),
-                   i -> array_to_string(list_slice(t, i*8+1, i*8+8), ' ')
-                 ) AS lines
-          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM inj)),
+                   i -> array_to_string(list_slice(t, i*8+1, i*8+8), ' '))
+                 END AS lines
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+                FROM inj)),
         d AS (SELECT doc_id, unnest(list_distinct(lines)) AS line FROM l),
         b AS (SELECT line FROM d GROUP BY line HAVING count(*) >= 3),
         bl AS (SELECT coalesce(list(line), []) AS blist FROM b),

@@ -259,5 +259,28 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         spark, q, "SELECT l_event_id, r_event_id FROM ij_out", 2
     )
     got = {(r["l_event_id"], r["r_event_id"]) for r in rows}
-    want = {(1, 10), (2, 11)}
-    assert got == want
+    # the claimed equivalence: run the BATCH range join on the same rows
+    from granulate_char_ocr_spark.operators import temporal
+
+    ms = lambda p, c: spark.read.parquet(p).select(
+        F.col("event_id").alias(c),
+        "user_id",
+        F.unix_millis("event_time").alias(f"{c}_ms"),
+    )
+    w = 3600 * 1000
+    batch = temporal.range_join(
+        ms(rsrc, "r_id"),
+        ms(lsrc, "l_id").select(
+            "l_id",
+            "user_id",
+            F.col("l_id_ms").alias("lo"),
+            (F.col("l_id_ms") + w).alias("hi"),
+        ),
+        point_on="r_id_ms",
+        start_on="lo",
+        end_on="hi",
+        by=["user_id"],
+        bucket_width=w,
+    )
+    want = {(r["l_id"], r["r_id"]) for r in batch.collect()}
+    assert got == want == {(1, 10), (2, 11)}
