@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 def TOKENS():
@@ -343,4 +343,78 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hd: int = 2) -> Data
             "hd",
         )
         .distinct()
+    )
+
+
+def duplicated_passage_stats(docs: DataFrame, n: int = 20) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens, dup_fraction): the ExactSubstr /
+    RefinedWeb duplication metric — for each document, how many of its
+    tokens sit inside at least one n-token window that occurs MORE THAN
+    ONCE anywhere in the corpus (including elsewhere in the same doc).
+    Docs shorter than n tokens report 0. Lee et al. 2021 use suffix
+    arrays over the byte stream; the fixed-window formulation here is the
+    standard distributed approximation (windows, not arbitrary-length
+    substrings) and is exact for windows of length n.
+
+    Scale shape: every window occurrence (position kept, NOT distinct)
+    explodes once; the global occurrence count is a partial-aggregated
+    groupBy; the join back is gram-keyed (both sides big by nature — at
+    real scale key on xxhash64(gram) to shuffle 8-byte keys instead of
+    strings; the string key here keeps the DuckDB parity test exact).
+    Token coverage is a per-doc interval union done with ONE window pass:
+    sort duplicated windows by position and count only the part of each
+    [pos, pos+n) not already covered by the running max end."""
+    toks = TOKENS()
+    win = (
+        f"case when size(_toks) >= {n} then "
+        f"transform(sequence(0, size(_toks) - {n}), "
+        f"i -> struct(i as pos, concat_ws(' ', slice(_toks, i + 1, {n})) as g)) "
+        "else array() end"
+    )
+    grams = (
+        docs.withColumn("_toks", toks)
+        .select(
+            "doc_id",
+            F.size("_toks").alias("n_tokens"),
+            F.explode_outer(F.expr(win)).alias("w"),
+        )
+        .select("doc_id", "n_tokens", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+    )
+    dup_grams = (
+        grams.where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count("*").alias("occ"))
+        .where(F.col("occ") > 1)
+        .select("g")
+    )
+    hits = grams.join(dup_grams, "g").select("doc_id", "pos")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        hits.withColumn("prev_end", F.max(F.col("pos") + n).over(w))
+        .withColumn(
+            "new_cov",
+            F.greatest(
+                F.lit(0),
+                F.col("pos")
+                + n
+                - F.greatest(F.coalesce("prev_end", F.lit(0)), F.col("pos")),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("new_cov").alias("dup_tokens"))
+    )
+    base = grams.select("doc_id", "n_tokens").distinct()
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest("n_tokens", F.lit(1)),
+            6,
+        ).alias("dup_fraction"),
     )

@@ -225,3 +225,102 @@ def test_lang_id_mixed_language_fixture(spark):
     out = {r["doc_id"]: r["predicted_lang"] for r in textstats.lang_id(d).collect()}
     for i, expect, _ in sentences:
         assert out[i] == expect, (i, out[i], expect)
+
+
+# ------------------------------------------- duplicated-passage (ExactSubstr)
+
+
+def test_duplicated_passage_stats_semantics(spark):
+    from granulate_char_ocr_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the window 'a b c'; doc 1 also has it at
+            # two OVERLAPPING positions (a b c a b c -> windows at 0 and 3,
+            # plus 'b c a'/'c a b' which occur once each)
+            (1, "a b c a b c"),
+            (2, "x a b c y"),
+            (3, "p q r s t"),  # all windows unique -> 0
+            (4, "to sh"),  # shorter than n -> no windows, 0
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in dedup.duplicated_passage_stats(docs, n=3).collect()
+    }
+    # doc 1: 'a b c' at pos 0 and 3 -> union [0,3)+[3,6) = 6 of 6 tokens
+    assert out[1] == (6, 6, 1.0)
+    # doc 2: 'a b c' at pos 1 -> [1,4) = 3 of 5
+    assert out[2] == (5, 3, 0.6)
+    assert out[3] == (5, 0, 0.0)
+    assert out[4] == (2, 0, 0.0)
+    assert len(out) == 4  # every doc reported
+
+
+def test_duplicated_passage_overlap_not_double_counted(spark):
+    from granulate_char_ocr_spark.operators import dedup
+
+    # 'a a a a a' (n=3): windows 'a a a' at pos 0,1,2 all duplicated ->
+    # union [0,5) = 5, NOT 9
+    docs = spark.createDataFrame(
+        [(1, "a a a a a")], "doc_id bigint, text string"
+    )
+    [r] = dedup.duplicated_passage_stats(docs, n=3).collect()
+    assert (r["n_tokens"], r["dup_tokens"]) == (5, 5)
+
+
+def test_duplicated_passage_duckdb_parity(spark):
+    """Full replica over the real docs at n=3 (the tiny vocab makes
+    duplicated 3-grams common, so the metric is non-vacuous)."""
+    import duckdb
+
+    from granulate_char_ocr_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in dedup.duplicated_passage_stats(
+            spark.read.parquet(f"{sf}/documents.parquet"), n=3
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        gw AS (
+          SELECT doc_id, unnest(list_transform(
+              range(0, greatest(len(toks) - 2, 0)),
+              i -> {'pos': i,
+                    'g': array_to_string(list_slice(toks, i+1, i+3), ' ')}
+            )) AS w
+          FROM t),
+        g AS (SELECT doc_id, w['pos'] AS pos, w['g'] AS g FROM gw),
+        dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+        hits AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        cov AS (
+          SELECT doc_id, pos,
+                 greatest(0, pos + 3 - greatest(
+                   coalesce(max(pos + 3) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+                   pos)) AS new_cov
+          FROM hits),
+        c AS (SELECT doc_id, sum(new_cov) AS dup_tokens FROM cov GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+               CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               round(coalesce(c.dup_tokens, 0) /
+                     greatest(len(string_split(d.text, ' ')), 1), 6)
+        FROM documents d LEFT JOIN c USING (doc_id)
+        """
+        ).fetchall()
+    }
+    assert got == want
+    assert sum(v[1] for v in got.values()) > 0
