@@ -42,20 +42,28 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def _gram_windows_expr(n: int, with_pos: bool, distinct: bool) -> str:
+    """The one gram-builder both shingles() and duplicated_passage_stats()
+    share, so the gram space can never silently diverge between them:
+    n-token windows over ``_toks``, optionally positioned (struct(pos, g))
+    and optionally in-row-distinct; docs shorter than n yield array()."""
+    inner = f"concat_ws(' ', slice(_toks, i + 1, {n}))"
+    if with_pos:
+        inner = f"struct(i as pos, {inner} as g)"
+    body = f"transform(sequence(0, size(_toks) - {n}), i -> {inner})"
+    if distinct:
+        body = f"array_distinct({body})"
+    return f"case when size(_toks) >= {n} then {body} else array() end"
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle): distinct n-word shingles per document. The
     distinct happens IN-ROW (array_distinct before the explode), not as a
     post-explode ``.distinct()`` — same rows for unique doc_ids, zero
     shuffle. Docs shorter than n tokens contribute no rows."""
-    toks = TOKENS()
-    expr = (
-        f"case when size(_toks) >= {n} then "
-        f"array_distinct(transform(sequence(0, size(_toks) - {n}), "
-        f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))) "
-        "else array() end"
-    )
+    expr = _gram_windows_expr(n, with_pos=False, distinct=True)
     return (
-        docs.withColumn("_toks", toks)
+        docs.withColumn("_toks", TOKENS())
         .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
     )
 
@@ -364,25 +372,14 @@ def duplicated_passage_stats(docs: DataFrame, n: int = 20) -> DataFrame:
     Token coverage is a per-doc interval union done with ONE window pass:
     sort duplicated windows by position and count only the part of each
     [pos, pos+n) not already covered by the running max end."""
-    toks = TOKENS()
-    win = (
-        f"case when size(_toks) >= {n} then "
-        f"transform(sequence(0, size(_toks) - {n}), "
-        f"i -> struct(i as pos, concat_ws(' ', slice(_toks, i + 1, {n})) as g)) "
-        "else array() end"
-    )
+    win = _gram_windows_expr(n, with_pos=True, distinct=False)
     grams = (
-        docs.withColumn("_toks", toks)
-        .select(
-            "doc_id",
-            F.size("_toks").alias("n_tokens"),
-            F.explode_outer(F.expr(win)).alias("w"),
-        )
-        .select("doc_id", "n_tokens", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+        docs.withColumn("_toks", TOKENS())
+        .select("doc_id", F.explode(F.expr(win)).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
     )
     dup_grams = (
-        grams.where(F.col("g").isNotNull())
-        .groupBy("g")
+        grams.groupBy("g")
         .agg(F.count("*").alias("occ"))
         .where(F.col("occ") > 1)
         .select("g")
@@ -407,7 +404,10 @@ def duplicated_passage_stats(docs: DataFrame, n: int = 20) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("new_cov").alias("dup_tokens"))
     )
-    base = grams.select("doc_id", "n_tokens").distinct()
+    # per-doc token counts come straight off docs (narrow map) — deriving
+    # them from grams would re-run the window explosion plus a corpus-wide
+    # distinct shuffle for a value docs already holds
+    base = docs.select("doc_id", F.size(TOKENS()).alias("n_tokens"))
     return base.join(covered, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
