@@ -324,3 +324,90 @@ def test_duplicated_passage_duckdb_parity(spark):
     }
     assert got == want
     assert sum(v[1] for v in got.values()) > 0
+
+
+# ----------------------------------------------- temperature resampling
+
+
+def test_temperature_resample_rebalances(spark):
+    from granulate_char_ocr_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    before = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    out = temperature_resample(docs, "doc_id", "lang", alpha=0.5)
+    rates = {
+        r["lang"]: r["rate"] for r in out.select("lang", "rate").distinct().collect()
+    }
+    after = {
+        r["lang"]: r["count"]
+        for r in out.groupBy("lang").count().collect()
+    }
+    smallest = min(before, key=before.get)
+    # the smallest stratum is kept whole (rate 1.0), dominant strata cut
+    assert rates[smallest] == 1.0
+    assert after[smallest] == before[smallest]
+    for lang, c in before.items():
+        if lang != smallest:
+            assert rates[lang] < 1.0
+    # kept fraction tracks the rate (binomial tolerance on small strata)
+    for lang, r in rates.items():
+        frac = after.get(lang, 0) / before[lang]
+        assert abs(frac - r) < 0.25, (lang, frac, r)
+
+
+def test_temperature_resample_alpha_one_keeps_everything(spark):
+    from granulate_char_ocr_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = temperature_resample(docs, "doc_id", "lang", alpha=1.0)
+    # alpha=1: every weight is count^0 = 1 -> rate 1.0 -> natural dist
+    assert out.count() == docs.count()
+
+
+def test_temperature_resample_duckdb_parity(spark):
+    import duckdb
+
+    from granulate_char_ocr_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_id"], r["lang"], r["rate"])
+        for r in temperature_resample(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            "doc_id",
+            "lang",
+            alpha=0.5,
+        )
+        .select("doc_id", "lang", "rate")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            """
+        WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        w AS (SELECT lang, power(c, -0.5) AS w FROM c),
+        r AS (SELECT lang, round(w / (SELECT max(w) FROM w), 9) AS rate
+              FROM w)
+        SELECT d.doc_id, d.lang, r.rate
+        FROM documents d JOIN r USING (lang)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0 < r.rate
+        """
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) > 0
