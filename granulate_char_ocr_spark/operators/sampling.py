@@ -16,13 +16,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _draw32(key: Column) -> Column:
+    """The module's ONE portability-critical primitive: a uniform 32-bit
+    integer draw from the row key (first 8 md5 hex digits — bit-identical
+    in Spark and DuckDB). Every sampling decision derives from it."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
 def _bucket(key: Column) -> Column:
     """Uniform, engine-portable 0-99 bucket from the row key."""
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    return _draw32(key) % 100
 
 
 def hash_sample(df: DataFrame, key_col: str, pct: int) -> DataFrame:
@@ -59,11 +64,17 @@ def temperature_resample(
     whole). Output adds a ``rate`` column (rounded 9dp so the pow/division
     result is engine-portable).
 
+    A NULL stratum is a stratum like any other (counted, weighted, and
+    matched null-safely), not silently dropped.
+
     Deterministic like everything in this module: the per-row draw is the
-    md5 32-bit bucket mapped to [0,1), so retries and other engines keep
-    the same rows. Scale shape: stratum counts and the max weight are two
-    tiny aggregates broadcast back; the corpus itself is one filter pass.
+    same md5 32-bit primitive (_draw32) the other ops use, mapped to
+    [0,1), so retries and other engines keep the same rows. Scale shape:
+    stratum counts and the max weight are two tiny aggregates broadcast
+    back; the corpus itself is one filter pass.
     """
+    if "rate" in df.columns:
+        raise ValueError("input already has a 'rate' column (the output name)")
     counts = df.groupBy(strata_col).agg(F.count("*").alias("_c"))
     weights = counts.select(
         strata_col, F.pow(F.col("_c").cast("double"), alpha - 1).alias("_w")
@@ -72,13 +83,16 @@ def temperature_resample(
     rates = (
         weights.crossJoin(F.broadcast(wmax))
         .select(
-            strata_col,
+            F.col(strata_col).alias("_strata"),
             F.round(F.col("_w") / F.col("_wmax"), 9).alias("rate"),
         )
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(4294967296.0)
+    u = _draw32(F.col(key_col)).cast("double") / F.lit(4294967296.0)
+    return (
+        df.join(
+            F.broadcast(rates),
+            F.col(strata_col).eqNullSafe(F.col("_strata")),
+        )
+        .drop("_strata")
+        .filter(u < F.col("rate"))
     )
-    return df.join(F.broadcast(rates), strata_col).filter(u < F.col("rate"))

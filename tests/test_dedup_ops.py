@@ -411,3 +411,28 @@ def test_temperature_resample_duckdb_parity(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_temperature_resample_null_stratum_and_guards(spark):
+    from granulate_char_ocr_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, None if i < 3 else "en") for i in range(100)],
+        "doc_id bigint, lang string",
+    )
+    out = temperature_resample(docs, "doc_id", "lang", alpha=0.5)
+    rates = {
+        r["lang"]: r["rate"]
+        for r in out.select("lang", "rate").distinct().collect()
+    }
+    # NULL is the smallest stratum: kept whole, rows NOT dropped
+    assert rates[None] == 1.0
+    assert out.where(F.col("lang").isNull()).count() == 3
+    assert rates["en"] < 1.0
+    # output-name collision raises instead of producing an ambiguous plan
+    with pytest.raises(ValueError, match="rate"):
+        temperature_resample(
+            docs.withColumn("rate", F.lit(0.0)), "doc_id", "lang"
+        )
