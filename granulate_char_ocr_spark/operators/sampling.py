@@ -96,3 +96,111 @@ def temperature_resample(
         .drop("_strata")
         .filter(u < F.col("rate"))
     )
+
+
+def _hashed_grams(
+    df: DataFrame, key_col: str, text_col: str, buckets: int
+) -> DataFrame:
+    """(key, bucket): one row per unigram/bigram OCCURRENCE (counts matter
+    for DSIR's bag model), each hashed into ``buckets`` via _draw32."""
+    toks = f"split({text_col}, ' ')"
+    bigrams = (
+        f"case when size({toks}) >= 2 then "
+        f"transform(sequence(0, size({toks}) - 2), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, 2))) "
+        "else array() end"
+    )
+    return (
+        df.select(
+            key_col,
+            F.explode(F.expr(f"concat({toks}, {bigrams})")).alias("_g"),
+        )
+        .where(F.length("_g") > 0)
+        .select(key_col, (_draw32(F.col("_g")) % buckets).alias("bucket"))
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """(key, n_grams, log_weight): DSIR importance weights (Xie et al.
+    2023, 'Data Selection for Language Models via Importance Resampling').
+    Bag-of-hashed-ngrams generative models (unigram + bigram occurrences
+    hashed into ``buckets`` buckets, add-one smoothing) are fit on the
+    target and raw corpora; a raw document's log importance weight is the
+    sum over its gram occurrences of ln p_target(bucket)/p_raw(bucket)
+    (rounded 6dp). Docs with no grams weigh 0.0.
+
+    Scale shape: both models are AT MOST ``buckets`` rows regardless of
+    corpus size (partial-aggregated counts), so the model join broadcasts;
+    scoring is one gram explosion whose per-doc sum collapses map-side.
+    The raw corpus itself is never shuffled at full width."""
+    g_raw = _hashed_grams(raw, key_col, text_col, buckets)
+    ct = _hashed_grams(target, key_col, text_col, buckets).groupBy(
+        "bucket"
+    ).agg(F.count("*").alias("_ct"))
+    cr = g_raw.groupBy("bucket").agg(F.count("*").alias("_cr"))
+    model = (
+        ct.join(cr, "bucket", "full_outer")
+        .crossJoin(F.broadcast(ct.agg(F.sum("_ct").alias("_nt"))))
+        .crossJoin(F.broadcast(cr.agg(F.sum("_cr").alias("_nr"))))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("_ct", F.lit(0)) + 1)
+                    / (F.col("_nt") + buckets)
+                )
+                - F.log(
+                    (F.coalesce("_cr", F.lit(0)) + 1)
+                    / (F.col("_nr") + buckets)
+                )
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        g_raw.join(F.broadcast(model), "bucket")
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.sum("_lr"), 6).alias("log_weight"),
+        )
+    )
+    return raw.select(key_col).join(scored, key_col, "left").select(
+        key_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """The resampling half of DSIR: Gumbel-top-k sampling WITHOUT
+    replacement, proportional to the importance weight — sample_key =
+    log_weight + Gumbel(0,1), keep the k largest. The Gumbel draw is
+    deterministic from the row key (u = (_draw32 + 0.5) / 2^32,
+    g = -ln(-ln(u))), so retries and other engines select the same rows.
+    Returns the selected ``raw`` rows plus (n_grams, log_weight,
+    sample_key). The global top-k is a TakeOrderedAndProject — no full
+    sort is materialized."""
+    w = dsir_weights(raw, target, key_col, text_col, buckets)
+    u = (_draw32(F.col(key_col)) + 0.5) / F.lit(4294967296.0)
+    return (
+        raw.join(w, key_col)
+        .withColumn(
+            "sample_key",
+            F.round(F.col("log_weight") - F.log(-F.log(u)), 6),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col(key_col))
+        .limit(k)
+    )

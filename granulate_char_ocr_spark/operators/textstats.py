@@ -397,3 +397,94 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
         .withColumn("_hashes", F.expr(hashes))
         .select("doc_id", F.explode(F.expr(wins)).alias("fp"))
     )
+
+
+def charlm_perplexity(docs: DataFrame, ref: DataFrame | None = None) -> DataFrame:
+    """(doc_id, n_grams, perplexity): CCNet-style language-model quality
+    scoring (Wenzek et al. 2020, 'CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data'). CCNet scores each document
+    with a KenLM trained on Wikipedia and keeps the low-perplexity head;
+    the engine-portable stand-in here is a character-trigram LM with
+    add-one smoothing, trained on ``ref`` (default: the corpus itself) and
+    evaluated on every document: perplexity = exp(-mean ln P(c3 | c1 c2))
+    over the trigrams of the [a-z ]-normalized text. Documents with fewer
+    than 3 normalized characters score NULL (n_grams = 0).
+
+    Scale shape: the model is AT MOST 27^3 rows regardless of corpus size
+    (one gram explosion + partial-aggregated count), so both model joins
+    broadcast; scoring is one gram explosion with the per-doc re-aggregate
+    collapsing map-side (exploded grams stay co-partitioned with their
+    doc). Nothing shuffles at corpus width."""
+    V = 27  # |a-z| + space: the add-one smoothing vocabulary
+
+    def grams(df: DataFrame) -> DataFrame:
+        norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
+        return df.withColumn("_norm", norm).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "case when length(_norm) >= 3 then "
+                    "transform(sequence(1, length(_norm) - 2), "
+                    "i -> substring(_norm, i, 3)) else array() end"
+                )
+            ).alias("tri"),
+        )
+
+    tri_counts = (
+        grams(ref if ref is not None else docs)
+        .groupBy("tri")
+        .agg(F.count("*").alias("c3"))
+    )
+    ctx_counts = tri_counts.groupBy(
+        F.substring("tri", 1, 2).alias("_ctx")
+    ).agg(F.sum("c3").alias("c2"))
+    scored = (
+        grams(docs)
+        .withColumn("_ctx", F.substring("tri", 1, 2))
+        .join(F.broadcast(tri_counts), "tri", "left")
+        .join(F.broadcast(ctx_counts), "_ctx", "left")
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.coalesce("c3", F.lit(0)) + 1)
+                / (F.coalesce("c2", F.lit(0)) + V)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.exp(-F.avg("_lp")), 4).alias("perplexity"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        "perplexity",
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame, ref: DataFrame | None = None, by: str = "lang"
+) -> DataFrame:
+    """(doc_id, <by>, perplexity, bucket): CCNet's head/middle/tail split —
+    perplexity terciles within each ``by`` group (per-language in CCNet),
+    'head' being the cleanest third. Deterministic tie-break on doc_id;
+    unscorable docs (NULL perplexity) sort last, into 'tail'."""
+    from pyspark.sql import Window
+
+    scored = charlm_perplexity(docs, ref).join(
+        docs.select("doc_id", by), "doc_id"
+    )
+    t = F.ntile(3).over(
+        Window.partitionBy(by).orderBy(
+            F.col("perplexity").asc_nulls_last(), "doc_id"
+        )
+    )
+    return scored.select(
+        "doc_id",
+        by,
+        "perplexity",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), t
+        ).alias("bucket"),
+    )

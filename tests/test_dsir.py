@@ -1,0 +1,125 @@
+"""DSIR importance weighting + Gumbel-top-k selection
+(operators/sampling.py) — semantics and exact DuckDB parity."""
+
+from granulate_char_ocr_spark.operators.sampling import (
+    dsir_select,
+    dsir_weights,
+)
+
+_DSIR_GRAMS_SQL = """
+    SELECT doc_id,
+           ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS bucket
+    FROM (SELECT doc_id,
+            unnest(list_concat(toks,
+              CASE WHEN len(toks) >= 2 THEN
+                list_transform(range(0, len(toks) - 1),
+                  i -> array_to_string(list_slice(toks, i+1, i+2), ' '))
+              ELSE [] END)) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}))
+    WHERE len(g) > 0
+"""
+
+_DSIR_WEIGHTS_SQL = f"""
+    WITH gr AS ({_DSIR_GRAMS_SQL.format(src="documents")}),
+    gt AS ({_DSIR_GRAMS_SQL.format(src="tgt")}),
+    ct AS (SELECT bucket, count(*) AS ct FROM gt GROUP BY 1),
+    cr AS (SELECT bucket, count(*) AS cr FROM gr GROUP BY 1),
+    m AS (SELECT bucket,
+            ln((coalesce(ct, 0) + 1) /
+               ((SELECT sum(ct) FROM ct) + 1024))
+          - ln((coalesce(cr, 0) + 1) /
+               ((SELECT sum(cr) FROM cr) + 1024)) AS lr
+          FROM ct FULL OUTER JOIN cr USING (bucket)),
+    s AS (SELECT gr.doc_id, count(*) AS n_grams,
+                 round(sum(lr), 6) AS log_weight
+          FROM gr JOIN m USING (bucket) GROUP BY 1)
+"""
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    target = spark.createDataFrame(
+        [(100 + i, "cats and dogs play in the garden all day") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "cats and dogs play in the garden"),
+            (2, "dogs play with cats in the garden"),
+            (3, "quarterly revenue projections exceeded forecast targets"),
+            (4, "tensor kernel scheduler latency regression benchmark"),
+        ],
+        "doc_id bigint, text string",
+    )
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(raw, target).collect()
+    }
+    assert min(w[1], w[2]) > max(w[3], w[4])
+    # Gumbel top-2 picks the two target-like docs (weights dominate noise)
+    picked = {r["doc_id"] for r in dsir_select(raw, target, k=2).collect()}
+    assert picked == {1, 2}
+
+
+def test_dsir_weights_duckdb_parity(spark):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    target = docs.where("lang = 'en'")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in dsir_weights(docs, target).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    con.execute("CREATE VIEW tgt AS SELECT * FROM documents WHERE lang = 'en'")
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            _DSIR_WEIGHTS_SQL
+            + """
+        SELECT d.doc_id, CAST(coalesce(s.n_grams, 0) AS BIGINT),
+               coalesce(s.log_weight, 0.0)
+        FROM documents d LEFT JOIN s USING (doc_id)
+        """
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) == docs.count()
+
+
+def test_dsir_select_duckdb_parity(spark):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    target = docs.where("lang = 'en'")
+    got = [
+        (r["doc_id"], r["sample_key"])
+        for r in dsir_select(docs, target, k=50).collect()
+    ]
+    # result arrives in selection order (sort + limit)
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    con.execute("CREATE VIEW tgt AS SELECT * FROM documents WHERE lang = 'en'")
+    want = [
+        (r[0], r[1])
+        for r in con.execute(
+            _DSIR_WEIGHTS_SQL
+            + """
+        SELECT d.doc_id,
+               round(coalesce(s.log_weight, 0.0) - ln(-ln(
+                 (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT + 0.5) / 4294967296.0)), 6) AS sample_key
+        FROM documents d JOIN s USING (doc_id)
+        ORDER BY sample_key DESC, d.doc_id
+        LIMIT 50
+        """
+        ).fetchall()
+    ]
+    assert got == want
