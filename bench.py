@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "mm_audio_features",
     "quality_score_docs",
     "repetition_signals_docs",
+    "charlm_perplexity_docs",
+    "dsir_select_docs",
     "html_extract_docs",
     "pdf_extract_docs",
     "winnow_fingerprints_docs",

@@ -12,7 +12,7 @@ DuckDB); the first 8 hex digits give a uniform 32-bit draw.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -144,23 +144,22 @@ def dsir_weights(
         "bucket"
     ).agg(F.count("*").alias("_ct"))
     cr = g_raw.groupBy("bucket").agg(F.count("*").alias("_cr"))
-    model = (
-        ct.join(cr, "bucket", "full_outer")
-        .crossJoin(F.broadcast(ct.agg(F.sum("_ct").alias("_nt"))))
-        .crossJoin(F.broadcast(cr.agg(F.sum("_cr").alias("_nr"))))
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce("_ct", F.lit(0)) + 1)
-                    / (F.col("_nt") + buckets)
-                )
-                - F.log(
-                    (F.coalesce("_cr", F.lit(0)) + 1)
-                    / (F.col("_nr") + buckets)
-                )
-            ).alias("_lr"),
-        )
+    # corpus-total gram counts as empty-partition window sums over the
+    # joined model (<= buckets rows, each bucket once — a single-partition
+    # window over a model-sized frame, NOT a nested-loop scalar cross-join)
+    w_all = Window.partitionBy()
+    model = ct.join(cr, "bucket", "full_outer").select(
+        "bucket",
+        (
+            F.log(
+                (F.coalesce("_ct", F.lit(0)) + 1)
+                / (F.sum("_ct").over(w_all) + buckets)
+            )
+            - F.log(
+                (F.coalesce("_cr", F.lit(0)) + 1)
+                / (F.sum("_cr").over(w_all) + buckets)
+            )
+        ).alias("_lr"),
     )
     scored = (
         g_raw.join(F.broadcast(model), "bucket")

@@ -321,6 +321,47 @@ def test_agg_colsum_events(spark):
     assert got == want
 
 
+def test_json_props_sum(spark):
+    """JSON-path extraction sum (left the 50-entry gate for the quality-LM
+    family in r4): checked against DuckDB via the retained oracle."""
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.json_props_sum(spark, sf).collect()
+    }
+    con = _duck_events(sf)
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.JSON_PROPS_ORACLE).fetchall()
+    }
+    assert got == want
+
+
+def test_rollup_order_priority(spark):
+    """ROLLUP grouping sets (left the 50-entry gate for the quality-LM
+    family in r4): checked against DuckDB via the retained oracle."""
+    import duckdb
+
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.rollup_order_priority(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    want = {
+        tuple(r)
+        for r in con.execute(
+            driver_queries.ROLLUP_PRIORITY_ORACLE
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_events_per_day(spark):
     """F18 date bucketing (left the 50-entry gate for the curation family
     in r4): checked against DuckDB via the retained oracle."""
