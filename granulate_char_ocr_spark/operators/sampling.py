@@ -102,18 +102,18 @@ def _hashed_grams(
     df: DataFrame, key_col: str, text_col: str, buckets: int
 ) -> DataFrame:
     """(key, bucket): one row per unigram/bigram OCCURRENCE (counts matter
-    for DSIR's bag model), each hashed into ``buckets`` via _draw32."""
-    toks = f"split({text_col}, ' ')"
-    bigrams = (
-        f"case when size({toks}) >= 2 then "
-        f"transform(sequence(0, size({toks}) - 2), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, 2))) "
-        "else array() end"
-    )
+    for DSIR's bag model), each hashed into ``buckets`` via _draw32. The
+    gram windows come from dedup's shared builder so DSIR's gram space can
+    never silently diverge from the dedup/decontamination one."""
+    from granulate_char_ocr_spark.operators.dedup import _gram_windows_expr
+
+    uni = _gram_windows_expr(1, with_pos=False, distinct=False)
+    bi = _gram_windows_expr(2, with_pos=False, distinct=False)
     return (
-        df.select(
+        df.withColumn("_toks", F.split(F.col(text_col), " "))
+        .select(
             key_col,
-            F.explode(F.expr(f"concat({toks}, {bigrams})")).alias("_g"),
+            F.explode(F.expr(f"concat({uni}, {bi})")).alias("_g"),
         )
         .where(F.length("_g") > 0)
         .select(key_col, (_draw32(F.col("_g")) % buckets).alias("bucket"))

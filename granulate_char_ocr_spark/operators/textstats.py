@@ -469,7 +469,10 @@ def perplexity_buckets(
     """(doc_id, <by>, perplexity, bucket): CCNet's head/middle/tail split —
     perplexity terciles within each ``by`` group (per-language in CCNet),
     'head' being the cleanest third. Deterministic tie-break on doc_id;
-    unscorable docs (NULL perplexity) sort last, into 'tail'."""
+    unscorable docs (NULL perplexity) sort last. Note ntile splits by ROW
+    COUNT, not value: NULLs land in 'tail' only while they are fewer than
+    a third of their group (true of any real corpus; in a 3-doc group with
+    2 unscorable docs, one of them would be bucketed 'middle')."""
     from pyspark.sql import Window
 
     scored = charlm_perplexity(docs, ref).join(

@@ -1,23 +1,11 @@
 """DSIR importance weighting + Gumbel-top-k selection
 (operators/sampling.py) — semantics and exact DuckDB parity."""
 
+from granulate_char_ocr_spark.driver_queries import _DSIR_GRAMS_SQL
 from granulate_char_ocr_spark.operators.sampling import (
     dsir_select,
     dsir_weights,
 )
-
-_DSIR_GRAMS_SQL = """
-    SELECT doc_id,
-           ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS bucket
-    FROM (SELECT doc_id,
-            unnest(list_concat(toks,
-              CASE WHEN len(toks) >= 2 THEN
-                list_transform(range(0, len(toks) - 1),
-                  i -> array_to_string(list_slice(toks, i+1, i+2), ' '))
-              ELSE [] END)) AS g
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}))
-    WHERE len(g) > 0
-"""
 
 _DSIR_WEIGHTS_SQL = f"""
     WITH gr AS ({_DSIR_GRAMS_SQL.format(src="documents")}),
@@ -116,7 +104,7 @@ def test_dsir_select_duckdb_parity(spark):
                round(coalesce(s.log_weight, 0.0) - ln(-ln(
                  (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                     ::BIGINT + 0.5) / 4294967296.0)), 6) AS sample_key
-        FROM documents d JOIN s USING (doc_id)
+        FROM documents d LEFT JOIN s USING (doc_id)
         ORDER BY sample_key DESC, d.doc_id
         LIMIT 50
         """
