@@ -106,11 +106,13 @@ def _hashed_grams(
     gram windows come from dedup's shared builder so DSIR's gram space can
     never silently diverge from the dedup/decontamination one."""
     from granulate_char_ocr_spark.operators.dedup import _gram_windows_expr
+    from granulate_char_ocr_spark.operators.skew import widen_narrow_scan
 
     uni = _gram_windows_expr(1, with_pos=False, distinct=False)
     bi = _gram_windows_expr(2, with_pos=False, distinct=False)
     return (
-        df.withColumn("_toks", F.split(F.col(text_col), " "))
+        widen_narrow_scan(df)
+        .withColumn("_toks", F.split(F.col(text_col), " "))
         .select(
             key_col,
             F.explode(F.expr(f"concat({uni}, {bi})")).alias("_g"),
@@ -190,16 +192,22 @@ def dsir_select(
     deterministic from the row key (u = (_draw32 + 0.5) / 2^32,
     g = -ln(-ln(u))), so retries and other engines select the same rows.
     Returns the selected ``raw`` rows plus (n_grams, log_weight,
-    sample_key). The global top-k is a TakeOrderedAndProject — no full
-    sort is materialized."""
+    sample_key).
+
+    Scale shape: the top-k runs on the SLIM (key, weight) table — a
+    TakeOrderedAndProject, no full sort — and only the k winners join
+    back to ``raw`` (broadcast), so the full-width corpus never enters a
+    shuffle or a sort."""
     w = dsir_weights(raw, target, key_col, text_col, buckets)
     u = (_draw32(F.col(key_col)) + 0.5) / F.lit(4294967296.0)
-    return (
-        raw.join(w, key_col)
-        .withColumn(
+    winners = (
+        w.withColumn(
             "sample_key",
             F.round(F.col("log_weight") - F.log(-F.log(u)), 6),
         )
         .orderBy(F.col("sample_key").desc(), F.col(key_col))
         .limit(k)
+    )
+    return raw.join(F.broadcast(winners), key_col).orderBy(
+        F.col("sample_key").desc(), F.col(key_col)
     )

@@ -44,3 +44,22 @@ def salt_repartition(
         num_partitions = sc.defaultParallelism * 4
     out = salted.repartition(num_partitions, F.col(key), F.col(SALT_COL))
     return out.drop(SALT_COL)
+
+
+def widen_narrow_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ``df`` ONLY when its scan is narrower than
+    the cluster (fewer input partitions than cores) — the compute-skew twin
+    for CPU-heavy per-row expression stages (gram explosion + md5 hashing):
+    a parquet file with one row group scans as ONE task, and AQE's
+    bytes-based sizing cannot see the downstream expression cost, so the
+    whole stage serializes on one core.
+
+    At real scale this is a NO-OP: a 100 TB corpus scans as thousands of
+    splits, so no shuffle is added. The repartition only fires when the
+    input layout under-parallelizes the stage, where the shuffled bytes
+    are by construction small (they fit in the few tasks the scan made)."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -392,8 +392,11 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
         f"j -> array_min(slice(_hashes, j, {w})))) "
         "else array() end"
     )
+    from granulate_char_ocr_spark.operators.skew import widen_narrow_scan
+
     return (
-        docs.withColumn("_norm", norm)
+        widen_narrow_scan(docs)
+        .withColumn("_norm", norm)
         .withColumn("_hashes", F.expr(hashes))
         .select("doc_id", F.explode(F.expr(wins)).alias("fp"))
     )
