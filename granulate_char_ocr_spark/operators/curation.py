@@ -215,6 +215,67 @@ def dedup_boilerplate_lines(docs_lines: DataFrame, min_df: int = 2) -> DataFrame
     )
 
 
+def gopher_line_flags(docs_lines: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, frac_bullet_lines, frac_ellipsis_lines,
+    line_pass): the two LINE-level Gopher rules (Rae et al. 2021 §A1.1 —
+    the doc-level rules live in textstats.gopher_quality_flags): reject
+    documents with > 90% of lines starting with a bullet or > 30% ending
+    with an ellipsis. Input needs (doc_id, lines array<string>); see
+    chunk_lines. Pure per-row HOF projection — no shuffle, no UDF."""
+    bullet = F.filter(
+        F.col("lines"), lambda l: l.rlike(r"^\s*[-*•‣▪]")
+    )
+    ellipsis = F.filter(
+        F.col("lines"), lambda l: l.rlike(r"(\.\.\.|…)\s*$")
+    )
+    n = F.greatest(F.size("lines"), F.lit(1))
+    out = docs_lines.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.round(F.size(bullet) / n, 6).alias("frac_bullet_lines"),
+        F.round(F.size(ellipsis) / n, 6).alias("frac_ellipsis_lines"),
+    )
+    return out.withColumn(
+        "line_pass",
+        (F.col("frac_bullet_lines") <= 0.9)
+        & (F.col("frac_ellipsis_lines") <= 0.3),
+    )
+
+
+def c4_line_filter(
+    docs_lines: DataFrame, min_words: int = 3, min_kept_lines: int = 3
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, clean_text, has_lorem, has_brace,
+    c4_pass): the C4 cleaning rules (Raffel et al. 2020 §2.2) — keep only
+    lines that end in terminal punctuation AND have >= ``min_words``
+    words; flag documents containing 'lorem ipsum' or a curly brace
+    (code); a document passes when >= ``min_kept_lines`` lines survive
+    and neither flag fires. Input needs (doc_id, lines array<string>);
+    see chunk_lines. Pure per-row HOF projection — no shuffle, no UDF.
+    (The original's bad-words list and 3-sentence-span dedup legs live in
+    dedup_boilerplate_lines / dedup.duplicated_passage_stats.)"""
+    kept = F.filter(
+        F.col("lines"),
+        lambda l: l.rlike('[.!?"”]\\s*$')
+        & (F.size(F.split(F.trim(l), " ")) >= min_words),
+    )
+    joined = F.lower(F.array_join("lines", " "))
+    out = docs_lines.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+        joined.contains("lorem ipsum").alias("has_lorem"),
+        joined.contains("{").alias("has_brace"),
+    )
+    return out.withColumn(
+        "c4_pass",
+        (F.col("n_kept") >= min_kept_lines)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace"),
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, term, tf, df, score, rnk): each document's top-k keyword
     terms by tf/df — rank-equivalent to tf-idf for ANY strictly

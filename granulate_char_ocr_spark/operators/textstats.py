@@ -402,6 +402,69 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
     )
 
 
+# The 8 required stopwords of the Gopher document filter (Rae et al. 2021,
+# 'Scaling Language Models: ... Gopher', §A1.1): a document must contain at
+# least 2 of these as whole tokens to pass.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha_words,
+    n_req_stopwords, gopher_pass): the document-level Gopher quality rules
+    (Rae et al. 2021 §A1.1) as one pure-codegen projection — no shuffle,
+    no UDF, exact DuckDB oracle:
+
+    - 50 <= word count <= 100 000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio ('#', '…', '...') <= 0.1
+    - >= 80% of words contain an alphabetic character
+    - >= 2 of the 8 required stopwords present
+
+    ``gopher_pass`` is computed from the ROUNDED ratios so the flag is
+    engine-portable at the thresholds. The two line-level Gopher rules
+    (bullet-start / ellipsis-end line fractions) need a line structure and
+    live in curation.gopher_line_flags."""
+    toks = "filter(split(text, ' '), t -> length(t) > 0)"
+    toks_l = "filter(split(lower(text), ' '), t -> length(t) > 0)"
+    n_words = F.expr(f"size({toks})")
+    mean_wl = F.round(
+        F.expr(f"aggregate({toks}, 0L, (a, t) -> a + length(t))")
+        / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    n_symbols = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "#|…", ""))
+        + F.expr(r"regexp_count(text, '\\.\\.\\.')")
+    )
+    symbol_ratio = F.round(n_symbols / F.greatest(n_words, F.lit(1)), 6)
+    frac_alpha = F.round(
+        F.expr(f"size(filter({toks}, t -> t rlike '[a-zA-Z]'))")
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    stop_arr = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(array({stop_arr}), s -> array_contains({toks_l}, s)))"
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        frac_alpha.alias("frac_alpha_words"),
+        n_stop.alias("n_req_stopwords"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("n_req_stopwords") >= 2),
+    )
+
+
 def charlm_perplexity(docs: DataFrame, ref: DataFrame | None = None) -> DataFrame:
     """(doc_id, n_grams, perplexity): CCNet-style language-model quality
     scoring (Wenzek et al. 2020, 'CCNet: Extracting High Quality
