@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "bpe_token_count_docs",
     "mm_audio_features",
     "quality_score_docs",
+    "quality_filter_docs",
     "repetition_signals_docs",
     "charlm_perplexity_docs",
     "dsir_select_docs",

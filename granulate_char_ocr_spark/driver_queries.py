@@ -382,17 +382,21 @@ def corpus_stats_docs(spark, sf_dir):
     )
 
 
-@q(
-    "positional_zip_tokens",
-    """
+# (positional_zip_tokens left the 50-entry gate window in r4 for
+# quality_filter_docs: the J4 positional zip-join stays gate-visible via
+# ocr_eval_metrics' arrays_zip span compare (plans/lineage.py), and the
+# exact parity stays pinned by tests/test_plans.py::test_positional_zip_tokens
+# against the oracle below.)
+POSITIONAL_ZIP_ORACLE = """
     SELECT pos, count(*) AS n_at_pos, min(tok) AS min_tok, max(tok) AS max_tok
     FROM (
       SELECT unnest(string_split(text, ' ')) AS tok,
              unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
       FROM documents WHERE doc_id < 200) t
     GROUP BY pos
-    """,
-)
+    """
+
+
 def positional_zip_tokens(spark, sf_dir):
     """posexplode positional zip-join (SURVEY §2.3 J4). pos is 1-based to
     match SQL subscripts."""
@@ -407,6 +411,104 @@ def positional_zip_tokens(spark, sf_dir):
             F.max("tok").alias("max_tok"),
         )
     )
+
+
+@q(
+    "quality_filter_docs",
+    r"""
+    WITH inj AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN '- ' || t2 || ' fin end here.'
+               WHEN 1 THEN t2 || ' lorem ipsum {code} done.'
+               WHEN 2 THEN t2 || ' trailing off ...'
+               ELSE t2 END AS text
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN text || ' the of and'
+                        ELSE text END AS t2
+            FROM documents)),
+    tok AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks,
+             list_filter(string_split(lower(text), ' '), x -> len(x) > 0)
+               AS toks_l,
+             string_split(text, ' ') AS rawtoks
+      FROM inj),
+    lin AS (
+      SELECT doc_id, text, toks, toks_l,
+             CASE WHEN text IS NULL OR text = '' THEN []
+             ELSE list_transform(
+               range(0, greatest(CAST(ceil(len(rawtoks) / 8.0) AS INT), 1)),
+               i -> array_to_string(list_slice(rawtoks, i*8+1, i*8+8), ' '))
+             END AS lines
+      FROM tok),
+    s AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        round(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+              / greatest(len(toks), 1), 4) AS mean_word_len,
+        round((len(text) - len(regexp_replace(text, '#|…', '', 'g'))
+               + len(regexp_extract_all(text, '\.\.\.')))
+              / greatest(len(toks), 1), 6) AS symbol_ratio,
+        round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+              / greatest(len(toks), 1), 6) AS frac_alpha_words,
+        CAST(len(list_filter(
+               ['the','be','to','of','and','that','have','with'],
+               s -> list_contains(toks_l, s))) AS BIGINT) AS n_req_stopwords,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        round(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•‣▪]')))
+              / greatest(len(lines), 1), 6) AS frac_bullet_lines,
+        round(len(list_filter(lines,
+                x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+              / greatest(len(lines), 1), 6) AS frac_ellipsis_lines,
+        list_filter(lines, x -> regexp_matches(x, '[.!?"”]\s*$')
+            AND len(string_split(trim(x), ' ')) >= 3) AS kept,
+        contains(lower(array_to_string(lines, ' ')), 'lorem ipsum')
+          AS has_lorem,
+        contains(lower(array_to_string(lines, ' ')), '{') AS has_brace
+      FROM lin)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha_words,
+           n_req_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_ratio <= 0.1 AND frac_alpha_words >= 0.8
+             AND n_req_stopwords >= 2 AS gopher_pass,
+           n_lines, frac_bullet_lines, frac_ellipsis_lines,
+           frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
+             AS line_pass,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(kept, ' '), '') AS clean_text,
+           has_lorem, has_brace,
+           len(kept) >= 1 AND NOT has_lorem AND NOT has_brace AS c4_pass
+    FROM s
+    """,
+)
+def quality_filter_docs(spark, sf_dir):
+    """Gopher doc-level + line-level quality rules and the C4 line filter
+    (Rae et al. 2021 §A1.1; Raffel et al. 2020 §2.2), FUSED into one
+    projection over one scan (curation.quality_filter) — the LLM-curation
+    quality-gate leg. The word-soup corpus carries (correctly) almost no
+    Gopher stopwords, bullets, or terminal punctuation, so — per the
+    pii_redact_docs injection convention — deterministic doc_id-derived
+    structure is injected identically on BOTH sides to make every rule
+    fire in both directions: even doc_ids gain required stopwords, and
+    doc_id%4 adds a bullet + terminal punctuation / a lorem+brace tail /
+    a trailing ellipsis. min_kept_lines=1 because the injected
+    punctuation can only land on each doc's final chunk-line."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m2, m4 = F.col("doc_id") % 2, F.col("doc_id") % 4
+    t2 = F.when(m2 == 0, F.concat("text", F.lit(" the of and"))).otherwise(
+        F.col("text")
+    )
+    inj = docs.select(
+        "doc_id",
+        F.when(m4 == 0, F.concat(F.lit("- "), t2, F.lit(" fin end here.")))
+        .when(m4 == 1, F.concat(t2, F.lit(" lorem ipsum {code} done.")))
+        .when(m4 == 2, F.concat(t2, F.lit(" trailing off ...")))
+        .otherwise(t2)
+        .alias("text"),
+    )
+    return curation.quality_filter(inj, min_kept_lines=1)
 
 
 # gate slot freed for mm_audio_features (r4): O5 sorted-unique left the

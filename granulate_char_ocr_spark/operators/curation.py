@@ -132,6 +132,21 @@ def pack_sequences(
     )
 
 
+def _chunk_lines_col(words_per_line: int):
+    """lines Column over a frame carrying ``text`` and ``_toks``
+    (= split(text, ' ')) — shared by chunk_lines and quality_filter."""
+    w = words_per_line
+    chunks = (
+        f"transform(sequence(0, greatest(cast(ceil(size(_toks) / {w}.0) "
+        f"as int) - 1, 0)), i -> array_join(slice(_toks, i * {w} + 1, {w}), ' '))"
+    )
+    t = F.col("text")
+    return (
+        F.when(t.isNull() | (t == ""), F.array().cast("array<string>"))
+        .otherwise(F.expr(chunks))
+    )
+
+
 def chunk_lines(docs: DataFrame, words_per_line: int = 8) -> DataFrame:
     """(doc_id, lines): deterministic fixed-width word chunks standing in
     for newline-delimited lines (the driver corpus is single-line word
@@ -139,19 +154,11 @@ def chunk_lines(docs: DataFrame, words_per_line: int = 8) -> DataFrame:
     The final chunk may be short; null/empty text gets an empty array
     (split('') would otherwise yield [''], making '' a spurious
     'boilerplate line' shared by every empty doc)."""
-    w = words_per_line
-    chunks = (
-        f"transform(sequence(0, greatest(cast(ceil(size(_toks) / {w}.0) "
-        f"as int) - 1, 0)), i -> array_join(slice(_toks, i * {w} + 1, {w}), ' '))"
-    )
-    t = F.col("text")
     return docs.select(
         "doc_id", "text", F.split("text", " ").alias("_toks")
     ).select(
         "doc_id",
-        F.when(t.isNull() | (t == ""), F.array().cast("array<string>"))
-        .otherwise(F.expr(chunks))
-        .alias("lines"),
+        _chunk_lines_col(words_per_line).alias("lines"),
     )
 
 
@@ -215,13 +222,9 @@ def dedup_boilerplate_lines(docs_lines: DataFrame, min_df: int = 2) -> DataFrame
     )
 
 
-def gopher_line_flags(docs_lines: DataFrame) -> DataFrame:
-    """(doc_id, n_lines, frac_bullet_lines, frac_ellipsis_lines,
-    line_pass): the two LINE-level Gopher rules (Rae et al. 2021 §A1.1 —
-    the doc-level rules live in textstats.gopher_quality_flags): reject
-    documents with > 90% of lines starting with a bullet or > 30% ending
-    with an ellipsis. Input needs (doc_id, lines array<string>); see
-    chunk_lines. Pure per-row HOF projection — no shuffle, no UDF."""
+def gopher_line_cols() -> dict:
+    """name -> Column of the two line-level Gopher signals over a
+    ``lines`` column (shared with quality_filter)."""
     bullet = F.filter(
         F.col("lines"), lambda l: l.rlike(r"^\s*[-*•‣▪]")
     )
@@ -229,16 +232,57 @@ def gopher_line_flags(docs_lines: DataFrame) -> DataFrame:
         F.col("lines"), lambda l: l.rlike(r"(\.\.\.|…)\s*$")
     )
     n = F.greatest(F.size("lines"), F.lit(1))
-    out = docs_lines.select(
-        "doc_id",
-        F.size("lines").alias("n_lines"),
-        F.round(F.size(bullet) / n, 6).alias("frac_bullet_lines"),
-        F.round(F.size(ellipsis) / n, 6).alias("frac_ellipsis_lines"),
+    return {
+        "n_lines": F.size("lines"),
+        "frac_bullet_lines": F.round(F.size(bullet) / n, 6),
+        "frac_ellipsis_lines": F.round(F.size(ellipsis) / n, 6),
+    }
+
+
+def line_pass_col():
+    """Line-level Gopher pass flag over gopher_line_cols' outputs."""
+    return (F.col("frac_bullet_lines") <= 0.9) & (
+        F.col("frac_ellipsis_lines") <= 0.3
     )
-    return out.withColumn(
-        "line_pass",
-        (F.col("frac_bullet_lines") <= 0.9)
-        & (F.col("frac_ellipsis_lines") <= 0.3),
+
+
+def gopher_line_flags(docs_lines: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, frac_bullet_lines, frac_ellipsis_lines,
+    line_pass): the two LINE-level Gopher rules (Rae et al. 2021 §A1.1 —
+    the doc-level rules live in textstats.gopher_quality_flags): reject
+    documents with > 90% of lines starting with a bullet or > 30% ending
+    with an ellipsis. Input needs (doc_id, lines array<string>); see
+    chunk_lines. Pure per-row HOF projection — no shuffle, no UDF."""
+    out = docs_lines.select(
+        "doc_id", *(c.alias(n) for n, c in gopher_line_cols().items())
+    )
+    return out.withColumn("line_pass", line_pass_col())
+
+
+def c4_cols(min_words: int = 3) -> dict:
+    """name -> Column of the C4 line-keep signals over a ``lines`` column
+    (shared with quality_filter; n_lines is gopher_line_cols' — the two
+    families share it when fused)."""
+    kept = F.filter(
+        F.col("lines"),
+        lambda l: l.rlike('[.!?"”]\\s*$')
+        & (F.size(F.split(F.trim(l), " ")) >= min_words),
+    )
+    joined = F.lower(F.array_join("lines", " "))
+    return {
+        "n_kept": F.size(kept),
+        "clean_text": F.array_join(kept, " "),
+        "has_lorem": joined.contains("lorem ipsum"),
+        "has_brace": joined.contains("{"),
+    }
+
+
+def c4_pass_col(min_kept_lines: int = 3):
+    """C4 pass flag over c4_cols' outputs."""
+    return (
+        (F.col("n_kept") >= min_kept_lines)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
     )
 
 
@@ -254,25 +298,49 @@ def c4_line_filter(
     see chunk_lines. Pure per-row HOF projection — no shuffle, no UDF.
     (The original's bad-words list and 3-sentence-span dedup legs live in
     dedup_boilerplate_lines / dedup.duplicated_passage_stats.)"""
-    kept = F.filter(
-        F.col("lines"),
-        lambda l: l.rlike('[.!?"”]\\s*$')
-        & (F.size(F.split(F.trim(l), " ")) >= min_words),
-    )
-    joined = F.lower(F.array_join("lines", " "))
     out = docs_lines.select(
         "doc_id",
         F.size("lines").alias("n_lines"),
-        F.size(kept).alias("n_kept"),
-        F.array_join(kept, " ").alias("clean_text"),
-        joined.contains("lorem ipsum").alias("has_lorem"),
-        joined.contains("{").alias("has_brace"),
+        *(c.alias(n) for n, c in c4_cols(min_words).items()),
     )
-    return out.withColumn(
-        "c4_pass",
-        (F.col("n_kept") >= min_kept_lines)
-        & ~F.col("has_lorem")
-        & ~F.col("has_brace"),
+    return out.withColumn("c4_pass", c4_pass_col(min_kept_lines))
+
+
+def quality_filter(
+    docs: DataFrame,
+    words_per_line: int = 8,
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """One-pass per-document quality gate: the doc-level Gopher rules,
+    the line-level Gopher rules, and the C4 line filter FUSED into a
+    single projection chain over one scan — no self-join on doc_id, no
+    shuffle, no UDF (the naive compose of the three operators would
+    re-scan and shuffle-join the corpus twice). Output: doc_id, the five
+    gopher_doc_cols + gopher_pass, the three gopher_line_cols +
+    line_pass, the four c4_cols + c4_pass."""
+    from granulate_char_ocr_spark.operators.textstats import (
+        gopher_doc_cols,
+        gopher_pass_col,
+    )
+
+    base = docs.select(
+        "doc_id", "text", F.split("text", " ").alias("_toks")
+    ).select(
+        "doc_id",
+        "text",
+        _chunk_lines_col(words_per_line).alias("lines"),
+    )
+    out = base.select(
+        "doc_id",
+        *(c.alias(n) for n, c in gopher_doc_cols().items()),
+        *(c.alias(n) for n, c in gopher_line_cols().items()),
+        *(c.alias(n) for n, c in c4_cols(min_words).items()),
+    )
+    return (
+        out.withColumn("gopher_pass", gopher_pass_col())
+        .withColumn("line_pass", line_pass_col())
+        .withColumn("c4_pass", c4_pass_col(min_kept_lines))
     )
 
 

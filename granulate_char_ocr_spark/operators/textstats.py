@@ -408,22 +408,10 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality_flags(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha_words,
-    n_req_stopwords, gopher_pass): the document-level Gopher quality rules
-    (Rae et al. 2021 §A1.1) as one pure-codegen projection — no shuffle,
-    no UDF, exact DuckDB oracle:
-
-    - 50 <= word count <= 100 000
-    - 3 <= mean word length <= 10
-    - symbol-to-word ratio ('#', '…', '...') <= 0.1
-    - >= 80% of words contain an alphabetic character
-    - >= 2 of the 8 required stopwords present
-
-    ``gopher_pass`` is computed from the ROUNDED ratios so the flag is
-    engine-portable at the thresholds. The two line-level Gopher rules
-    (bullet-start / ellipsis-end line fractions) need a line structure and
-    live in curation.gopher_line_flags."""
+def gopher_doc_cols() -> dict:
+    """name -> Column of the five document-level Gopher quality signals
+    over a ``text`` column — shared by gopher_quality_flags and
+    curation.quality_filter (which fuses them into one projection)."""
     toks = "filter(split(text, ' '), t -> length(t) > 0)"
     toks_l = "filter(split(lower(text), ' '), t -> length(t) > 0)"
     n_words = F.expr(f"size({toks})")
@@ -447,22 +435,47 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
     n_stop = F.expr(
         f"size(filter(array({stop_arr}), s -> array_contains({toks_l}, s)))"
     )
-    out = docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        frac_alpha.alias("frac_alpha_words"),
-        n_stop.alias("n_req_stopwords"),
-    )
-    return out.withColumn(
-        "gopher_pass",
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "frac_alpha_words": frac_alpha,
+        "n_req_stopwords": n_stop,
+    }
+
+
+def gopher_pass_col():
+    """The document-level pass flag over gopher_doc_cols' OUTPUT columns —
+    computed from the ROUNDED ratios so the flag is engine-portable at
+    the thresholds."""
+    return (
         F.col("n_words").between(50, 100000)
         & F.col("mean_word_len").between(3.0, 10.0)
         & (F.col("symbol_ratio") <= 0.1)
         & (F.col("frac_alpha_words") >= 0.8)
-        & (F.col("n_req_stopwords") >= 2),
+        & (F.col("n_req_stopwords") >= 2)
     )
+
+
+def gopher_quality_flags(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha_words,
+    n_req_stopwords, gopher_pass): the document-level Gopher quality rules
+    (Rae et al. 2021 §A1.1) as one pure-codegen projection — no shuffle,
+    no UDF, exact DuckDB oracle:
+
+    - 50 <= word count <= 100 000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio ('#', '…', '...') <= 0.1
+    - >= 80% of words contain an alphabetic character
+    - >= 2 of the 8 required stopwords present
+
+    The two line-level Gopher rules (bullet-start / ellipsis-end line
+    fractions) need a line structure and live in
+    curation.gopher_line_flags."""
+    out = docs.select(
+        "doc_id", *(c.alias(n) for n, c in gopher_doc_cols().items())
+    )
+    return out.withColumn("gopher_pass", gopher_pass_col())
 
 
 def charlm_perplexity(docs: DataFrame, ref: DataFrame | None = None) -> DataFrame:

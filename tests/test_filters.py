@@ -252,3 +252,27 @@ def test_line_filters_duckdb_parity(spark):
     assert any(v[2] > 0 for v in got_g.values())         # some ellipsis lines
     assert any(v[3] for v in got_c.values())             # some lorem docs
     assert any(v[5] for v in got_c.values())             # some c4 passes
+
+
+def test_quality_filter_fused_equals_separate(spark):
+    """curation.quality_filter (single projection, zero exchange) must
+    equal the three separate operators row-for-row, and its physical plan
+    must contain no Exchange (the fusion exists to avoid the doc_id
+    self-joins the naive compose would shuffle on)."""
+    sf = "/root/testdata/sf0.001"
+    docs = _injected_docs(spark, sf)
+    fused = curation.quality_filter(docs, min_kept_lines=1)
+    assert "Exchange" not in fused._jdf.queryExecution().executedPlan().toString()
+    got = {r["doc_id"]: r.asDict() for r in fused.collect()}
+
+    g = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(docs).collect()}
+    dl = curation.chunk_lines(docs, 8)
+    gl = {r["doc_id"]: r.asDict() for r in curation.gopher_line_flags(dl).collect()}
+    c4 = {
+        r["doc_id"]: r.asDict()
+        for r in curation.c4_line_filter(dl, min_kept_lines=1).collect()
+    }
+    assert set(got) == set(g)
+    for i, row in got.items():
+        want = {**g[i], **gl[i], **c4[i]}
+        assert row == {k: want[k] for k in row}

@@ -255,6 +255,30 @@ def test_percentile_order_prices(spark):
     assert got == want
 
 
+def test_positional_zip_tokens(spark):
+    """J4 posexplode zip-join (left the 50-entry gate for
+    quality_filter_docs in r4; the shape stays gate-visible via
+    ocr_eval_metrics' arrays_zip compare): exact DuckDB parity."""
+    import duckdb
+
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.positional_zip_tokens(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.POSITIONAL_ZIP_ORACLE).fetchall()
+    }
+    assert got == want
+
+
 def _duck_events(sf):
     import duckdb
 
