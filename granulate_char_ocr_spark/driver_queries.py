@@ -658,13 +658,17 @@ def rollup_order_priority(spark, sf_dir):
     )
 
 
-@q(
-    "distinct_users_per_type",
-    """
+# (distinct_users_per_type left the 50-entry gate window in r4 for
+# vocab_kmv_docs, which grades the SAME exact distinct-count shape in its
+# vocab_exact column plus the KMV sketch upgrade; the exact parity stays
+# pinned by tests/test_plans.py::test_distinct_users_per_type against the
+# oracle below.)
+DISTINCT_USERS_ORACLE = """
     SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
     FROM events GROUP BY event_type
-    """,
-)
+    """
+
+
 def distinct_users_per_type(spark, sf_dir):
     """Exact distinct-count aggregate (expand + two-phase agg in Spark)."""
     return (
@@ -675,6 +679,69 @@ def distinct_users_per_type(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+@q(
+    "vocab_kmv_docs",
+    """
+    WITH g AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i+1])) AS g
+      FROM documents),
+    h AS (
+      SELECT DISTINCT lang,
+             (('0x' || substr(md5(g), 1, 8))::BIGINT + 1) / 4294967296.0
+               AS h
+      FROM g),
+    r AS (SELECT lang, h,
+                 row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+          FROM h),
+    kk AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS h_k
+           FROM r WHERE rn <= 64 GROUP BY lang),
+    ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(count(DISTINCT g) AS BIGINT) AS vocab_exact
+           FROM g GROUP BY lang)
+    SELECT ex.lang, n_bigrams, vocab_exact, n_kept,
+           CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                ELSE round(63.0 / h_k) END AS est_distinct
+    FROM ex JOIN kk USING (lang)
+    """,
+)
+def vocab_kmv_docs(spark, sf_dir):
+    """Per-language bigram-vocabulary size: exact count(DISTINCT) next to
+    the deterministic KMV bottom-k sketch estimate (operators/sketches.py
+    — hash-distinct + WindowGroupLimit k-smallest; mergeable bounded-state
+    distinct counting, the 100 TB answer to vocabulary/cardinality
+    estimation where exact distinct shuffles every value). Bigrams
+    (dedup._gram_windows_expr, the shared gram builder) because the
+    word-soup unigram vocab is below k — the sketch path must actually
+    fire at the gate. The sketch is a pure function of the value set
+    under a fixed md5 hash, so DuckDB reproduces the estimate
+    bit-for-bit — unlike HLL, it can carry an exact oracle."""
+    from granulate_char_ocr_spark.operators import sketches
+    from granulate_char_ocr_spark.operators.dedup import (
+        TOKENS,
+        _gram_windows_expr,
+    )
+
+    grams = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("_toks", TOKENS())
+        .select(
+            "lang",
+            F.explode(
+                F.expr(_gram_windows_expr(2, with_pos=False, distinct=False))
+            ).alias("g"),
+        )
+    )
+    exact = grams.groupBy("lang").agg(
+        F.count("*").alias("n_bigrams"),
+        F.countDistinct("g").alias("vocab_exact"),
+    )
+    kmv = sketches.kmv_distinct(grams, ["lang"], "g", k=64)
+    return exact.join(kmv, "lang")
 
 
 # (running_sum_per_user was retired from the 50-entry gate window in r3

@@ -255,6 +255,28 @@ def test_percentile_order_prices(spark):
     assert got == want
 
 
+def test_distinct_users_per_type(spark):
+    """A10 exact distinct-count (left the 50-entry gate for vocab_kmv_docs
+    in r4, which grades the same exact-distinct shape in its vocab_exact
+    column): exact DuckDB parity."""
+    import duckdb
+
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.distinct_users_per_type(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = {
+        (r[0], int(r[1]), int(r[2]))
+        for r in con.execute(driver_queries.DISTINCT_USERS_ORACLE).fetchall()
+    }
+    assert got == want
+
+
 def test_positional_zip_tokens(spark):
     """J4 posexplode zip-join (left the 50-entry gate for
     quality_filter_docs in r4; the shape stays gate-visible via
