@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dsir_select_docs",
     "html_extract_docs",
     "pdf_extract_docs",
+    "warc_extract_docs",
     "vocab_kmv_docs",
     "winnow_fingerprints_docs",
     "clean_corpus_manifest",

@@ -358,15 +358,19 @@ def lag_event_deltas(spark, sf_dir):
     )
 
 
-@q(
-    "corpus_stats_docs",
-    """
+# (corpus_stats_docs left the 50-entry gate window in r4 for
+# warc_extract_docs: the A6 corpus-stats multi-aggregate stays
+# gate-visible via quality_score_docs / ocr_word_length_analysis /
+# ocr_eval_metrics, and the exact parity stays pinned by
+# tests/test_plans.py::test_corpus_stats_docs against the oracle below.)
+CORPUS_STATS_ORACLE = """
     SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
            round(stddev_pop(n_chars), 4) AS sd_chars,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars
     FROM documents GROUP BY lang
-    """,
-)
+    """
+
+
 def corpus_stats_docs(spark, sf_dir):
     """Corpus statistics aggregate (SURVEY §2.4 A6)."""
     return (
@@ -1303,6 +1307,63 @@ def html_main_content_docs(spark, sf_dir):
         F.lit(_DOM_PREFIX), escape_text(F.col("text")), F.lit(_DOM_SUFFIX)
     )
     return html_main_contents(docs.select("doc_id", page.alias("html")))
+
+
+@q(
+    "warc_extract_docs",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(text, '[ \t\r\n\f\x0B]+', ' ', 'g'))
+             AS main_text
+    FROM documents
+    """,
+)
+def warc_extract_docs(spark, sf_dir):
+    """The web-scale ingest front door (r4): documents are entity-escaped
+    into boilerplate pages, packed into Common Crawl-layout WARC files
+    (per-record gzip members, warcinfo + HTTP response records —
+    functions/warc.py), then the READ path runs: record explode
+    (docparse.warc_records, 1→N mapInPandas over file payloads), HTTP
+    envelope strip, charset decode, and the pure-codegen boilerplate
+    strip — recovering exactly the whitespace-collapsed source text the
+    oracle computes directly. Container build, record framing, HTTP
+    parse, and HTML strip are ALL under the value hash. At cluster
+    scale the unit of parallelism is the WARC file (the crawler bounds
+    file sizes), and everything after the record explode is
+    whole-stage codegen."""
+    from granulate_char_ocr_spark.functions.html import escape_text
+    from granulate_char_ocr_spark.operators.docparse import (
+        build_warc_files,
+        html_main_texts,
+        warc_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title></head><body>'
+            '<nav><a href="/">Home</a> | <a href="/a">A</a></nav><p>'
+        ),
+        escape_text(F.col("text")),
+        F.lit("</p><footer>&#169; corp</footer></body></html>"),
+    )
+    pages = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(32)).cast("int").alias("file_id"),
+        F.concat(F.lit("https://corpus.example/d/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        page.alias("html"),
+    )
+    recs = warc_records(build_warc_files(pages))
+    html_rows = recs.filter(
+        (F.col("rec_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        F.regexp_extract("url", r"/d/([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.decode(F.col("body"), "UTF-8").alias("html"),
+    )
+    return html_main_texts(html_rows)
 
 
 @q(

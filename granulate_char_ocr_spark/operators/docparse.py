@@ -78,6 +78,93 @@ def pdf_texts(
     )
 
 
+def build_warc_files(
+    df: DataFrame,
+    file_col: str = "file_id",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(file_id, url, html) -> (file_id, payload, n_records): pack each
+    file group's pages into one WARC file (functions/warc.py — leading
+    warcinfo record, per-record gzip members, Common Crawl layout).
+    Pages are packed in url order inside each file so the build is
+    deterministic under any upstream partitioning. This is the
+    test-harness DIRECTION: production reads WARC, it doesn't write it —
+    the read path is ``warc_records``."""
+    import pandas as pd  # noqa: F811 (kept local: builder runs on executors)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from granulate_char_ocr_spark.functions.warc import build_warc
+
+        pdf = pdf.sort_values(url_col)
+        pages = [
+            (u, h.encode("utf-8"))
+            for u, h in zip(pdf[url_col], pdf[html_col])
+        ]
+        return pd.DataFrame(
+            {
+                file_col: [pdf[file_col].iloc[0]],
+                "payload": [build_warc(pages)],
+                "n_records": [len(pages) + 1],  # + warcinfo
+            }
+        )
+
+    file_type = df.schema[file_col].dataType.simpleString()
+    return df.groupBy(file_col).applyInPandas(
+        fn, schema=f"{file_col} {file_type}, payload binary, n_records int"
+    )
+
+
+def warc_records(
+    df: DataFrame, payload_col: str = "payload", key_col: str = "file_id"
+) -> DataFrame:
+    """1→N record explode over WARC files: (key, warc_bytes) ->
+    (key, rec_index, rec_type, url, http_status, content_type, body) —
+    the web-scale ingest front door (Common Crawl arrives as WARC). The
+    per-record-gzip layout means each file splits into records without
+    a whole-file decompress buffer beyond one record; at cluster scale
+    the unit of parallelism is the FILE (binary source rows), so skew
+    follows file sizing, which the crawler already bounds (~1 GB). Body
+    stays ``binary`` — charset decode is the caller's step."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.warc import parse_warc
+
+        for pdf in batches:
+            keys, idxs, types, urls, stats, cts, bodies = (
+                [], [], [], [], [], [], [],
+            )
+            for k, p in zip(pdf[key_col], pdf[payload_col]):
+                for i, r in enumerate(parse_warc(bytes(p))):
+                    keys.append(k)
+                    idxs.append(i)
+                    types.append(r.rec_type)
+                    urls.append(r.url)
+                    stats.append(r.http_status)
+                    cts.append(r.http_content_type or r.content_type)
+                    bodies.append(r.body)
+            yield pd.DataFrame(
+                {
+                    key_col: keys,
+                    "rec_index": idxs,
+                    "rec_type": types,
+                    "url": urls,
+                    "http_status": stats,
+                    "content_type": cts,
+                    "body": bodies,
+                }
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col, payload_col).mapInPandas(
+        fn,
+        schema=(
+            f"{key_col} {key_type}, rec_index int, rec_type string, "
+            "url string, http_status int, content_type string, body binary"
+        ),
+    )
+
+
 def pdf_pages(
     df: DataFrame, payload_col: str = "payload", key_col: str = "doc_id"
 ) -> DataFrame:

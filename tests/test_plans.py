@@ -277,6 +277,30 @@ def test_distinct_users_per_type(spark):
     assert got == want
 
 
+def test_corpus_stats_docs(spark):
+    """A6 corpus-stats multi-aggregate (left the 50-entry gate for
+    warc_extract_docs in r4; the shape stays gate-visible via
+    quality_score_docs / ocr_word_length_analysis): exact DuckDB parity."""
+    import duckdb
+
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.corpus_stats_docs(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.CORPUS_STATS_ORACLE).fetchall()
+    }
+    assert got == want
+
+
 def test_positional_zip_tokens(spark):
     """J4 posexplode zip-join (left the 50-entry gate for
     quality_filter_docs in r4; the shape stays gate-visible via
