@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "html_extract_docs",
     "pdf_extract_docs",
     "warc_extract_docs",
+    "markdown_convert_docs",
     "vocab_kmv_docs",
     "winnow_fingerprints_docs",
     "clean_corpus_manifest",

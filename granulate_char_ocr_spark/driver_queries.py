@@ -219,17 +219,22 @@ def filter_bbox_parts(spark, sf_dir):
     )
 
 
-@q(
-    "cascade_case_lineitem",
-    """
+# (cascade_case_lineitem left the 50-entry gate window in r4 for
+# markdown_convert_docs: the P4/A11 when-ladder cascade stays
+# gate-visible via ocr_method_histogram (exact/hamming/vote tier counts)
+# and quality_filter_docs' rule ladder, and the exact parity stays pinned
+# by tests/test_markdown.py::test_cascade_case_lineitem against the oracle
+# below.)
+CASCADE_CASE_ORACLE = """
     SELECT CASE WHEN l_discount >= 0.08 THEN 'high'
                 WHEN l_discount >= 0.05 THEN 'mid'
                 WHEN l_discount > 0.0 THEN 'low'
                 ELSE 'zero' END AS bucket,
            count(*) AS n, round(sum(l_extendedprice), 2) AS total_price
     FROM lineitem GROUP BY 1
-    """,
-)
+    """
+
+
 def cascade_case_lineitem(spark, sf_dir):
     """The confidence-cascade when-ladder (SURVEY §2.2 P4, §2.4 A11)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1364,6 +1369,57 @@ def warc_extract_docs(spark, sf_dir):
         F.decode(F.col("body"), "UTF-8").alias("html"),
     )
     return html_main_texts(html_rows)
+
+
+@q(
+    "markdown_convert_docs",
+    r"""
+    SELECT doc_id,
+           '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+           || trim(regexp_replace(text, '[ \t\r\n\f\x0B]+', ' ', 'g'))
+           || chr(10) || chr(10) || '## Meta' || chr(10) || chr(10)
+           || '- lang: **' || lang || '**' || chr(10)
+           || '- source: *' || source || '*' || chr(10) || chr(10)
+           || 'See [doc ' || CAST(doc_id AS VARCHAR)
+           || '](https://corpus.example/d/' || CAST(doc_id AS VARCHAR)
+           || ') & `raw`.' AS markdown
+    FROM documents
+    """,
+)
+def markdown_convert_docs(spark, sf_dir):
+    """HTML → Markdown render (r4): each document becomes a structured
+    page (heading, body paragraph, metadata list with bold/italic
+    spans, a link + inline code), and the pure-codegen converter
+    (functions/markdown.py) must emit the exact Markdown the oracle
+    constructs INDEPENDENTLY from the source fields — page build and
+    conversion are checked against a second derivation, not a mirrored
+    transform. Zero exchanges: one scan, one projection."""
+    from granulate_char_ocr_spark.functions.html import escape_text
+    from granulate_char_ocr_spark.operators.docparse import (
+        html_to_markdown,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit(
+            "<html><head><title>t</title><style>p{color:#000}</style>"
+            "</head><body><h1>Doc "
+        ),
+        did,
+        F.lit("</h1><p>"),
+        escape_text(F.col("text")),
+        F.lit("</p><h2>Meta</h2><ul><li>lang: <b>"),
+        F.col("lang"),
+        F.lit("</b></li><li>source: <i>"),
+        F.col("source"),
+        F.lit('</i></li></ul><p>See <a href="https://corpus.example/d/'),
+        did,
+        F.lit('">doc '),
+        did,
+        F.lit("</a> &amp; <code>raw</code>.</p></body></html>"),
+    )
+    return html_to_markdown(docs.select("doc_id", page.alias("html")))
 
 
 @q(

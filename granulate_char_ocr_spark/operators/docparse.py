@@ -78,6 +78,21 @@ def pdf_texts(
     )
 
 
+def html_to_markdown(
+    df: DataFrame, html_col: str = "html", key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, html) -> (key, markdown): structure-preserving Markdown
+    render (functions/markdown.py — headings, lists, links, emphasis,
+    code survive into training text). Pure whole-stage codegen."""
+    from granulate_char_ocr_spark.functions.markdown import (
+        to_markdown_expr,
+    )
+
+    return df.select(
+        key_col, to_markdown_expr(F.col(html_col)).alias("markdown")
+    )
+
+
 def build_warc_files(
     df: DataFrame,
     file_col: str = "file_id",
