@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "pdf_extract_docs",
     "warc_extract_docs",
     "markdown_convert_docs",
+    "url_filter_docs",
     "vocab_kmv_docs",
     "winnow_fingerprints_docs",
     "clean_corpus_manifest",

@@ -203,13 +203,19 @@ def sessionize_events(spark, sf_dir):
     )
 
 
-@q(
-    "filter_bbox_parts",
-    """
+# (filter_bbox_parts left the 50-entry gate window in r4 for
+# url_filter_docs: the P3 conjunctive pushed-down filter stays
+# gate-visible via q3_top_revenue_orders' date filters and the
+# clean_corpus_manifest quality cut, pushdown itself stays pinned by
+# tests/test_bucketing_pruning.py, and the exact parity stays pinned by
+# tests/test_urlfilter.py::test_filter_bbox_parts against the oracle
+# below.)
+FILTER_BBOX_ORACLE = """
     SELECT p_partkey, p_size, p_retailprice
     FROM part WHERE p_size > 10 AND p_retailprice > 500.0
-    """,
-)
+    """
+
+
 def filter_bbox_parts(spark, sf_dir):
     """Conjunctive pushed-down filter (SURVEY §2.2 P3 min-size analog)."""
     return (
@@ -1420,6 +1426,94 @@ def markdown_convert_docs(spark, sf_dir):
         F.lit("</a> &amp; <code>raw</code>.</p></body></html>"),
     )
     return html_to_markdown(docs.select("doc_id", page.alias("html")))
+
+
+def _url_filter_sql() -> str:
+    from granulate_char_ocr_spark.operators.urlfilter import (
+        url_quality_oracle_sql,
+    )
+
+    url_sql = """
+      (CASE WHEN doc_id % 16 = 9 THEN 'ftp' ELSE 'https' END) || '://' ||
+      (CASE doc_id % 8
+         WHEN 0 THEN 'news.example.com'
+         WHEN 1 THEN 'blog.example.org'
+         WHEN 2 THEN 'casino-winbig.example.com'
+         WHEN 3 THEN '10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.7'
+         WHEN 4 THEN 'cdn' || CAST(doc_id * 37 AS VARCHAR) || '.example.net'
+         WHEN 5 THEN 'files.example.com'
+         WHEN 6 THEN 'deep.example.com'
+         ELSE 'shop.example.top' END) ||
+      (CASE WHEN doc_id % 16 = 1 THEN ':8080' ELSE '' END) ||
+      (CASE doc_id % 8
+         WHEN 5 THEN '/assets/pack.zip'
+         WHEN 6 THEN '/a/b/c/d/e/f/g/h'
+         ELSE '/p/' || CAST(doc_id AS VARCHAR) END) ||
+      (CASE WHEN doc_id % 5 = 0 THEN '?a=1&b=2&c=3&d=4&e=5' ELSE '' END)
+    """
+    host, keep, reasons = url_quality_oracle_sql("url")
+    return f"""
+    WITH u AS (SELECT doc_id, {url_sql} AS url FROM documents)
+    SELECT doc_id, url, {host} AS host, {keep} AS keep, {reasons} AS reasons
+    FROM u
+    """
+
+
+@q("url_filter_docs", _url_filter_sql())
+def url_filter_docs(spark, sf_dir):
+    """Crawl-frontier URL quality filter (r4): a deterministic URL is
+    synthesized per document — branch mix covers every rule (blocklist
+    host, IP literal, spam TLD, digit-heavy host, deep path, asset
+    extension, query spam, non-http scheme, explicit port) — and the
+    pure-codegen rule set (operators/urlfilter.py) must agree with the
+    byte-identical DuckDB rule set on keep + fired-reason list. One
+    scan, one projection, zero exchanges at any scale."""
+    from granulate_char_ocr_spark.operators.urlfilter import url_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m8, m16 = F.pmod(did, F.lit(8)), F.pmod(did, F.lit(16))
+    host = (
+        F.when(m8 == 0, F.lit("news.example.com"))
+        .when(m8 == 1, F.lit("blog.example.org"))
+        .when(m8 == 2, F.lit("casino-winbig.example.com"))
+        .when(
+            m8 == 3,
+            F.concat(
+                F.lit("10."),
+                F.pmod(did, F.lit(200)).cast("string"),
+                F.lit(".0.7"),
+            ),
+        )
+        .when(
+            m8 == 4,
+            F.concat(
+                F.lit("cdn"),
+                (did * 37).cast("string"),
+                F.lit(".example.net"),
+            ),
+        )
+        .when(m8 == 5, F.lit("files.example.com"))
+        .when(m8 == 6, F.lit("deep.example.com"))
+        .otherwise(F.lit("shop.example.top"))
+    )
+    path = (
+        F.when(m8 == 5, F.lit("/assets/pack.zip"))
+        .when(m8 == 6, F.lit("/a/b/c/d/e/f/g/h"))
+        .otherwise(F.concat(F.lit("/p/"), did.cast("string")))
+    )
+    url = F.concat(
+        F.when(m16 == 9, F.lit("ftp")).otherwise(F.lit("https")),
+        F.lit("://"),
+        host,
+        F.when(m16 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        path,
+        F.when(F.pmod(did, F.lit(5)) == 0, F.lit("?a=1&b=2&c=3&d=4&e=5"))
+        .otherwise(F.lit("")),
+    )
+    return url_quality(
+        docs.select("doc_id", url.alias("url")), keep_cols=("doc_id",)
+    )
 
 
 @q(
