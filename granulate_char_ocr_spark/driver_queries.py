@@ -1379,16 +1379,22 @@ def warc_extract_docs(spark, sf_dir):
 
 @q(
     "markdown_convert_docs",
+    # blocks are list_filter'd then joined with one blank line — an
+    # empty/whitespace-only body paragraph vanishes on BOTH sides (the
+    # converter's \n{3,} collapse merges the hole; a plain concat oracle
+    # would keep four newlines and falsely mismatch)
     r"""
     SELECT doc_id,
-           '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
-           || trim(regexp_replace(text, '[ \t\r\n\f\x0B]+', ' ', 'g'))
-           || chr(10) || chr(10) || '## Meta' || chr(10) || chr(10)
-           || '- lang: **' || lang || '**' || chr(10)
-           || '- source: *' || source || '*' || chr(10) || chr(10)
-           || 'See [doc ' || CAST(doc_id AS VARCHAR)
-           || '](https://corpus.example/d/' || CAST(doc_id AS VARCHAR)
-           || ') & `raw`.' AS markdown
+           array_to_string(list_filter([
+             '# Doc ' || CAST(doc_id AS VARCHAR),
+             trim(regexp_replace(text, '[ \t\r\n\f\x0B]+', ' ', 'g')),
+             '## Meta',
+             '- lang: **' || lang || '**' || chr(10)
+               || '- source: *' || source || '*',
+             'See [doc ' || CAST(doc_id AS VARCHAR)
+               || '](https://corpus.example/d/' || CAST(doc_id AS VARCHAR)
+               || ') & `raw`.'
+           ], s -> s <> ''), chr(10) || chr(10)) AS markdown
     FROM documents
     """,
 )

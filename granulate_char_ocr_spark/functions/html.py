@@ -105,6 +105,25 @@ def _numeric_entities_expr(out: Column) -> Column:
     return F.array_join(F.transform(F.split(out, "&#"), piece), "")
 
 
+def decode_entities_expr(out: Column) -> Column:
+    """The shared entity-decode tail (named set → numeric refs →
+    ampersand LAST) — one implementation for every leg that decodes
+    entities (main-text strip here, Markdown render in markdown.py), so
+    an entity fix lands everywhere at once."""
+    for ent, rep in _ENTITIES_PRE:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = _numeric_entities_expr(out)
+    return F.replace(out, F.lit(_ENTITY_AMP[0]), F.lit(_ENTITY_AMP[1]))
+
+
+def decode_entities_python(out: str) -> str:
+    """Python twin of decode_entities_expr."""
+    for ent, rep in _ENTITIES_PRE:
+        out = out.replace(ent, rep)
+    out = _numeric_entities_python(out)
+    return out.replace(*_ENTITY_AMP)
+
+
 def main_text_expr(col: Column) -> Column:
     """html string column -> extracted main text column."""
     out = col
@@ -112,10 +131,7 @@ def main_text_expr(col: Column) -> Column:
         out = F.regexp_replace(out, pat, " ")
     out = F.regexp_replace(out, _COMMENT, " ")
     out = F.regexp_replace(out, _TAG, " ")
-    for ent, rep in _ENTITIES_PRE:
-        out = F.replace(out, F.lit(ent), F.lit(rep))
-    out = _numeric_entities_expr(out)
-    out = F.replace(out, F.lit(_ENTITY_AMP[0]), F.lit(_ENTITY_AMP[1]))
+    out = decode_entities_expr(out)
     return F.trim(F.regexp_replace(out, _WS_CLASS, " "))
 
 
@@ -147,10 +163,7 @@ def main_text_python(html: str) -> str:
         out = re.sub(pat, " ", out)
     out = re.sub(_COMMENT, " ", out)
     out = re.sub(_TAG, " ", out)
-    for ent, rep in _ENTITIES_PRE:
-        out = out.replace(ent, rep)
-    out = _numeric_entities_python(out)
-    out = out.replace(*_ENTITY_AMP)
+    out = decode_entities_python(out)
     # strip(" ") not strip(): Python's bare strip eats Unicode whitespace
     # (NBSP) that Spark/DuckDB trim() leave alone
     return re.sub(_WS_CLASS, " ", out).strip(" ")

@@ -46,35 +46,42 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from granulate_char_ocr_spark.functions.html import (
-    _ENTITIES_PRE,
-    _ENTITY_AMP,
-    _numeric_entities_expr,
-    _numeric_entities_python,
+    _COMMENT,
+    _TAG,
     _WS_CLASS,
+    decode_entities_expr,
+    decode_entities_python,
 )
 
+# head/script/style drop wholesale — SHARED semantics with html.py's
+# boilerplate strip (same \b guards, same lazy dot-all bodies); nav/
+# header/footer/aside are NOT dropped here: Markdown render runs on
+# already-main-content HTML, the strip legs own boilerplate removal.
 _DROP = [
     r"(?is)<head\b[^>]*>.*?</head>",
     r"(?is)<script\b[^>]*>.*?</script>",
     r"(?is)<style\b[^>]*>.*?</style>",
-    r"(?s)<!--.*?-->",
+    _COMMENT,
 ]
 
 # (pattern, Java replacement, Python replacement) — RE2/Java patterns
 # with NO backreferences in the pattern (closing tags are matched by
 # literal level/name, not \1, so the same cascade stays portable).
+# Every opener carries \b after the tag name — the html.py trap:
+# without it '<p' swallows <pre>/<param>/<picture> and '<li' swallows
+# <link>, fabricating paragraph breaks and phantom '-' items.
 _BLOCK = (
-    [(rf"(?i)<h{n}[^>]*>", "\n\n" + "#" * n + " ") for n in range(1, 7)]
+    [(rf"(?i)<h{n}\b[^>]*>", "\n\n" + "#" * n + " ") for n in range(1, 7)]
     + [(rf"(?i)</h{n}\s*>", "\n\n") for n in range(1, 7)]
     + [
-        (r"(?i)<p[^>]*>", "\n\n"),
+        (r"(?i)<p\b[^>]*>", "\n\n"),
         (r"(?i)</p\s*>", "\n\n"),
-        (r"(?i)<br[^>]*>", "\n"),
-        (r"(?i)<hr[^>]*>", "\n\n---\n\n"),
-        (r"(?i)<li[^>]*>", "\n- "),
+        (r"(?i)<br\b[^>]*>", "\n"),
+        (r"(?i)<hr\b[^>]*>", "\n\n---\n\n"),
+        (r"(?i)<li\b[^>]*>", "\n- "),
         (r"(?i)</li\s*>", ""),
-        (r"(?i)</?[uo]l[^>]*>", "\n\n"),
-        (r"(?i)<blockquote[^>]*>", "\n\n> "),
+        (r"(?i)</?[uo]l\b[^>]*>", "\n\n"),
+        (r"(?i)<blockquote\b[^>]*>", "\n\n> "),
         (r"(?i)</blockquote\s*>", "\n\n"),
     ]
 )
@@ -90,7 +97,6 @@ _INLINE_P = [  # \n replacements (Python twin)
     (p, j.replace("$1", "\\1").replace("$2", "\\2")) for p, j in _INLINE_J
 ]
 
-_TAG = r"(?s)<[^>]*>"
 _HWS = r"[ \t\r\f\x0B]+"  # horizontal whitespace (entity-decoded too)
 
 
@@ -105,10 +111,7 @@ def to_markdown_expr(col: Column) -> Column:
     for pat, rep in _INLINE_J:
         out = F.regexp_replace(out, pat, rep)
     out = F.regexp_replace(out, _TAG, " ")
-    for ent, rep in _ENTITIES_PRE:
-        out = F.replace(out, F.lit(ent), F.lit(rep))
-    out = _numeric_entities_expr(out)
-    out = F.replace(out, F.lit(_ENTITY_AMP[0]), F.lit(_ENTITY_AMP[1]))
+    out = decode_entities_expr(out)
     out = F.regexp_replace(out, _HWS, " ")
     out = F.regexp_replace(out, r" *\n *", "\n")
     out = F.regexp_replace(out, r"\n{3,}", "\n\n")
@@ -125,10 +128,7 @@ def to_markdown_python(html: str) -> str:
     for pat, rep in _INLINE_P:
         out = re.sub(pat, rep, out)
     out = re.sub(_TAG, " ", out)
-    for ent, rep in _ENTITIES_PRE:
-        out = out.replace(ent, rep)
-    out = _numeric_entities_python(out)
-    out = out.replace(*_ENTITY_AMP)
+    out = decode_entities_python(out)
     out = re.sub(_HWS, " ", out)
     out = re.sub(r" *\n *", "\n", out)
     out = re.sub(r"\n{3,}", "\n\n", out)

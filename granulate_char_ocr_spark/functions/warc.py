@@ -126,12 +126,18 @@ def build_warc(
 
 def _split_gzip_members(data: bytes) -> list[bytes]:
     """Decompress a concatenated-member gzip stream member by member
-    (the Common Crawl record framing)."""
+    (the Common Crawl record framing). memoryview keeps the per-member
+    tail slice O(1) — with plain bytes a 100k-record file re-copies the
+    whole remaining buffer per member, going quadratic."""
     out = []
+    view = memoryview(data)
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data[pos:]))
+        try:
+            out.append(d.decompress(view[pos:]))
+        except zlib.error as e:
+            raise ValueError(f"WARC: corrupt gzip member: {e}") from None
         if not d.eof:
             raise ValueError("WARC: truncated gzip member")
         pos = len(data) - len(d.unused_data)
@@ -150,6 +156,34 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked Transfer-Encoding framing: hex-size line,
+    chunk bytes, CRLF, …, terminated by a zero-size chunk (trailers
+    ignored). Real crawl captures carry this routinely."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(CRLF, pos)
+        if eol < 0:
+            raise ValueError("WARC: truncated chunked body (no size line)")
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            raise ValueError(
+                f"WARC: bad chunk size {size_token!r}"
+            ) from None
+        if size == 0:
+            return b"".join(out)
+        start = eol + 2
+        if start + size + 2 > len(body):
+            raise ValueError("WARC: truncated chunk payload")
+        out.append(body[start:start + size])
+        if body[start + size:start + size + 2] != CRLF:
+            raise ValueError("WARC: chunk not CRLF-terminated")
+        pos = start + size + 2
+
+
 def _parse_http(payload: bytes) -> tuple[int, str, bytes]:
     sep = payload.find(CRLF + CRLF)
     if sep < 0:
@@ -160,14 +194,20 @@ def _parse_http(payload: bytes) -> tuple[int, str, bytes]:
     if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
         raise ValueError("WARC: malformed HTTP status line")
     status = int(parts[1])
-    ct = _parse_headers(CRLF.join(lines[1:])).get("content-type", "")
+    headers = _parse_headers(CRLF.join(lines[1:]))
+    ct = headers.get("content-type", "")
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        return status, ct, _dechunk(body)
     # honor HTTP Content-Length when present (trailing junk is a
-    # malformed-capture reality; over-long declared lengths raise)
-    cl = _parse_headers(CRLF.join(lines[1:])).get("content-length")
+    # malformed-capture reality; over-long/negative declared lengths
+    # raise — a negative slice would silently CORRUPT the body)
+    cl = headers.get("content-length")
     if cl is not None:
         n = int(cl)
-        if n > len(body):
-            raise ValueError("WARC: HTTP body shorter than Content-Length")
+        if n < 0 or n > len(body):
+            raise ValueError(
+                "WARC: HTTP Content-Length outside body bounds"
+            )
         body = body[:n]
     return status, ct, body
 
@@ -190,16 +230,24 @@ def parse_warc(data: bytes) -> list[WarcRecord]:
             break
         if not stream.startswith(b"WARC/", pos):
             raise ValueError(f"WARC: expected version line at offset {pos}")
-        ver_end = stream.index(CRLF, pos)
+        ver_end = stream.find(CRLF, pos)
+        if ver_end < 0:
+            raise ValueError("WARC: truncated version line")
         ver = stream[pos:ver_end].decode("ascii")
         if ver not in ("WARC/1.0", "WARC/1.1"):
             raise ValueError(f"WARC: unsupported version {ver!r}")
-        hdr_end = stream.index(CRLF + CRLF, ver_end)
+        hdr_end = stream.find(CRLF + CRLF, ver_end)
+        if hdr_end < 0:
+            raise ValueError("WARC: truncated record header block")
         headers = _parse_headers(stream[ver_end + 2:hdr_end])
         try:
             length = int(headers["content-length"])
         except KeyError:
             raise ValueError("WARC: record missing Content-Length") from None
+        if length < 0:
+            # a negative length would step the cursor BACKWARD and
+            # re-parse the same record forever
+            raise ValueError("WARC: negative record Content-Length")
         body_start = hdr_end + 4
         if body_start + length > n:
             raise ValueError("WARC: truncated record payload")

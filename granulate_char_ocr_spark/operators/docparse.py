@@ -111,7 +111,9 @@ def build_warc_files(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         from granulate_char_ocr_spark.functions.warc import build_warc
 
-        pdf = pdf.sort_values(url_col)
+        # (url, html) sort: url alone leaves duplicate-url rows in
+        # upstream arrival order, which varies with partitioning
+        pdf = pdf.sort_values([url_col, html_col])
         pages = [
             (u, h.encode("utf-8"))
             for u, h in zip(pdf[url_col], pdf[html_col])
@@ -135,12 +137,13 @@ def warc_records(
 ) -> DataFrame:
     """1→N record explode over WARC files: (key, warc_bytes) ->
     (key, rec_index, rec_type, url, http_status, content_type, body) —
-    the web-scale ingest front door (Common Crawl arrives as WARC). The
-    per-record-gzip layout means each file splits into records without
-    a whole-file decompress buffer beyond one record; at cluster scale
-    the unit of parallelism is the FILE (binary source rows), so skew
-    follows file sizing, which the crawler already bounds (~1 GB). Body
-    stays ``binary`` — charset decode is the caller's step."""
+    the web-scale ingest front door (Common Crawl arrives as WARC).
+    Peak per-task memory is one file's DECOMPRESSED payload (parse_warc
+    materializes the member stream before splitting records); at
+    cluster scale the unit of parallelism is the FILE (binary source
+    rows), so both skew and memory follow file sizing, which the
+    crawler already bounds (~1 GB). Body stays ``binary`` — charset
+    decode is the caller's step."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from granulate_char_ocr_spark.functions.warc import parse_warc

@@ -16,6 +16,7 @@ kept iff NO rule fires):
 - scheme     — not http/https
 - ip_host    — dotted-quad IP literal host (no domain reputation)
 - port       — explicit port (content pages sit on default ports)
+- userinfo   — credentials in the authority (classic filter evasion)
 - blocklist  — adult/gambling/ad-tech token inside the host
 - tld        — spam-heavy top-level domain
 - digits     — >25% of host characters are digits (DGA-ish hosts)
@@ -52,13 +53,17 @@ BLOCK_EXTS = (
     "mp3", "mp4", "avi", "mov", "pdf",
 )
 
-# slices: one explicit character class each (Java/RE2-identical)
+# slices: one explicit character class each (Java/RE2-identical).
+# The authority may carry userinfo ('user:pass@host') — the greedy
+# optional '[^/?#]*@' skips past the LAST '@' so host rules can't be
+# evaded by planting credentials in front of a blocklisted host.
 _RE_SCHEME = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
-_RE_HOST = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)"
-_RE_PORT = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)"
+_RE_HOST = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]*)"
+_RE_PORT = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?[^/:?#]*:([0-9]+)"
 _RE_PATH = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
 _RE_QUERY = r"^[^?#]*\?([^#]*)"
 _RE_IP = r"^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$"
+_RE_USERINFO = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*@"
 
 
 def _rules(url: Column) -> list[tuple[str, Column]]:
@@ -84,6 +89,7 @@ def _rules(url: Column) -> list[tuple[str, Column]]:
         ("scheme", ~scheme.isin("http", "https")),
         ("ip_host", host.rlike(_RE_IP)),
         ("port", port != ""),
+        ("userinfo", url.rlike(_RE_USERINFO)),
         ("blocklist", block_host),
         ("tld", tld.isin(*BLOCK_TLDS)),
         (
@@ -151,6 +157,7 @@ def _sql_rules(url: str) -> list[tuple[str, str]]:
         ("scheme", f"{scheme} NOT IN ('http', 'https')"),
         ("ip_host", f"regexp_matches({host}, '{_RE_IP}')"),
         ("port", f"{port} <> ''"),
+        ("userinfo", f"regexp_matches({url}, '{_RE_USERINFO}')"),
         ("blocklist", f"({block})"),
         ("tld", f"{tld} IN ({tlds})"),
         (

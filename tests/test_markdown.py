@@ -39,6 +39,14 @@ CASES = [
     ("<ol><li>one</li><li>two</li></ol>", "- one\n- two"),
     # markdown metacharacters in text are NOT escaped (faithful-text)
     ("<p>a*b_c#d</p>", "a*b_c#d"),
+    # \b guards: <link>/<pre>/<param> are NOT <li>/<p> (phantom-bullet
+    # and fake-paragraph trap)
+    (
+        '<p>a</p><link rel="s" href="s.css"><p>b</p>',
+        "a\n\nb",
+    ),
+    ("<pre>x</pre><param name=\"y\">", "x"),
+    ("<hr><hreflang>z</hreflang>", "---\n\nz"),
 ]
 
 

@@ -31,6 +31,10 @@ RULE_CASES = [
     # combos report every fired rule in rule order
     ("ftp://casino.example.top:21/x.zip?a=1&b=2&c=3&d=4&e=5", False,
      "scheme,port,blocklist,tld,extension,query_spam"),
+    # credentials can't shield a blocklisted host (host = after last @)
+    ("https://a:b@casino-winbig.example.top/x", False,
+     "userinfo,blocklist,tld"),
+    ("https://user@news.example.com/p/1", False, "userinfo"),
 ]
 
 

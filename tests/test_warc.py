@@ -101,6 +101,72 @@ def test_http_body_shorter_than_declared_raises():
         warc.parse_warc(rec)
 
 
+def test_negative_warc_content_length_raises():
+    # a negative length would move the record cursor BACKWARD — the
+    # crafted-input infinite-loop case
+    import re as _re
+
+    plain = warc.build_warc(_pages(1), compress=False)
+    bad = _re.sub(rb"Content-Length: (\d+)", rb"Content-Length: -\1",
+                  plain, count=1)
+    assert b"Content-Length: -" in bad
+    with pytest.raises(ValueError, match="negative|Content-Length"):
+        warc.parse_warc(bad)
+
+
+def test_negative_http_content_length_raises():
+    payload = b"HTTP/1.1 200 OK\r\nContent-Length: -3\r\n\r\nhello"
+    rec = warc._record_bytes(
+        [
+            ("WARC-Type", "response"),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        payload,
+    )
+    with pytest.raises(ValueError, match="Content-Length"):
+        warc.parse_warc(rec)
+
+
+def test_chunked_transfer_encoding_decoded():
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    )
+    rec = warc._record_bytes(
+        [
+            ("WARC-Type", "response"),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        payload,
+    )
+    assert warc.parse_warc(rec)[0].body == b"hello world"
+
+
+def test_truncated_chunk_raises():
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhel"
+    )
+    rec = warc._record_bytes(
+        [
+            ("WARC-Type", "response"),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        payload,
+    )
+    with pytest.raises(ValueError, match="chunk"):
+        warc.parse_warc(rec)
+
+
+def test_corrupt_gzip_member_is_valueerror():
+    # error-contract: corruption surfaces as ValueError-with-reason,
+    # never a bare zlib.error
+    data = warc.build_warc(_pages(1)) + b"\x1f\x8bNOTGZIP" + b"\x00" * 20
+    with pytest.raises(ValueError, match="gzip"):
+        warc.parse_warc(data)
+
+
 def test_unsupported_version_rejected():
     plain = warc.build_warc(_pages(1), compress=False)
     with pytest.raises(ValueError, match="version"):
