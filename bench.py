@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "warc_extract_docs",
     "markdown_convert_docs",
     "url_filter_docs",
+    "crawl_diff_docs",
+    "robots_filter_docs",
     "vocab_kmv_docs",
     "winnow_fingerprints_docs",
     "clean_corpus_manifest",

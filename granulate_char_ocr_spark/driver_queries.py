@@ -259,10 +259,18 @@ def cascade_case_lineitem(spark, sf_dir):
     )
 
 
-@q(
-    "confusion_matrix_docs",
-    "SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source",
+# (confusion_matrix_docs left the 50-entry gate window in r4 for
+# robots_filter_docs: the A8 pairwise grouped count stays gate-visible
+# via ocr_eval_metrics (lineage.evaluate's char-level expected↔got
+# compare) and url_filter_docs'/quality_filter_docs' grouped outputs,
+# and the exact parity stays pinned by
+# tests/test_crawl.py::test_confusion_matrix_docs against the oracle
+# below.)
+CONFUSION_MATRIX_ORACLE = (
+    "SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source"
 )
+
+
 def confusion_matrix_docs(spark, sf_dir):
     """Pairwise grouped count — the expected→recognized confusion matrix
     shape (SURVEY §2.4 A8)."""
@@ -271,13 +279,19 @@ def confusion_matrix_docs(spark, sf_dir):
     )
 
 
-@q(
-    "anti_join_inactive_customers",
-    """
+# (anti_join_inactive_customers left the 50-entry gate window in r4 for
+# crawl_diff_docs: E1 difference semantics stay gate-visible via
+# crawl_diff_docs' 'removed'/'added' legs (full-outer null sides) and
+# decontaminate_docs' hit-exclusion, and the exact left-anti parity
+# stays pinned by tests/test_crawl.py::test_anti_join_inactive_customers
+# against the oracle below. It was also the weakest gate row: 0 rows at
+# the sf0.01 compare tier — every customer has orders there.)
+ANTI_JOIN_ORACLE = """
     SELECT c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
+    """
+
+
 def anti_join_inactive_customers(spark, sf_dir):
     """Left-anti join (SURVEY §2.7 E1 missing-chars difference)."""
     c = _t(spark, sf_dir, "customer")
@@ -1434,12 +1448,11 @@ def markdown_convert_docs(spark, sf_dir):
     return html_to_markdown(docs.select("doc_id", page.alias("html")))
 
 
-def _url_filter_sql() -> str:
-    from granulate_char_ocr_spark.operators.urlfilter import (
-        url_quality_oracle_sql,
-    )
-
-    url_sql = """
+# deterministic per-document URL synth shared by the crawl-frontier
+# gates (url_filter_docs, robots_filter_docs): branch mix covers hosts
+# with and without robots/blocklist hits, IP literals, digit-heavy
+# hosts, asset/deep paths, ports, query spam and a non-http scheme.
+_SYNTH_URL_SQL = """
       (CASE WHEN doc_id % 16 = 9 THEN 'ftp' ELSE 'https' END) || '://' ||
       (CASE doc_id % 8
          WHEN 0 THEN 'news.example.com'
@@ -1457,26 +1470,10 @@ def _url_filter_sql() -> str:
          ELSE '/p/' || CAST(doc_id AS VARCHAR) END) ||
       (CASE WHEN doc_id % 5 = 0 THEN '?a=1&b=2&c=3&d=4&e=5' ELSE '' END)
     """
-    host, keep, reasons = url_quality_oracle_sql("url")
-    return f"""
-    WITH u AS (SELECT doc_id, {url_sql} AS url FROM documents)
-    SELECT doc_id, url, {host} AS host, {keep} AS keep, {reasons} AS reasons
-    FROM u
-    """
 
 
-@q("url_filter_docs", _url_filter_sql())
-def url_filter_docs(spark, sf_dir):
-    """Crawl-frontier URL quality filter (r4): a deterministic URL is
-    synthesized per document — branch mix covers every rule (blocklist
-    host, IP literal, spam TLD, digit-heavy host, deep path, asset
-    extension, query spam, non-http scheme, explicit port) — and the
-    pure-codegen rule set (operators/urlfilter.py) must agree with the
-    byte-identical DuckDB rule set on keep + fired-reason list. One
-    scan, one projection, zero exchanges at any scale."""
-    from granulate_char_ocr_spark.operators.urlfilter import url_quality
-
-    docs = _t(spark, sf_dir, "documents")
+def _synth_url_expr():
+    """Spark twin of _SYNTH_URL_SQL (same branch mix, same strings)."""
     did = F.col("doc_id")
     m8, m16 = F.pmod(did, F.lit(8)), F.pmod(did, F.lit(16))
     host = (
@@ -1508,7 +1505,7 @@ def url_filter_docs(spark, sf_dir):
         .when(m8 == 6, F.lit("/a/b/c/d/e/f/g/h"))
         .otherwise(F.concat(F.lit("/p/"), did.cast("string")))
     )
-    url = F.concat(
+    return F.concat(
         F.when(m16 == 9, F.lit("ftp")).otherwise(F.lit("https")),
         F.lit("://"),
         host,
@@ -1517,8 +1514,178 @@ def url_filter_docs(spark, sf_dir):
         F.when(F.pmod(did, F.lit(5)) == 0, F.lit("?a=1&b=2&c=3&d=4&e=5"))
         .otherwise(F.lit("")),
     )
+
+
+def _url_filter_sql() -> str:
+    from granulate_char_ocr_spark.operators.urlfilter import (
+        url_quality_oracle_sql,
+    )
+
+    host, keep, reasons = url_quality_oracle_sql("url")
+    return f"""
+    WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
+    SELECT doc_id, url, {host} AS host, {keep} AS keep, {reasons} AS reasons
+    FROM u
+    """
+
+
+@q("url_filter_docs", _url_filter_sql())
+def url_filter_docs(spark, sf_dir):
+    """Crawl-frontier URL quality filter (r4): a deterministic URL is
+    synthesized per document — branch mix covers every rule (blocklist
+    host, IP literal, spam TLD, digit-heavy host, deep path, asset
+    extension, query spam, non-http scheme, explicit port) — and the
+    pure-codegen rule set (operators/urlfilter.py) must agree with the
+    byte-identical DuckDB rule set on keep + fired-reason list. One
+    scan, one projection, zero exchanges at any scale."""
+    from granulate_char_ocr_spark.operators.urlfilter import url_quality
+
+    docs = _t(spark, sf_dir, "documents")
     return url_quality(
-        docs.select("doc_id", url.alias("url")), keep_cols=("doc_id",)
+        docs.select("doc_id", _synth_url_expr().alias("url")),
+        keep_cols=("doc_id",),
+    )
+
+
+@q(
+    "crawl_diff_docs",
+    """
+    WITH old AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, text AS content
+      FROM documents WHERE doc_id % 10 <> 0),
+    new AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' updated'
+                  ELSE text END AS content
+      FROM documents WHERE doc_id % 7 <> 0)
+    SELECT coalesce(o.url, n.url) AS url,
+           CASE WHEN o.url IS NULL THEN 'added'
+                WHEN n.url IS NULL THEN 'removed'
+                WHEN o.content = n.content THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           length(o.content) AS old_len, length(n.content) AS new_len
+    FROM old o FULL OUTER JOIN new n ON o.url = n.url
+    """,
+)
+def crawl_diff_docs(spark, sf_dir):
+    """Incremental-crawl snapshot diff (r4): two synthetic snapshots of
+    the corpus (pages added, removed, edited) classified by ONE
+    full-outer join (operators/crawl.snapshot_diff) — the recrawl stage
+    that decides what re-enters the pipeline. The oracle is DuckDB's
+    native FULL OUTER JOIN with the same classification."""
+    from granulate_char_ocr_spark.operators.crawl import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url")
+    old = docs.filter(F.pmod("doc_id", F.lit(10)) != 0).select(
+        url, F.col("text").alias("content")
+    )
+    new = docs.filter(F.pmod("doc_id", F.lit(7)) != 0).select(
+        url,
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.concat(F.col("text"), F.lit(" updated")),
+        )
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    return snapshot_diff(old, new)
+
+
+# robots.txt corpus for robots_filter_docs: one file per named host,
+# exercising the parse corners — comments, field-name case, a
+# multi-UA run containing '*' (rules must apply), an agent-specific
+# group (rules must NOT apply), an empty Disallow (allow-all), a
+# Disallow-everything file, and a rule BEFORE any User-agent line
+# (outside any group → ignored per RFC 9309).
+_ROBOTS_FILES = [
+    (
+        "news.example.com",
+        "# site robots\nUser-agent: googlebot\nDisallow: /g-only/\n\n"
+        "User-agent: *\nDisallow: /p/1\ndisallow: /private/\n",
+    ),
+    (
+        "blog.example.org",
+        "User-agent: badbot\nUser-agent: *\nDisallow: /p/2\n",
+    ),
+    ("casino-winbig.example.com", "User-agent: *\nDisallow: /\n"),
+    ("files.example.com", "User-agent: *\nDisallow:\n"),
+    (
+        "deep.example.com",
+        "Disallow: /a/\nUser-agent: *\nDisallow: /a/b/c\n",
+    ),
+    ("shop.example.top", "User-agent: googlebot\nDisallow: /\n"),
+]
+
+# the *-group rules the files above must parse to — the oracle derives
+# `allowed` from THIS list, so the relational parse is validated against
+# an independent statement of intent, not a mirrored transform
+_ROBOTS_EXPECTED_RULES = [
+    ("news.example.com", "/p/1"),
+    ("news.example.com", "/private/"),
+    ("blog.example.org", "/p/2"),
+    ("casino-winbig.example.com", "/"),
+    ("deep.example.com", "/a/b/c"),
+]
+
+
+def _robots_filter_sql() -> str:
+    vals = ", ".join(
+        f"('{h}', '{d}')" for h, d in _ROBOTS_EXPECTED_RULES
+    )
+    path = (
+        "regexp_extract(url, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    )
+    return f"""
+    WITH u AS (
+      SELECT doc_id, {_SYNTH_URL_SQL} AS url,
+             regexp_extract({_SYNTH_URL_SQL},
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]*)', 1)
+               AS host
+      FROM documents),
+    r AS (SELECT * FROM (VALUES {vals}) t(host, disallow))
+    SELECT doc_id, url, host,
+           NOT EXISTS (
+             SELECT 1 FROM r
+             WHERE r.host = u.host
+               AND starts_with(
+                     CASE WHEN {path} = '' THEN '/' ELSE {path} END,
+                     r.disallow)
+           ) AS allowed
+    FROM u
+    """
+
+
+@q("robots_filter_docs", _robots_filter_sql())
+def robots_filter_docs(spark, sf_dir):
+    """robots.txt compliance (r4): per-host robots.txt TEXT is parsed
+    RELATIONALLY (operators/crawl.robots_rules — line explode +
+    UA-run window grouping, no Python), then URLs join the broadcast
+    rule table (apply_robots). The oracle derives `allowed` from an
+    independent statement of each file's intended '*-group rules, so
+    the parse itself is under the value hash. Parse corners covered:
+    comments, field case, multi-UA runs, agent-specific groups,
+    empty Disallow, pre-group rules."""
+    from granulate_char_ocr_spark.operators.crawl import (
+        apply_robots,
+        robots_rules,
+    )
+    from granulate_char_ocr_spark.operators.urlfilter import _RE_HOST
+
+    docs = _t(spark, sf_dir, "documents")
+    robots = spark.createDataFrame(
+        _ROBOTS_FILES, "host string, robots_txt string"
+    )
+    rules = robots_rules(robots)
+    url = _synth_url_expr()
+    urls = docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(url, _RE_HOST, 1).alias("host"),
+    )
+    return apply_robots(urls, rules).select(
+        "doc_id", "url", "host", "allowed"
     )
 
 

@@ -1,0 +1,209 @@
+"""Crawl-maintenance operators: snapshot diff (full-outer), relational
+robots.txt parse + apply, gate parity, and the r4 demotion parities."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from granulate_char_ocr_spark.operators.crawl import (
+    apply_robots,
+    robots_rules,
+    snapshot_diff,
+)
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("a", "1"), ("b", "2"), ("c", "3")], "url string, content string"
+    )
+    new = spark.createDataFrame(
+        [("b", "2"), ("c", "3x"), ("d", "4")], "url string, content string"
+    )
+    got = {r.url: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "a": "removed", "b": "unchanged", "c": "changed", "d": "added",
+    }
+
+
+def test_snapshot_diff_lengths_null_on_missing_side(spark):
+    old = spark.createDataFrame([("a", "xyz")], "url string, content string")
+    new = spark.createDataFrame([("b", "12")], "url string, content string")
+    rows = {r.url: r for r in snapshot_diff(old, new).collect()}
+    assert rows["a"].old_len == 3 and rows["a"].new_len is None
+    assert rows["b"].old_len is None and rows["b"].new_len == 2
+
+
+ROBOTS_CASES = [
+    # (robots_txt, expected *-group disallow set)
+    ("User-agent: *\nDisallow: /x\n", {"/x"}),
+    # field-name case + comments + surrounding whitespace
+    ("# hi\nuser-agent: *  # star\n  DISALLOW:  /y  \n", {"/y"}),
+    # multi-UA run: '*' anywhere in the run governs the group
+    ("User-agent: *\nUser-agent: googlebot\nDisallow: /z\n", {"/z"}),
+    ("User-agent: googlebot\nUser-agent: *\nDisallow: /z\n", {"/z"}),
+    # agent-specific group only → no *-rules
+    ("User-agent: googlebot\nDisallow: /g\n", set()),
+    # a second group RESETS membership: /b belongs to googlebot only
+    (
+        "User-agent: *\nDisallow: /a\n\nUser-agent: googlebot\n"
+        "Disallow: /b\n",
+        {"/a"},
+    ),
+    # empty Disallow value = allow-all (no rule emitted)
+    ("User-agent: *\nDisallow:\n", set()),
+    # rules before any UA line are outside any group → ignored
+    ("Disallow: /early\nUser-agent: *\nDisallow: /late\n", {"/late"}),
+]
+
+
+@pytest.mark.parametrize("txt,want", ROBOTS_CASES)
+def test_robots_rules_parse(spark, txt, want):
+    df = spark.createDataFrame(
+        [("h", txt)], "host string, robots_txt string"
+    )
+    got = {r.disallow for r in robots_rules(df).collect()}
+    assert got == want
+
+
+def test_apply_robots_prefix_and_missing_host(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://h/a/b", "h"),
+            (2, "https://h/c", "h"),
+            (3, "https://other/a/b", "other"),  # no robots → allowed
+            (4, "https://h", "h"),  # empty path → '/'
+        ],
+        "doc_id int, url string, host string",
+    )
+    rules = spark.createDataFrame(
+        [("h", "/a")], "host string, disallow string"
+    )
+    got = {r.doc_id: r.allowed for r in apply_robots(urls, rules).collect()}
+    assert got == {1: False, 2: True, 3: True, 4: True}
+
+
+def test_disallow_root_blocks_everything(spark):
+    urls = spark.createDataFrame(
+        [(1, "https://h/any/path", "h"), (2, "https://h", "h")],
+        "doc_id int, url string, host string",
+    )
+    rules = spark.createDataFrame(
+        [("h", "/")], "host string, disallow string"
+    )
+    got = {r.doc_id: r.allowed for r in apply_robots(urls, rules).collect()}
+    assert got == {1: False, 2: False}
+
+
+def test_apply_robots_broadcasts_rules(spark):
+    urls = spark.createDataFrame(
+        [(1, "https://h/a", "h")], "doc_id int, url string, host string"
+    )
+    rules = spark.createDataFrame(
+        [("h", "/a")], "host string, disallow string"
+    )
+    plan = (
+        apply_robots(urls, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def _duck_docs(sf):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    return con
+
+
+def test_crawl_diff_docs_parity(spark):
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.QUERIES["crawl_diff_docs"](
+            spark, sf
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in _duck_docs(sf)
+        .execute(driver_queries.ORACLES["crawl_diff_docs"])
+        .fetchall()
+    }
+    assert got == want
+    statuses = {s for _, s, _, _ in got}
+    assert statuses == {"added", "removed", "changed", "unchanged"}
+
+
+def test_robots_filter_docs_parity(spark):
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.QUERIES["robots_filter_docs"](
+            spark, sf
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in _duck_docs(sf)
+        .execute(driver_queries.ORACLES["robots_filter_docs"])
+        .fetchall()
+    }
+    assert got == want
+    # both outcomes occur, and the casino host is fully blocked
+    by_host = {}
+    for _, _, host, allowed in got:
+        by_host.setdefault(host, set()).add(allowed)
+    assert by_host["casino-winbig.example.com"] == {False}
+    assert by_host["shop.example.top"] == {True}
+    assert by_host["news.example.com"] == {True, False}
+
+
+def test_anti_join_inactive_customers(spark):
+    """E1 left-anti (left the 50-entry gate for crawl_diff_docs in r4;
+    difference semantics stay gate-visible via crawl_diff's null
+    sides): exact DuckDB parity at sf0.001 — the tier where the result
+    is non-empty, unlike the 0-row sf0.01 gate row it replaces."""
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.anti_join_inactive_customers(
+            spark, sf
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.ANTI_JOIN_ORACLE).fetchall()
+    }
+    assert got == want
+
+
+def test_confusion_matrix_docs(spark):
+    """A8 pairwise grouped count (left the 50-entry gate for
+    robots_filter_docs in r4; stays gate-visible via ocr_eval_metrics):
+    exact DuckDB parity."""
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.confusion_matrix_docs(spark, sf).collect()
+    }
+    want = {
+        tuple(r)
+        for r in _duck_docs(sf)
+        .execute(driver_queries.CONFUSION_MATRIX_ORACLE)
+        .fetchall()
+    }
+    assert got == want
