@@ -126,6 +126,43 @@ def robots_rules(
     )
 
 
+def sitemap_urls(
+    df: DataFrame, xml_col: str = "sitemap_xml", key_col: str = "host"
+) -> DataFrame:
+    """(key, sitemap_xml) -> (key, loc, lastmod): the <url> entries of a
+    sitemap (sitemaps.org schema), parsed as pure column expressions —
+    extract <url> blocks, then each block's <loc>/<lastmod> (lastmod
+    NULL when absent). Namespace prefixes and attribute noise inside
+    the tags are not handled (the published schema doesn't prefix these
+    elements); <sitemapindex> files yield zero rows here — feed their
+    child sitemaps back through this operator."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?is)<url>(.*?)</url>"), 1
+    )
+    entries = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_extract(
+                b, r"(?is)<loc>[ \t\r\n]*([^<]*?)[ \t\r\n]*</loc>", 1
+            ).alias("loc"),
+            F.regexp_extract(
+                b,
+                r"(?is)<lastmod>[ \t\r\n]*([^<]*?)[ \t\r\n]*</lastmod>",
+                1,
+            ).alias("lastmod"),
+        ),
+    )
+    return (
+        df.select(key_col, F.explode(entries).alias("_e"))
+        .select(
+            key_col,
+            F.col("_e.loc").alias("loc"),
+            F.nullif(F.col("_e.lastmod"), F.lit("")).alias("lastmod"),
+        )
+        .filter(F.col("loc") != "")
+    )
+
+
 def apply_robots(
     urls: DataFrame,
     rules: DataFrame,

@@ -183,6 +183,39 @@ def warc_records(
     )
 
 
+def decode_bodies(
+    df: DataFrame,
+    payload_col: str = "body",
+    ct_col: str = "content_type",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(key, body_bytes, content_type) -> (key, text): charset-sniffed
+    decode of crawled HTML bodies (functions/charset.py — BOM → HTTP
+    charset= → <meta charset> prescan → UTF-8 try → windows-1252
+    fallback). Real captures are not all UTF-8; a plain
+    ``F.decode(body, 'UTF-8')`` mangles every legacy-encoded page.
+    Arrow-batched; never raises (replacement chars mark label lies)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.charset import decode_body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "text": [
+                        decode_body(bytes(b), ct or "")
+                        for b, ct in zip(pdf[payload_col], pdf[ct_col])
+                    ],
+                }
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col, payload_col, ct_col).mapInPandas(
+        fn, schema=f"{key_col} {key_type}, text string"
+    )
+
+
 def pdf_pages(
     df: DataFrame, payload_col: str = "payload", key_col: str = "doc_id"
 ) -> DataFrame:
