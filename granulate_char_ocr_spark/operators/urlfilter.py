@@ -172,6 +172,115 @@ def _sql_rules(url: str) -> list[tuple[str, str]]:
     ]
 
 
+# query parameters that never change page content (session/campaign
+# tracking) — dropped during canonicalization
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "ref",
+)
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """RFC 3986-style URL canonicalization as pure column expressions —
+    the prerequisite for URL-level dedup (the same page arrives under
+    scheme-case, default-port, fragment, tracking-param and
+    param-order variants). Steps, each deterministic:
+
+    1. lowercase scheme and host (authority userinfo preserved as-is);
+    2. strip default ports (:80 for http, :443 for https);
+    3. drop the fragment;
+    4. drop tracking query params (TRACKING_PARAMS, exact-name match);
+    5. sort surviving query params bytewise (order never matters
+       server-side; sorting makes variants collide);
+    6. drop a now-empty query; strip one trailing slash from non-root
+       paths ('/a/' ≡ '/a' for dedup purposes — documented choice).
+
+    Percent-encoding is NOT normalized (decoding reserved characters
+    changes meaning; decoding only unreserved ones is rarely load-
+    bearing for dedup and is documented out of scope)."""
+    scheme = F.lower(F.regexp_extract(url, _RE_SCHEME, 1))
+    after = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^#]*)", 1
+    )  # authority+path+query, fragment gone
+    authority = F.regexp_extract(after, r"^([^/?]*)", 1)
+    pathq = F.substring(after, F.length(authority) + 1, F.lit(1 << 30))
+    userinfo = F.regexp_extract(authority, r"^([^@]*@)", 1)
+    hostport = F.lower(
+        F.regexp_replace(authority, r"^[^@]*@", "")
+    )
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    drop_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    norm_auth = F.concat(
+        userinfo, F.when(drop_port, host).otherwise(hostport)
+    )
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.when(
+        pathq.contains("?"), F.regexp_replace(pathq, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~F.regexp_extract(p, r"^([^=]*)", 1).isin(*TRACKING_PARAMS),
+        )
+    )
+    norm_q = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    norm_path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    return F.concat(scheme, F.lit("://"), norm_auth, norm_path, norm_q)
+
+
+def canonical_url_sql(url: str) -> str:
+    """DuckDB mirror of canonical_url_expr (byte-identical steps)."""
+    scheme = f"lower(regexp_extract({url}, '{_RE_SCHEME}', 1))"
+    after = (
+        f"regexp_extract({url}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^#]*)', 1)"
+    )
+    authority = f"regexp_extract({after}, '^([^/?]*)', 1)"
+    pathq = f"{after}[length({authority}) + 1:]"
+    userinfo = f"regexp_extract({authority}, '^([^@]*@)', 1)"
+    hostport = f"lower(regexp_replace({authority}, '^[^@]*@', ''))"
+    host = f"regexp_extract({hostport}, '^([^:]*)', 1)"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    drop_port = (
+        f"(({scheme} = 'http' AND {port} = '80') OR "
+        f"({scheme} = 'https' AND {port} = '443') OR {port} = '')"
+    )
+    norm_auth = (
+        f"({userinfo} || CASE WHEN {drop_port} THEN {host} "
+        f"ELSE {hostport} END)"
+    )
+    path = f"regexp_extract({pathq}, '^([^?]*)', 1)"
+    query = (
+        f"CASE WHEN contains({pathq}, '?') "
+        f"THEN regexp_replace({pathq}, '^[^\\?]*\\?', '') ELSE '' END"
+    )
+    params = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    kept = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_extract(p, '^([^=]*)', 1) "
+        f"IN ({params})))"
+    )
+    norm_q = (
+        f"CASE WHEN len({kept}) > 0 "
+        f"THEN '?' || array_to_string({kept}, '&') ELSE '' END"
+    )
+    norm_path = (
+        f"CASE WHEN length({path}) > 1 AND ends_with({path}, '/') "
+        f"THEN {path}[1:length({path}) - 1] ELSE {path} END"
+    )
+    return f"({scheme} || '://' || {norm_auth} || {norm_path} || {norm_q})"
+
+
 def url_quality_oracle_sql(url: str) -> tuple[str, str, str]:
     """(host_sql, keep_sql, reasons_sql) for a URL expression — the
     oracle side of ``url_quality``."""

@@ -107,6 +107,89 @@ def test_url_filter_docs_parity(spark):
             "depth", "extension", "query_spam"} <= fired
 
 
+CANON_CASES = [
+    # (raw, canonical)
+    ("HTTPS://News.Example.COM/p/1", "https://news.example.com/p/1"),
+    ("https://h.example.com:443/a", "https://h.example.com/a"),
+    ("http://h.example.com:80/a", "http://h.example.com/a"),
+    ("https://h.example.com:8443/a", "https://h.example.com:8443/a"),
+    ("https://h.example.com/a#frag", "https://h.example.com/a"),
+    ("https://h.example.com/a/", "https://h.example.com/a"),
+    ("https://h.example.com/", "https://h.example.com/"),
+    (
+        "https://h.example.com/a?utm_source=x&b=2&a=1&gclid=99",
+        "https://h.example.com/a?a=1&b=2",
+    ),
+    (
+        "https://h.example.com/a?utm_source=x&fbclid=1",
+        "https://h.example.com/a",
+    ),
+    # param ORDER collides after sort
+    ("https://h.example.com/a?b=2&a=1", "https://h.example.com/a?a=1&b=2"),
+    # userinfo preserved, host still lowercased
+    ("https://U:p@H.example.com/a", "https://U:p@h.example.com/a"),
+    # percent-encoding untouched (documented out of scope)
+    ("https://h.example.com/a%2Fb", "https://h.example.com/a%2Fb"),
+]
+
+
+def test_canonical_url_spark_and_duckdb(spark):
+    """Canonicalization: Spark expr and DuckDB mirror agree with the
+    expected canonical form on every case."""
+    from granulate_char_ocr_spark.operators.urlfilter import (
+        canonical_url_expr,
+        canonical_url_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CANON_CASES)],
+        "i int, url string",
+    )
+    got = {
+        r.i: r.canon
+        for r in df.select(
+            "i", canonical_url_expr(F.col("url")).alias("canon")
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            f"SELECT i, {canonical_url_sql('url')} AS canon FROM "
+            "(SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({i}, '{u}')" for i, (u, _) in enumerate(CANON_CASES)
+            )
+            + ") t(i, url))"
+        ).fetchall()
+    )
+    for i, (raw, want) in enumerate(CANON_CASES):
+        assert got[i] == want, raw
+        assert duck[i] == want, raw
+
+
+def test_canonical_url_collides_variants(spark):
+    """The whole point: every variant of one page canonicalizes to ONE
+    key (URL-level dedup readiness)."""
+    from granulate_char_ocr_spark.operators.urlfilter import (
+        canonical_url_expr,
+    )
+
+    variants = [
+        "https://News.example.com/story/",
+        "HTTPS://news.example.com:443/story",
+        "https://news.example.com/story#top",
+        "https://news.example.com/story?utm_source=feed",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    keys = {
+        r.canon
+        for r in df.select(
+            canonical_url_expr(F.col("url")).alias("canon")
+        ).collect()
+    }
+    assert keys == {"https://news.example.com/story"}
+
+
 def test_zero_exchange_plan(spark):
     """One scan → one projection: no Exchange anywhere in the plan."""
     from granulate_char_ocr_spark import driver_queries
