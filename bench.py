@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "url_filter_docs",
     "crawl_diff_docs",
     "robots_filter_docs",
+    "web_corpus_manifest",
     "vocab_kmv_docs",
     "winnow_fingerprints_docs",
     "clean_corpus_manifest",

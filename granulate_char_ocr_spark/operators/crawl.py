@@ -120,7 +120,9 @@ def robots_rules(
         # group has gid 0)
     )
     return (
-        disallows.join(star_groups, [host_col, "gid"])
+        # star_groups is per-host-per-group — always tiny; broadcast
+        # keeps the parse free of a sort-merge exchange pair
+        disallows.join(F.broadcast(star_groups), [host_col, "gid"])
         .select(host_col, F.col("value").alias("disallow"))
         .distinct()
     )

@@ -165,6 +165,57 @@ def test_robots_filter_docs_parity(spark):
     assert by_host["news.example.com"] == {True, False}
 
 
+def test_web_corpus_manifest_parity(spark):
+    """Flagship composition (frontier → robots → canonical dedup →
+    WARC fetch → extract) vs the full-chain SQL oracle at sf0.001."""
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.QUERIES["web_corpus_manifest"](
+            spark, sf
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in _duck_docs(sf)
+        .execute(driver_queries.ORACLES["web_corpus_manifest"])
+        .fetchall()
+    }
+    assert got == want
+    # the mirror snapshot must vanish at the canonical-dedup stage
+    assert all(doc_id < 1000000 for doc_id, _, _ in got)
+    # robots bit: news.example.com pages under /p/1* are gone while
+    # other news pages survive
+    paths = {u.rsplit("/", 1)[-1] for _, u, _ in got
+             if "news.example.com" in u}
+    assert paths and not any(p.startswith("1") for p in paths)
+
+
+def test_sessionize_events(spark):
+    """W1 gaps-and-islands (left the 50-entry gate for
+    web_corpus_manifest in r4; the shape stays gate-visible via
+    pack_sequences_docs' running-sum window): exact DuckDB parity."""
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in driver_queries.sessionize_events(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    con.execute("SET TimeZone = 'UTC'")
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.SESSIONIZE_ORACLE).fetchall()
+    }
+    assert got == want
+
+
 def test_anti_join_inactive_customers(spark):
     """E1 left-anti (left the 50-entry gate for crawl_diff_docs in r4;
     difference semantics stay gate-visible via crawl_diff's null
