@@ -20,7 +20,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
-    "sessionize_events",
     "asof_last_purchase_events",
     "tfidf_top_terms_docs",
     "decontaminate_docs",

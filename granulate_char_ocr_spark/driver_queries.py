@@ -1634,19 +1634,21 @@ _ROBOTS_EXPECTED_RULES = [
 
 
 def _robots_filter_sql() -> str:
+    # host/path slices interpolate the SHARED urlfilter regex constants
+    # so the oracle can never drift from the engine-side URL parse
+    from granulate_char_ocr_spark.operators.urlfilter import (
+        _RE_HOST,
+        _RE_PATH,
+    )
+
     vals = ", ".join(
         f"('{h}', '{d}')" for h, d in _ROBOTS_EXPECTED_RULES
     )
-    path = (
-        "regexp_extract(url, "
-        "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
-    )
+    path = f"regexp_extract(url, '{_RE_PATH}', 1)"
     return f"""
     WITH u AS (
       SELECT doc_id, {_SYNTH_URL_SQL} AS url,
-             regexp_extract({_SYNTH_URL_SQL},
-               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]*)', 1)
-               AS host
+             regexp_extract({_SYNTH_URL_SQL}, '{_RE_HOST}', 1) AS host
       FROM documents),
     r AS (SELECT * FROM (VALUES {vals}) t(host, disallow))
     SELECT doc_id, url, host,
@@ -1695,16 +1697,14 @@ def robots_filter_docs(spark, sf_dir):
 
 def _web_manifest_sql() -> str:
     from granulate_char_ocr_spark.operators.urlfilter import (
+        _RE_PATH,
         canonical_url_sql,
         url_quality_oracle_sql,
     )
 
     host_sql, keep_sql, _ = url_quality_oracle_sql("url")
     vals = ", ".join(f"('{h}', '{d}')" for h, d in _ROBOTS_EXPECTED_RULES)
-    path = (
-        "regexp_extract(url, "
-        "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
-    )
+    path = f"regexp_extract(url, '{_RE_PATH}', 1)"
     return rf"""
     WITH base AS (
       SELECT doc_id, {_SYNTH_URL_SQL} AS url, text FROM documents),

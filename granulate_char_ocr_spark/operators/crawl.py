@@ -38,17 +38,25 @@ def snapshot_diff(
     with status ∈ added | removed | changed | unchanged. One full-outer
     join; content equality is compared directly (engine-native string
     compare), lengths surfaced for audit."""
+    # presence is tracked with explicit markers, NOT content nullity: a
+    # snapshot row whose content is NULL is still PRESENT (it would
+    # otherwise misclassify as added/removed), and NULL↔NULL content
+    # must compare unchanged (eqNullSafe)
     o = old.select(
-        F.col(key_col).alias("_k"), F.col(content_col).alias("_old")
+        F.col(key_col).alias("_k"),
+        F.col(content_col).alias("_old"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(key_col).alias("_k"), F.col(content_col).alias("_new")
+        F.col(key_col).alias("_k"),
+        F.col(content_col).alias("_new"),
+        F.lit(True).alias("_in_new"),
     )
     j = o.join(n, "_k", "full_outer")
     status = (
-        F.when(F.col("_old").isNull(), F.lit("added"))
-        .when(F.col("_new").isNull(), F.lit("removed"))
-        .when(F.col("_old") == F.col("_new"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_old").eqNullSafe(F.col("_new")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return j.select(
@@ -99,6 +107,11 @@ def robots_rules(
     # line the id of the most recent UA-run START at-or-before it, then
     # keep Disallow lines whose group contains a '*' agent line — this
     # honors '*' anywhere in the run, not just as the last UA line.
+    # Blank and comment-only lines parse to field='' and are dropped
+    # BEFORE the windows: the RFC ignores them entirely, so they must
+    # not split a UA run (a '#' comment between two UA lines would
+    # otherwise sever the group and silently drop its rules).
+    fields = fields.filter(F.col("field") != "")
     w_ord = Window.partitionBy(host_col).orderBy("line_no")
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     is_ua = F.col("field") == "user-agent"
@@ -174,10 +187,12 @@ def apply_robots(
     """(…, url, host) × (host, disallow) -> (…, allowed): a URL is
     allowed iff NO ``*``-group disallow prefix matches its path. The
     rules side is broadcast (robots files are tiny relative to any
-    crawl), so the URL table never shuffles."""
-    path = F.regexp_extract(
-        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
-    )
+    crawl), so the URL table never shuffles. The path slice is the
+    SHARED urlfilter constant — the frontier rules and the robots
+    apply must parse URLs identically."""
+    from granulate_char_ocr_spark.operators.urlfilter import _RE_PATH
+
+    path = F.regexp_extract(F.col(url_col), _RE_PATH, 1)
     u = urls.withColumn("_path", F.when(path == "", "/").otherwise(path))
     r = F.broadcast(
         rules.groupBy(host_col).agg(

@@ -194,7 +194,8 @@ def decode_bodies(
     charset= → <meta charset> prescan → UTF-8 try → windows-1252
     fallback). Real captures are not all UTF-8; a plain
     ``F.decode(body, 'UTF-8')`` mangles every legacy-encoded page.
-    Arrow-batched; never raises (replacement chars mark label lies)."""
+    Arrow-batched; never raises (replacement chars mark label lies,
+    NULL bodies pass through as NULL text)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from granulate_char_ocr_spark.functions.charset import decode_body
@@ -204,7 +205,7 @@ def decode_bodies(
                 {
                     key_col: pdf[key_col],
                     "text": [
-                        decode_body(bytes(b), ct or "")
+                        None if b is None else decode_body(bytes(b), ct or "")
                         for b, ct in zip(pdf[payload_col], pdf[ct_col])
                     ],
                 }

@@ -232,10 +232,17 @@ def canonical_url_expr(url: Column) -> Column:
     norm_q = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
-    norm_path = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.substring(path, F.lit(1), F.length(path) - 1),
-    ).otherwise(path)
+    norm_path = (
+        # RFC 3986 §6.2.3: an empty http(s) path normalizes to '/' —
+        # 'https://h' and 'https://h/' are the same resource and must
+        # share one dedup key
+        F.when(path == "", F.lit("/"))
+        .when(
+            (F.length(path) > 1) & path.endswith("/"),
+            F.substring(path, F.lit(1), F.length(path) - 1),
+        )
+        .otherwise(path)
+    )
     return F.concat(scheme, F.lit("://"), norm_auth, norm_path, norm_q)
 
 
@@ -275,7 +282,8 @@ def canonical_url_sql(url: str) -> str:
         f"THEN '?' || array_to_string({kept}, '&') ELSE '' END"
     )
     norm_path = (
-        f"CASE WHEN length({path}) > 1 AND ends_with({path}, '/') "
+        f"CASE WHEN {path} = '' THEN '/' "
+        f"WHEN length({path}) > 1 AND ends_with({path}, '/') "
         f"THEN {path}[1:length({path}) - 1] ELSE {path} END"
     )
     return f"({scheme} || '://' || {norm_auth} || {norm_path} || {norm_q})"

@@ -93,6 +93,17 @@ def test_decode_bodies_operator(spark):
     assert got == {1: TEXT, 2: TEXT, 3: TEXT, 4: "plain ascii"}
 
 
+def test_decode_bodies_null_body_passes_through(spark):
+    from granulate_char_ocr_spark.operators.docparse import decode_bodies
+
+    df = spark.createDataFrame(
+        [(1, None, "text/html"), (2, bytearray(b"ok"), None)],
+        "doc_id int, body binary, content_type string",
+    )
+    got = {r.doc_id: r.text for r in decode_bodies(df).collect()}
+    assert got == {1: None, 2: "ok"}
+
+
 SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
 <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
   <url><loc>https://h/a</loc><lastmod>2026-01-02</lastmod></url>

@@ -25,6 +25,21 @@ def test_snapshot_diff_statuses(spark):
     }
 
 
+def test_snapshot_diff_null_content_is_presence_not_absence(spark):
+    """NULL content on a present row must not read as added/removed,
+    and NULL↔NULL compares unchanged (null-safe equality)."""
+    old = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", "x")],
+        "url string, content string",
+    )
+    new = spark.createDataFrame(
+        [("a", "x"), ("b", None), ("c", None)],
+        "url string, content string",
+    )
+    got = {r.url: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {"a": "changed", "b": "unchanged", "c": "changed"}
+
+
 def test_snapshot_diff_lengths_null_on_missing_side(spark):
     old = spark.createDataFrame([("a", "xyz")], "url string, content string")
     new = spark.createDataFrame([("b", "12")], "url string, content string")
@@ -53,6 +68,12 @@ ROBOTS_CASES = [
     ("User-agent: *\nDisallow:\n", set()),
     # rules before any UA line are outside any group → ignored
     ("Disallow: /early\nUser-agent: *\nDisallow: /late\n", {"/late"}),
+    # comments/blank lines are IGNORED — they must not sever a UA run
+    # (a severed run would silently drop the *-group rules)
+    ("User-agent: *\n# note\nUser-agent: b\nDisallow: /x\n", {"/x"}),
+    ("User-agent: *\n\nUser-agent: b\nDisallow: /y\n", {"/y"}),
+    # …but a RULE line does end the run: the second group is b-only
+    ("User-agent: *\nDisallow: /a\nUser-agent: b\nDisallow: /b\n", {"/a"}),
 ]
 
 

@@ -116,6 +116,8 @@ CANON_CASES = [
     ("https://h.example.com/a#frag", "https://h.example.com/a"),
     ("https://h.example.com/a/", "https://h.example.com/a"),
     ("https://h.example.com/", "https://h.example.com/"),
+    # RFC 3986 §6.2.3: empty path normalizes to '/' — same key as above
+    ("https://h.example.com", "https://h.example.com/"),
     (
         "https://h.example.com/a?utm_source=x&b=2&a=1&gclid=99",
         "https://h.example.com/a?a=1&b=2",
