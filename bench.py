@@ -38,12 +38,10 @@ BENCH_QUERIES = [
     "lang_id_docs",
     "bpe_token_count_docs",
     "mm_audio_features",
-    "quality_score_docs",
     "quality_filter_docs",
     "repetition_signals_docs",
     "charlm_perplexity_docs",
     "dsir_select_docs",
-    "html_extract_docs",
     "pdf_extract_docs",
     "warc_extract_docs",
     "markdown_convert_docs",
@@ -51,6 +49,8 @@ BENCH_QUERIES = [
     "crawl_diff_docs",
     "robots_filter_docs",
     "web_corpus_manifest",
+    "link_graph_hosts",
+    "pagerank_hosts",
     "vocab_kmv_docs",
     "winnow_fingerprints_docs",
     "clean_corpus_manifest",

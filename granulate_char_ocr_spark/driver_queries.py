@@ -1235,15 +1235,21 @@ def lang_id_docs(spark, sf_dir):
 # slot for html_extract_docs; textstats.token_count stays pytest-covered.)
 
 
-@q(
-    "html_extract_docs",
-    r"""
+# (html_extract_docs left the 50-entry gate window in r4 for
+# link_graph_hosts: the name-based HTML boilerplate strip stays
+# gate-visible via html_main_content_docs (density DOM heuristics run
+# AFTER the same strip cascade), markdown_convert_docs,
+# warc_extract_docs, and web_corpus_manifest; exact parity stays pinned
+# by tests/test_plans.py::test_html_extract_docs against the oracle
+# below.)
+HTML_EXTRACT_ORACLE = r"""
     SELECT doc_id,
            trim(regexp_replace(text, '[ \t\r\n\f\x0B]+', ' ', 'g'))
              AS main_text
     FROM documents
-    """,
-)
+    """
+
+
 def html_extract_docs(spark, sf_dir):
     """The north rule's "HTML boilerplate strip" leg: each document's text
     is entity-escaped into a full boilerplate page (head/title/style/
@@ -1839,9 +1845,163 @@ def web_corpus_manifest(spark, sf_dir):
     )
 
 
+# link-graph synth shared by link_graph_hosts / pagerank_hosts: 97 hosts
+# (prime → the functional links d -> (53d+7, 31d+11) mod 97 spread evenly),
+# hosts with src%13==5 publish NO outbound links (pure sinks → dangling
+# PageRank mass at every sf), self-loops excluded on both sides. The
+# Spark side of link_graph_hosts parses links out of REAL HTML (href
+# extraction + canonicalization); the oracle derives the same edges from
+# the arithmetic directly — an independent derivation, not a mirrored
+# transform.
+_LG_EDGE_SQL = """
+      (SELECT doc_id % 97 AS s, (53 * doc_id + 7) % 97 AS d1,
+              (31 * doc_id + 11) % 97 AS d2
+       FROM documents)
+"""
+_LG_EDGES = f"""
+      (SELECT s, d1 AS t FROM {_LG_EDGE_SQL} WHERE s % 13 <> 5 AND d1 <> s
+       UNION ALL
+       SELECT s, d2 AS t FROM {_LG_EDGE_SQL} WHERE s % 13 <> 5 AND d2 <> s)
+"""
+
+
+def _lg_host_expr(i):
+    return F.concat(F.lit("h"), i.cast("string"), F.lit(".example.com"))
+
+
+def _lg_parts():
+    did = F.col("doc_id")
+    src_i = F.pmod(did, F.lit(97))
+    dst1 = F.pmod(did * 53 + 7, F.lit(97))
+    dst2 = F.pmod(did * 31 + 11, F.lit(97))
+    sink = F.pmod(src_i, F.lit(13)) == 5
+    return did, src_i, dst1, dst2, sink
+
+
 @q(
-    "quality_score_docs",
+    "link_graph_hosts",
     f"""
+    SELECT 'h' || CAST(s AS VARCHAR) || '.example.com' AS src_host,
+           'h' || CAST(t AS VARCHAR) || '.example.com' AS dst_host,
+           count(*) AS n_links
+    FROM {_LG_EDGES} e
+    GROUP BY 1, 2
+    """,
+)
+def link_graph_hosts(spark, sf_dir):
+    """Host-level link-graph extraction (r4): each document becomes an
+    HTML page whose anchors carry canonicalization traps (scheme/host
+    case, default :443 port, tracking query param, fragment, plus a
+    relative href that must be dropped); operators/graph.link_edges
+    must recover exactly the edge multiset the oracle computes from
+    the doc_id arithmetic directly. One scan -> regexp extract ->
+    explode -> hash aggregate; zero joins, zero UDFs."""
+    from granulate_char_ocr_spark.operators.graph import link_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    did, src_i, dst1, dst2, sink = _lg_parts()
+    anchors = F.concat(
+        F.lit('<a class="x" href="HTTPS://H'),
+        dst1.cast("string"),
+        F.lit(".Example.COM:443/p/"),
+        did.cast("string"),
+        F.lit('?utm_source=feed">l1</a> <a href="https://h'),
+        dst2.cast("string"),
+        F.lit(".example.com/p/"),
+        did.cast("string"),
+        F.lit('#frag">l2</a> <a href="/local/nav">rel</a>'),
+    )
+    page = F.concat(
+        F.lit("<html><body><p>"),
+        F.substring(F.col("text"), 1, 40),
+        F.when(sink, F.lit("")).otherwise(anchors),
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select(
+        _lg_host_expr(src_i).alias("src_host"), page.alias("html")
+    )
+    return link_edges(pages)
+
+
+def _pagerank_oracle_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle: DuckDB disallows aggregates in
+    recursive CTE terms, so each iteration is its own CTE pair
+    (contributions, dangling mass) — byte-for-byte the same arithmetic
+    the Spark operator runs, generated for the same depth. Every CTE
+    is MATERIALIZED: each r{i} is referenced ~3x downstream, so the
+    default inlining expands the plan 3^iters-fold (minutes at depth
+    8); materialization keeps the oracle linear in depth."""
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        steps.append(
+            f"""
+    c{i} AS MATERIALIZED (
+      SELECT e.t AS v, sum(r.rank / g.outdeg) AS contrib
+      FROM edges e JOIN {p} r ON e.s = r.v JOIN deg g ON g.s = e.s
+      GROUP BY e.t),
+    g{i} AS MATERIALIZED (
+      SELECT coalesce(sum(r.rank), 0.0) AS dang
+      FROM {p} r LEFT JOIN deg g ON r.v = g.s WHERE g.s IS NULL),
+    r{i} AS MATERIALIZED (
+      SELECT n.v,
+             (1.0 - {damping}) / (SELECT n FROM nn)
+             + {damping} * (coalesce(c.contrib, 0.0)
+                            + (SELECT dang FROM g{i})
+                              / (SELECT n FROM nn)) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON n.v = c.v)"""
+        )
+    return (
+        f"""
+    WITH edges AS MATERIALIZED (SELECT DISTINCT s, t FROM {_LG_EDGES} e0),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT v
+      FROM (SELECT s AS v FROM edges UNION ALL SELECT t FROM edges)),
+    deg AS MATERIALIZED (
+      SELECT s, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY s),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT v, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),"""
+        + ",".join(steps)
+        + f"""
+    SELECT 'h' || CAST(v AS VARCHAR) || '.example.com' AS host,
+           round(rank, 6) AS rank
+    FROM r{iters}
+    """
+    )
+
+
+@q("pagerank_hosts", _pagerank_oracle_sql())
+def pagerank_hosts(spark, sf_dir):
+    """Damped PageRank over the synthesized host graph (r4): 8 power
+    iterations at d=0.85 with uniform dangling-mass redistribution
+    (operators/graph.pagerank — per iteration one equi-join of ranks
+    against the weighted edge table, one hash aggregate on dst, one
+    bounded global window for the dangling scalar). The oracle unrolls
+    the identical arithmetic as chained CTEs; ranks agree to float64
+    and are rounded at 6dp for the value hash. The sink hosts
+    (src%13==5) exercise the dangling leg at every sf."""
+    from granulate_char_ocr_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    _, src_i, dst1, dst2, sink = _lg_parts()
+    src_h = _lg_host_expr(src_i).alias("src_host")
+    e1 = docs.filter(~sink & (dst1 != src_i)).select(
+        src_h, _lg_host_expr(dst1).alias("dst_host")
+    )
+    e2 = docs.filter(~sink & (dst2 != src_i)).select(
+        src_h, _lg_host_expr(dst2).alias("dst_host")
+    )
+    pr = pagerank(e1.unionAll(e2), iterations=8, damping=0.85)
+    return pr.select("host", F.round("rank", 6).alias("rank"))
+
+
+# (quality_score_docs left the 50-entry gate window in r4 for
+# pagerank_hosts: the quality-scoring shape stays gate-visible via
+# quality_filter_docs' Gopher/C4 rules and the clean_corpus_manifest /
+# web_corpus_manifest quality legs; exact parity stays pinned by
+# tests/test_plans.py::test_quality_score_docs against the oracle below.)
+QUALITY_SCORE_ORACLE = f"""
     SELECT doc_id, n_chars_m, punct_ratio, stopword_ratio, mean_token_len,
            round(least(n_chars_m / 500.0, 1.0) * 0.4
                  + least(stopword_ratio * 5.0, 1.0) * 0.4
@@ -1856,8 +2016,9 @@ def web_corpus_manifest(spark, sf_dir):
              round((length(text) - (len(string_split(text, ' ')) - 1))
                    / greatest(len(string_split(text, ' ')), 1), 6) AS mean_token_len
       FROM documents) t
-    """,
-)
+    """
+
+
 def quality_score_docs(spark, sf_dir):
     return textstats.quality_score(_t(spark, sf_dir, "documents"))
 

@@ -325,6 +325,53 @@ def test_positional_zip_tokens(spark):
     assert got == want
 
 
+def test_quality_score_docs(spark):
+    """F22 quality scoring (left the 50-entry gate for pagerank_hosts in
+    r4; the shape stays gate-visible via quality_filter_docs and the
+    manifest quality legs): exact DuckDB parity."""
+    import duckdb
+
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r) for r in driver_queries.quality_score_docs(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.QUALITY_SCORE_ORACLE).fetchall()
+    }
+    assert got == want
+
+
+def test_html_extract_docs(spark):
+    """Name-based HTML boilerplate strip (left the 50-entry gate for
+    link_graph_hosts in r4; stays gate-visible via html_main_content_docs
+    / markdown_convert_docs / warc_extract_docs): exact DuckDB parity —
+    the synthetic page build AND the strip cascade both under test."""
+    import duckdb
+
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r) for r in driver_queries.html_extract_docs(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.HTML_EXTRACT_ORACLE).fetchall()
+    }
+    assert got == want
+
+
 def _duck_events(sf):
     import duckdb
 
