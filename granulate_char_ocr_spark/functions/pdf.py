@@ -793,3 +793,142 @@ def decode_pdf_text_layout(data: bytes) -> str:
     """PDF bytes -> text in reading order — the layout-parse twin of
     decode_pdf_text (which reads in draw order)."""
     return "\n".join(decode_pdf_layout_pages(data))
+
+
+# --- scanned pages: image XObjects -------------------------------------------
+# Real scanner/copier output is a PDF whose pages contain no text layer at
+# all — each page is one /Subtype /Image XObject drawn full-page, stored
+# with the filters ISO 32000-1 §7.4 defines for raster data: DCTDecode
+# (the stream body IS a complete JFIF/JPEG codestream), CCITTFaxDecode
+# (a bare T.6/G4 codestream parameterized by /DecodeParms) or FlateDecode
+# (raw samples, zlib). This is the input the north rule's OCR path exists
+# for; the writer below produces the classic layout scanners emit (PDF
+# 1.4 table — the text path already exercises 1.5 xref/ObjStm machinery,
+# and the image extractor walks streams layout-agnostically either way).
+
+_SCAN_MEDIA = b"/MediaBox [0 0 %d %d]"
+
+
+def encode_pdf_scanned(
+    img: "np.ndarray", image_filter: str = "FlateDecode", quality: int = 95
+) -> bytes:
+    """uint8 grayscale page image -> a single-page scanned PDF (no text
+    layer): one /Image XObject drawn full-page via ``cm`` + ``Do``.
+
+    ``image_filter``: FlateDecode (lossless raw gray), DCTDecode (a real
+    JPEG codestream from functions/jpeg at ``quality``), or
+    CCITTFaxDecode (G4/T.6 via functions/ccitt — requires a strictly
+    0/255 bilevel image, the fax contract)."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("encode_pdf_scanned: need a uint8 (H, W) image")
+    h, w = img.shape
+    if image_filter == "FlateDecode":
+        payload = zlib.compress(img.tobytes())
+        parms = b"/BitsPerComponent 8 /ColorSpace /DeviceGray /Filter /FlateDecode "
+    elif image_filter == "DCTDecode":
+        from granulate_char_ocr_spark.functions.jpeg import encode_jpeg
+
+        payload = encode_jpeg(img, quality=quality)
+        parms = b"/BitsPerComponent 8 /ColorSpace /DeviceGray /Filter /DCTDecode "
+    elif image_filter == "CCITTFaxDecode":
+        vals = np.unique(img)
+        if not np.isin(vals, (0, 255)).all():
+            raise ValueError(
+                "encode_pdf_scanned: CCITTFaxDecode needs 0/255 bilevel"
+            )
+        from granulate_char_ocr_spark.functions import ccitt
+
+        payload = ccitt.encode_g4(img == 0)
+        parms = (
+            b"/BitsPerComponent 1 /ColorSpace /DeviceGray "
+            b"/Filter /CCITTFaxDecode "
+            b"/DecodeParms << /K -1 /Columns %d /Rows %d >> " % (w, h)
+        )
+    else:
+        raise ValueError(
+            f"encode_pdf_scanned: unsupported filter {image_filter!r} "
+            "(FlateDecode/DCTDecode/CCITTFaxDecode)"
+        )
+    content = zlib.compress(b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h))
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R " + _SCAN_MEDIA % (w, h)
+        + b" /Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream",
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d " % (w, h)
+        + parms
+        + b"/Length %d >>\nstream\n" % len(payload)
+        + payload
+        + b"\nendstream",
+    ]
+    return _assemble_classic(objs)
+
+
+def decode_pdf_images(data: bytes) -> list["np.ndarray"]:
+    """Every /Subtype /Image XObject in the file, decoded to a uint8
+    ndarray, document order — the scanned-PDF front half of the OCR
+    path. DCTDecode bodies are complete JPEG codestreams (color stays
+    (H, W, 3); the media-store luma step downstream handles it),
+    CCITTFaxDecode is decoded as G4 (K<0 — the near-universal /K in PDF
+    scan output; /BlackIs1 only renames the output BIT convention, the
+    T.6 run semantics are fixed, so the black mask is the same either
+    way), FlateDecode must be 8-bit /DeviceGray raw samples. Anything
+    else (JPXDecode, RunLength, color Flate…) is rejected with the
+    reason, and declared dimensions are bounded like every other codec
+    in the family."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("PDF: bad header")
+    if b"/Encrypt" in data:
+        raise ValueError("PDF: encrypted documents unsupported")
+    objmap = expand_object_streams(data)
+    out: list[np.ndarray] = []
+    for m in _STREAM_RE.finditer(data):
+        d = m.group("dict")
+        if not re.search(rb"/Subtype\s*/Image\b", d):
+            continue
+        w = _dict_int(d, b"Width")
+        h = _dict_int(d, b"Height")
+        if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20 and w * h <= 1 << 30):
+            raise ValueError("PDF: image dimensions out of bounds")
+        body = _stream_body(m, data, _length_of(d, objmap, data))
+        if b"/DCTDecode" in d:
+            from granulate_char_ocr_spark.functions.jpeg import decode_jpeg
+
+            img = decode_jpeg(bytes(body))
+        elif b"/CCITTFaxDecode" in d:
+            from granulate_char_ocr_spark.functions import ccitt
+
+            pm = re.search(rb"/DecodeParms\s*<<(.*?)>>", d, re.S)
+            pd = pm.group(1) if pm else b""
+            km = re.search(rb"/K\s+(-?\d+)", pd)  # signed — _dict_int is unsigned
+            if (int(km.group(1)) if km else 0) >= 0:
+                raise ValueError("PDF: only G4 (/K < 0) CCITT images")
+            cols = _dict_int(pd, b"Columns", 1728)
+            rows = _dict_int(pd, b"Rows", h)
+            black = ccitt.decode_g4(bytes(body), cols, rows)
+            img = np.where(black, 0, 255).astype(np.uint8)
+        elif b"/FlateDecode" in d:
+            if _dict_int(d, b"BitsPerComponent", 8) != 8 or not re.search(
+                rb"/ColorSpace\s*/DeviceGray\b", d
+            ):
+                raise ValueError(
+                    "PDF: only 8-bit /DeviceGray Flate images supported"
+                )
+            raw = _inflate(d, body)
+            if len(raw) != w * h:
+                raise ValueError("PDF: Flate image size mismatch")
+            img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+        else:
+            raise ValueError(
+                "PDF: unsupported image filter "
+                "(DCTDecode/CCITTFaxDecode/gray FlateDecode only)"
+            )
+        if img.shape[:2] != (h, w):
+            raise ValueError("PDF: decoded image does not match /Width /Height")
+        out.append(img)
+    if not out:
+        raise ValueError("PDF: no image XObject found")
+    return out

@@ -51,7 +51,10 @@ def decode_payload(
     (functions/tiff.py — bilevel/gray/RGB/palette, both endiannesses,
     none/PackBits/LZW+predictor, the scanned-document format) and 'bmp'
     (functions/bmp.py) are real pure-NumPy decoders, matching the
-    reference's PIL decode step (ocr_service.py:97-99).
+    reference's PIL decode step (ocr_service.py:97-99). 'pdf' is a
+    SCANNED PDF — the page is an image XObject (DCTDecode JPEG,
+    CCITTFaxDecode G4, or gray FlateDecode; functions/pdf.py) and the
+    first page's image is the decode result.
     Color outputs are luma-converted so every caller sees one channel.
     Video/audio compressed codecs (H.264/MP3) remain out of scope
     in-sandbox.
@@ -70,11 +73,13 @@ def decode_payload(
             codec = "tiff"
         elif head[:2] == b"BM":
             codec = "bmp"
+        elif head[:5] == b"%PDF-":
+            codec = "pdf"
         else:
             raise ValueError(
-                "unknown image signature (png/jpeg/gif/tiff/bmp supported)"
+                "unknown image signature (png/jpeg/gif/tiff/bmp/pdf supported)"
             )
-    if codec in ("png", "jpeg", "gif", "tiff", "bmp"):
+    if codec in ("png", "jpeg", "gif", "tiff", "bmp", "pdf"):
         if codec == "png":
             from granulate_char_ocr_spark.functions.png import decode_png
 
@@ -91,6 +96,14 @@ def decode_payload(
             from granulate_char_ocr_spark.functions.bmp import decode_bmp
 
             img = decode_bmp(bytes(payload))
+        elif codec == "pdf":
+            # scanned PDF: the page IS an image XObject (DCT/CCITT-G4/
+            # gray Flate) — first page's image feeds the OCR kernel
+            from granulate_char_ocr_spark.functions.pdf import (
+                decode_pdf_images,
+            )
+
+            img = decode_pdf_images(bytes(payload))[0]
         else:
             from granulate_char_ocr_spark.functions.jpeg import decode_jpeg
 

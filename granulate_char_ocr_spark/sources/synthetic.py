@@ -308,45 +308,62 @@ def _media_row_noisy(i: int):
 def _media_row_png(i: int):
     """Clean glyph media, compressed on the executor in a LOSSLESS format
     cycling by index — PNG (filter types + Adam7), GIF, G4 fax TIFF,
-    LZW TIFF, BMP — so ONE gate query proves every still codec's decode
-    path end to end. JPEG is excluded because the gate golden requires
-    bit-exact pixels (JPEG q=95 survives hashing — pinned by tests — but
-    lossless is the right fixture contract)."""
+    LZW TIFF, BMP, and (r4) SCANNED PDF whose page is an image XObject
+    (gray FlateDecode / CCITTFaxDecode G4 alternating) — so ONE gate
+    query proves every still codec's decode path end to end, including
+    the scanner-output container. JPEG/DCTDecode is excluded because
+    the gate golden requires bit-exact pixels (JPEG q=95 survives
+    hashing — pinned by tests — but lossless is the right fixture
+    contract)."""
     word, v = WORDS[i // N_VARIANTS], i % N_VARIANTS
     img = render_word(word, v)
-    fmt = i % 5
+    fmt = i % 6
     if fmt in (0, 1):
         from granulate_char_ocr_spark.functions.png import encode_png
 
-        # (i // 5) % 5 walks ALL five filter types across the PNG legs
-        # (i % 5 would stick to 0/1 inside this branch — review finding)
+        # (i // 6) % 5 walks ALL five filter types across the PNG legs
+        # (i % 6 would stick to 0/1 inside this branch — review finding)
         data = encode_png(
             img,
-            filter_type=(i // 5) % 5,
+            filter_type=(i // 6) % 5,
             interlace=1 if i % 7 == 0 else 0,
         )
     elif fmt == 2:
         from granulate_char_ocr_spark.functions.gif import encode_gif
 
         pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        # sub-variants key on the per-format counter i // 6, NOT on i:
+        # fmt = i % 6 fixes i's parity (and i mod 3) inside each branch,
+        # so i-keyed cycles would pin every GIF to non-interlaced and
+        # every TIFF to one compression (same class as the PNG filter-
+        # walk review finding above)
         data = encode_gif(
-            (img > 0).astype(np.uint8), pal, interlace=i % 3 == 0
+            (img > 0).astype(np.uint8), pal, interlace=(i // 6) % 3 == 0
         )
     elif fmt == 3:
         from granulate_char_ocr_spark.functions.tiff import encode_tiff
 
         data = encode_tiff(
             img,
-            compression=4 if i % 2 else 5,  # G4 fax / LZW
-            bilevel=bool(i % 2),
+            compression=4 if (i // 6) % 2 else 5,  # G4 fax / LZW
+            bilevel=bool((i // 6) % 2),
             # half the G4 legs use lsb-first fill (tag 266=2) — the
             # fax-world convention, decode path added in r4
-            fill_order=2 if i % 4 == 1 else 1,
+            fill_order=2 if (i // 6) % 4 == 1 else 1,
         )
-    else:
+    elif fmt == 4:
         from granulate_char_ocr_spark.functions.bmp import encode_bmp
 
         data = encode_bmp(img)
+    else:
+        from granulate_char_ocr_spark.functions.pdf import encode_pdf_scanned
+
+        # the scanner-output container: page = one image XObject;
+        # lossless filters only (gate golden wants bit-exact pixels)
+        data = encode_pdf_scanned(
+            img,
+            "CCITTFaxDecode" if (i // 6) % 2 else "FlateDecode",
+        )
     return (
         media_ref_for(word, v), word, img.shape[1], img.shape[0], data,
     )
@@ -354,7 +371,7 @@ def _media_row_png(i: int):
 
 def png_media_spark(spark):
     """The clean media store with compressed payloads in the pixels column
-    (PNG/GIF/TIFF/BMP cycling — see _media_row_png) — the
+    (PNG/GIF/TIFF/BMP/scanned-PDF cycling — see _media_row_png) — the
     compressed-corpus input to operators/multimodal.decode_media_store."""
     return _gen_media_spark(
         spark, len(WORDS) * N_VARIANTS, _media_row_png

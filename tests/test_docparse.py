@@ -325,3 +325,77 @@ def test_pdf_pages_skip_textless_streams():
     pages = decode_pdf_text_pages(patched)
     assert pages == ["page one", "page two"]
     assert "\n".join(pages) == decode_pdf_text(patched)
+
+
+# --- scanned PDFs (image XObject pages -> the OCR path) ----------------------
+
+
+def test_pdf_scanned_flate_roundtrip_exact():
+    from granulate_char_ocr_spark.functions.pdf import (
+        decode_pdf_images,
+        encode_pdf_scanned,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (48, 72)).astype(np.uint8)
+    out = decode_pdf_images(encode_pdf_scanned(img, "FlateDecode"))
+    assert len(out) == 1 and (out[0] == img).all()
+
+
+def test_pdf_scanned_g4_roundtrip_exact_and_bilevel_contract():
+    from granulate_char_ocr_spark.functions.pdf import (
+        decode_pdf_images,
+        encode_pdf_scanned,
+    )
+
+    rng = np.random.default_rng(12)
+    bil = np.where(rng.random((40, 60)) > 0.5, 255, 0).astype(np.uint8)
+    out = decode_pdf_images(encode_pdf_scanned(bil, "CCITTFaxDecode"))
+    assert (out[0] == bil).all()
+    gray = bil.copy()
+    gray[0, 0] = 128
+    with pytest.raises(ValueError, match="bilevel"):
+        encode_pdf_scanned(gray, "CCITTFaxDecode")
+
+
+def test_pdf_scanned_dct_decodes_close():
+    from granulate_char_ocr_spark.functions.pdf import (
+        decode_pdf_images,
+        encode_pdf_scanned,
+    )
+
+    x = np.linspace(0, 255, 64 * 64).reshape(64, 64).astype(np.uint8)
+    out = decode_pdf_images(encode_pdf_scanned(x, "DCTDecode", quality=95))
+    assert out[0].shape == x.shape
+    assert np.abs(out[0].astype(int) - x.astype(int)).mean() < 3.0
+
+
+def test_pdf_scanned_rejections():
+    from granulate_char_ocr_spark.functions.pdf import (
+        decode_pdf_images,
+        encode_pdf_scanned,
+    )
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="unsupported filter"):
+        encode_pdf_scanned(img, "JPXDecode")
+    # a text-only PDF has no image XObject
+    with pytest.raises(ValueError, match="no image XObject"):
+        decode_pdf_images(encode_pdf(["just text"]))
+    # unsupported image filter in the wild is rejected with the reason
+    data = encode_pdf_scanned(img, "FlateDecode").replace(
+        b"/Filter /FlateDecode", b"/Filter /JPXDecode "
+    )
+    with pytest.raises(ValueError, match="unsupported image filter"):
+        decode_pdf_images(data)
+
+
+def test_pdf_scanned_multimodal_auto_sniff():
+    from granulate_char_ocr_spark.functions.pdf import encode_pdf_scanned
+    from granulate_char_ocr_spark.operators.multimodal import decode_payload
+
+    rng = np.random.default_rng(13)
+    bil = np.where(rng.random((32, 48)) > 0.5, 255, 0).astype(np.uint8)
+    data = encode_pdf_scanned(bil, "CCITTFaxDecode")
+    dec = decode_payload(data, "auto", 48, 32)
+    assert (dec == bil).all()
