@@ -1604,39 +1604,71 @@ def crawl_diff_docs(spark, sf_dir):
 
 # robots.txt corpus for robots_filter_docs: one file per named host,
 # exercising the parse corners — comments, field-name case, a
-# multi-UA run containing '*' (rules must apply), an agent-specific
-# group (rules must NOT apply), an empty Disallow (allow-all), a
-# Disallow-everything file, and a rule BEFORE any User-agent line
-# (outside any group → ignored per RFC 9309).
+# multi-UA run containing '*' (rules must apply), a foreign
+# agent-specific group (rules must NOT apply), an agent-specific group
+# for OUR crawler token (must displace the '*' group, case-insensitive
+# token match), Allow overrides, '*' wildcards, '$' end anchors, an
+# equal-length Allow/Disallow tie (→ allow, RFC 9309 §2.2.2), an empty
+# Disallow (no rule), a Disallow-everything file, and a rule BEFORE any
+# User-agent line (outside any group → ignored per RFC 9309).
+_ROBOTS_AGENT = "gcosbot"
 _ROBOTS_FILES = [
     (
         "news.example.com",
         "# site robots\nUser-agent: googlebot\nDisallow: /g-only/\n\n"
-        "User-agent: *\nDisallow: /p/1\ndisallow: /private/\n",
+        "User-agent: *\nDisallow: /p/1\ndisallow: /private/\n"
+        "Allow: /p/16$\nDisallow: /p/24\nAllow: /p/24\n",
     ),
     (
         "blog.example.org",
-        "User-agent: badbot\nUser-agent: *\nDisallow: /p/2\n",
+        "User-agent: badbot\nUser-agent: *\nDisallow: /p/2\n\n"
+        "User-agent: GCOSbot\nDisallow: /p/25$\n",
     ),
     ("casino-winbig.example.com", "User-agent: *\nDisallow: /\n"),
-    ("files.example.com", "User-agent: *\nDisallow:\n"),
+    (
+        "files.example.com",
+        "User-agent: *\nDisallow:\nAllow: /assets/\nDisallow: /*.zip$\n",
+    ),
     (
         "deep.example.com",
-        "Disallow: /a/\nUser-agent: *\nDisallow: /a/b/c\n",
+        "Disallow: /a/\nUser-agent: *\nDisallow: /a/b/c\nDisallow: /a/*/c\n",
     ),
     ("shop.example.top", "User-agent: googlebot\nDisallow: /\n"),
 ]
 
-# the *-group rules the files above must parse to — the oracle derives
-# `allowed` from THIS list, so the relational parse is validated against
-# an independent statement of intent, not a mirrored transform
+# the governing-group rules (for agent gcosbot) the files above must
+# parse and COMPILE to — (host, regex pattern, octet-length priority,
+# is_allow), hand-written so the oracle derives `allowed` from an
+# independent statement of intent, not a mirrored transform. The
+# patterns use the Java/RE2-common subset so DuckDB and Spark agree.
 _ROBOTS_EXPECTED_RULES = [
-    ("news.example.com", "/p/1"),
-    ("news.example.com", "/private/"),
-    ("blog.example.org", "/p/2"),
-    ("casino-winbig.example.com", "/"),
-    ("deep.example.com", "/a/b/c"),
+    ("news.example.com", "^/p/1", 4, False),
+    ("news.example.com", "^/private/", 9, False),
+    ("news.example.com", "^/p/16$", 6, True),
+    ("news.example.com", "^/p/24", 5, False),
+    ("news.example.com", "^/p/24", 5, True),
+    # gcosbot group displaces blog's '*' group entirely
+    ("blog.example.org", "^/p/25$", 6, False),
+    ("casino-winbig.example.com", "^/", 1, False),
+    ("files.example.com", "^/assets/", 8, True),
+    ("files.example.com", r"^/.*\.zip$", 7, False),
+    ("deep.example.com", "^/a/b/c", 6, False),
+    ("deep.example.com", "^/a/.*/c", 7, False),
 ]
+
+# the RFC 9309 longest-match fold as one SQL aggregate: among matching
+# rules take the highest (prio, allow-wins-ties) — encoded prio*2+allow
+# since prios differ by ≥1 — defaulting to allowed when nothing matches
+def _robots_allowed_sql(path_sql: str) -> str:
+    return f"""COALESCE((
+             SELECT arg_max(r.is_allow,
+                            r.prio * 2 + CASE WHEN r.is_allow THEN 1 ELSE 0 END)
+             FROM r
+             WHERE r.host = u.host
+               AND regexp_matches(
+                     CASE WHEN {path_sql} = '' THEN '/' ELSE {path_sql} END,
+                     r.pattern)
+           ), TRUE)"""
 
 
 def _robots_filter_sql() -> str:
@@ -1648,7 +1680,8 @@ def _robots_filter_sql() -> str:
     )
 
     vals = ", ".join(
-        f"('{h}', '{d}')" for h, d in _ROBOTS_EXPECTED_RULES
+        f"('{h}', '{p}', {pr}, {a})"
+        for h, p, pr, a in _ROBOTS_EXPECTED_RULES
     )
     path = f"regexp_extract(url, '{_RE_PATH}', 1)"
     return f"""
@@ -1656,15 +1689,9 @@ def _robots_filter_sql() -> str:
       SELECT doc_id, {_SYNTH_URL_SQL} AS url,
              regexp_extract({_SYNTH_URL_SQL}, '{_RE_HOST}', 1) AS host
       FROM documents),
-    r AS (SELECT * FROM (VALUES {vals}) t(host, disallow))
+    r AS (SELECT * FROM (VALUES {vals}) t(host, pattern, prio, is_allow))
     SELECT doc_id, url, host,
-           NOT EXISTS (
-             SELECT 1 FROM r
-             WHERE r.host = u.host
-               AND starts_with(
-                     CASE WHEN {path} = '' THEN '/' ELSE {path} END,
-                     r.disallow)
-           ) AS allowed
+           {_robots_allowed_sql(path)} AS allowed
     FROM u
     """
 
@@ -1673,12 +1700,15 @@ def _robots_filter_sql() -> str:
 def robots_filter_docs(spark, sf_dir):
     """robots.txt compliance (r4): per-host robots.txt TEXT is parsed
     RELATIONALLY (operators/crawl.robots_rules — line explode +
-    UA-run window grouping, no Python), then URLs join the broadcast
-    rule table (apply_robots). The oracle derives `allowed` from an
-    independent statement of each file's intended '*-group rules, so
-    the parse itself is under the value hash. Parse corners covered:
-    comments, field case, multi-UA runs, agent-specific groups,
-    empty Disallow, pre-group rules."""
+    UA-run window grouping + codegen rule→regex compile, no Python),
+    then URLs join the broadcast rule table and fold to the RFC 9309
+    longest-match verdict (apply_robots). The oracle derives `allowed`
+    from an independent hand-written statement of each file's
+    governing-group rules (patterns included), so the parse AND the
+    compile are under the value hash. Corners covered: comments, field
+    case, multi-UA runs, foreign + own agent-specific groups, Allow
+    overrides, '*' wildcards, '$' anchors, equal-length ties, empty
+    Disallow, pre-group rules."""
     from granulate_char_ocr_spark.operators.crawl import (
         apply_robots,
         robots_rules,
@@ -1689,7 +1719,7 @@ def robots_filter_docs(spark, sf_dir):
     robots = spark.createDataFrame(
         _ROBOTS_FILES, "host string, robots_txt string"
     )
-    rules = robots_rules(robots)
+    rules = robots_rules(robots, agent=_ROBOTS_AGENT)
     url = _synth_url_expr()
     urls = docs.select(
         "doc_id",
@@ -1709,7 +1739,10 @@ def _web_manifest_sql() -> str:
     )
 
     host_sql, keep_sql, _ = url_quality_oracle_sql("url")
-    vals = ", ".join(f"('{h}', '{d}')" for h, d in _ROBOTS_EXPECTED_RULES)
+    vals = ", ".join(
+        f"('{h}', '{p}', {pr}, {a})"
+        for h, p, pr, a in _ROBOTS_EXPECTED_RULES
+    )
     path = f"regexp_extract(url, '{_RE_PATH}', 1)"
     return rf"""
     WITH base AS (
@@ -1725,13 +1758,9 @@ def _web_manifest_sql() -> str:
     kept AS (
       SELECT doc_id, url, text, {host_sql} AS host
       FROM allr WHERE {keep_sql}),
-    r AS (SELECT * FROM (VALUES {vals}) t(host, disallow)),
+    r AS (SELECT * FROM (VALUES {vals}) t(host, pattern, prio, is_allow)),
     allowed AS (
-      SELECT * FROM kept u WHERE NOT EXISTS (
-        SELECT 1 FROM r WHERE r.host = u.host
-          AND starts_with(
-                CASE WHEN {path} = '' THEN '/' ELSE {path} END,
-                r.disallow))),
+      SELECT * FROM kept u WHERE {_robots_allowed_sql(path)}),
     canon AS (
       SELECT doc_id, {canonical_url_sql('url')} AS url, text
       FROM allowed),
@@ -1796,7 +1825,8 @@ def web_corpus_manifest(spark, sf_dir):
     rules = robots_rules(
         spark.createDataFrame(
             _ROBOTS_FILES, "host string, robots_txt string"
-        )
+        ),
+        agent=_ROBOTS_AGENT,
     )
     allowed = apply_robots(
         kept.select("doc_id", "text", "url", "host"), rules

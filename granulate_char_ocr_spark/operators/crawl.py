@@ -10,17 +10,23 @@ Both are pure DataFrame compositions (no Python anywhere):
   almost-always-skewed "unchanged" majority.
 - ``robots_rules`` parses robots.txt TEXT relationally: explode lines,
   attach each line to its governing ``User-agent`` group with a
-  running ``last()`` window, keep the ``*``-group ``Disallow``
-  prefixes. ``apply_robots`` is a broadcast equi-join on host plus a
-  prefix predicate — rule tables are tiny (per-host robots files), so
-  no shuffle touches the URL table.
+  running-window group id, pick the governing group (agent-specific if
+  one names our product token, else the ``*`` group, RFC 9309 §2.2.1),
+  and compile each ``Allow``/``Disallow`` value to an anchored regex
+  (``*`` → ``.*``, trailing ``$`` → end anchor, everything else
+  escaped) — all in column expressions. ``apply_robots`` is a
+  broadcast equi-join on host plus a longest-match fold over the
+  host's rules — rule tables are tiny (per-host robots files), so no
+  shuffle touches the URL table.
 
-robots semantics are the RFC 9309 CORE subset, documented: only the
-``User-agent: *`` group is honored (no agent-specific groups), rules
-are path PREFIXES (no ``$``/``*`` wildcards), ``Allow`` overrides are
-not implemented, and an empty ``Disallow:`` value means allow-all (the
-RFC's own example). Comments (``#``) and blank lines are ignored;
-field names match case-insensitively."""
+robots semantics are RFC 9309 matching: ``Allow`` and ``Disallow``
+both honored, ``*`` matches any character run, a trailing ``$``
+anchors the end, precedence is the longest (most-octets) matching
+rule with ties broken toward ``Allow`` (§2.2.2), and an empty rule
+value means no rule (the RFC's allow-all example). Matching is
+against the URL path (the shared urlfilter path slice). Comments
+(``#``) and blank lines are ignored; field names and user-agent
+product tokens match case-insensitively."""
 
 from __future__ import annotations
 
@@ -68,16 +74,26 @@ def snapshot_diff(
 
 
 def robots_rules(
-    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str | None = None,
 ) -> DataFrame:
-    """(host, robots_txt) -> (host, disallow) rules for the ``*`` group.
+    """(host, robots_txt) -> (host, rule, is_allow, prio, pattern).
 
     Relational parse: posexplode lines → strip comments/whitespace →
-    carry the governing User-agent group forward with last(ignorenulls)
-    over line order → keep ``Disallow`` lines whose group contains
-    ``*``. Hosts whose robots.txt yields no rules simply emit no rows
-    (allow-all). Empty ``Disallow:`` values are dropped here (they mean
-    allow-all per RFC 9309), so every emitted rule is a real prefix."""
+    group lines under their governing User-agent run → pick the
+    governing group per host (a group naming ``agent``'s product token
+    case-insensitively if one exists, else the ``*`` group — RFC 9309
+    §2.2.1) → keep that group's ``Allow``/``Disallow`` lines.
+
+    Each rule is compiled to an anchored Java/RE2-common regex in pure
+    column expressions: a trailing ``$`` becomes an end anchor, ``*``
+    becomes ``.*``, every other regex metachar is escaped; ``prio`` is
+    the rule's octet length (the RFC's longest-match precedence key).
+    Hosts whose robots.txt yields no rules simply emit no rows
+    (allow-all). Empty rule values are dropped here (they mean no rule
+    per RFC 9309), so every emitted row is a real pattern."""
     lines = robots.select(
         host_col,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
@@ -121,22 +137,64 @@ def robots_rules(
     lines_g = fields.withColumn(
         "gid", F.sum(run_start.cast("int")).over(w_run)
     )
+    ua_lines = lines_g.filter(is_ua)
     star_groups = (
-        lines_g.filter(is_ua & (F.col("value") == "*"))
+        ua_lines.filter(F.col("value") == "*")
         .select(host_col, "gid")
         .distinct()
+        .withColumn("_spec", F.lit(False))
     )
-    disallows = lines_g.filter(
-        (F.col("field") == "disallow") & (F.col("value") != "")
+    if agent is not None:
+        spec_groups = (
+            ua_lines.filter(F.lower(F.col("value")) == agent.lower())
+            .select(host_col, "gid")
+            .distinct()
+            .withColumn("_spec", F.lit(True))
+        )
+        # RFC 9309 §2.2.1: if a group names our product token, ONLY
+        # that group governs; the '*' group is the fallback. The window
+        # runs over the tiny per-host group table, not the line table.
+        w_host = Window.partitionBy(host_col)
+        groups = (
+            star_groups.unionByName(spec_groups)
+            .withColumn(
+                "_has_spec", F.max(F.col("_spec").cast("int")).over(w_host)
+            )
+            .filter(F.col("_spec").cast("int") == F.col("_has_spec"))
+            .select(host_col, "gid")
+        )
+    else:
+        groups = star_groups.select(host_col, "gid")
+    rules = lines_g.filter(
+        F.col("field").isin("disallow", "allow") & (F.col("value") != "")
         # gid 0 = rules before any User-agent line: outside any group,
-        # ignored per the RFC (the join below drops them since no star
-        # group has gid 0)
+        # ignored per the RFC (the join below drops them since no
+        # governing group has gid 0)
+    )
+    # rule value -> anchored regex, all codegen: strip one trailing '$'
+    # (the RFC end anchor), escape every Java-regex metachar EXCEPT
+    # '*', then turn '*' into '.*'; '^' + body (+ '$' if anchored)
+    # gives prefix semantics under RLIKE's find-at-position matching.
+    # A mid-rule '$' is literal per the RFC and lands in the escape.
+    v = F.col("value")
+    anchored = v.endswith("$")
+    body = F.regexp_replace(v, r"\$$", "")
+    esc = F.regexp_replace(body, r"([\\.\[\]{}()+\-?^$|])", r"\\$1")
+    rx = F.regexp_replace(esc, r"\*", ".*")
+    pattern = F.concat(
+        F.lit("^"), rx, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
     )
     return (
-        # star_groups is per-host-per-group — always tiny; broadcast
-        # keeps the parse free of a sort-merge exchange pair
-        disallows.join(F.broadcast(star_groups), [host_col, "gid"])
-        .select(host_col, F.col("value").alias("disallow"))
+        # groups is per-host-per-group — always tiny; broadcast keeps
+        # the parse free of a sort-merge exchange pair
+        rules.join(F.broadcast(groups), [host_col, "gid"])
+        .select(
+            host_col,
+            v.alias("rule"),
+            (F.col("field") == "allow").alias("is_allow"),
+            F.octet_length(v).alias("prio"),
+            pattern.alias("pattern"),
+        )
         .distinct()
     )
 
@@ -184,24 +242,43 @@ def apply_robots(
     url_col: str = "url",
     host_col: str = "host",
 ) -> DataFrame:
-    """(…, url, host) × (host, disallow) -> (…, allowed): a URL is
-    allowed iff NO ``*``-group disallow prefix matches its path. The
-    rules side is broadcast (robots files are tiny relative to any
-    crawl), so the URL table never shuffles. The path slice is the
-    SHARED urlfilter constant — the frontier rules and the robots
-    apply must parse URLs identically."""
+    """(…, url, host) × robots_rules output -> (…, allowed) under RFC
+    9309 precedence: among the host's rules whose pattern matches the
+    URL path, the longest (highest ``prio``) governs, ties break
+    toward ``Allow``; no match (or no robots) means allowed. The fold
+    is a single ``aggregate`` over the matching rules — entirely
+    engine-side, no Python.
+
+    The rules side is broadcast (robots files are tiny relative to any
+    crawl), so the URL table never shuffles; the per-row RLIKE against
+    a handful of non-foldable host patterns stays inside codegen. The
+    path slice is the SHARED urlfilter constant — the frontier rules
+    and the robots apply must parse URLs identically."""
     from granulate_char_ocr_spark.operators.urlfilter import _RE_PATH
 
     path = F.regexp_extract(F.col(url_col), _RE_PATH, 1)
     u = urls.withColumn("_path", F.when(path == "", "/").otherwise(path))
     r = F.broadcast(
         rules.groupBy(host_col).agg(
-            F.collect_list("disallow").alias("_dis")
+            F.collect_list(F.struct("prio", "is_allow", "pattern")).alias(
+                "_rules"
+            )
         )
     )
     j = u.join(r, host_col, "left")
-    blocked = F.exists(
-        F.coalesce(F.col("_dis"), F.array()),
-        lambda d: F.col("_path").startswith(d),
+    matches = F.filter(
+        F.coalesce(F.col("_rules"), F.array()),
+        lambda x: F.rlike(F.col("_path"), x["pattern"]),
     )
-    return j.withColumn("allowed", ~blocked).drop("_dis", "_path")
+    # longest-match fold; the init prio -1 < any real rule's octet
+    # length, so "no matching rule" resolves to the init's allow=true
+    best = F.aggregate(
+        matches,
+        F.struct(F.lit(-1).alias("prio"), F.lit(True).alias("is_allow")),
+        lambda acc, x: F.when(
+            (x["prio"] > acc["prio"])
+            | ((x["prio"] == acc["prio"]) & x["is_allow"]),
+            F.struct(x["prio"].alias("prio"), x["is_allow"].alias("is_allow")),
+        ).otherwise(acc),
+    )
+    return j.withColumn("allowed", best["is_allow"]).drop("_rules", "_path")

@@ -82,46 +82,134 @@ def test_robots_rules_parse(spark, txt, want):
     df = spark.createDataFrame(
         [("h", txt)], "host string, robots_txt string"
     )
-    got = {r.disallow for r in robots_rules(df).collect()}
+    got = {r.rule for r in robots_rules(df).collect()}
     assert got == want
 
 
-def test_apply_robots_prefix_and_missing_host(spark):
+def _rules_for(spark, txt, agent=None):
+    df = spark.createDataFrame(
+        [("h", txt)], "host string, robots_txt string"
+    )
+    return robots_rules(df, agent=agent)
+
+
+def test_robots_rules_compile_patterns(spark):
+    # rule → regex compile: '*' → '.*', trailing '$' → anchor, every
+    # other metachar escaped; prio is the raw rule's octet length
+    rows = {
+        r.rule: r
+        for r in _rules_for(
+            spark,
+            "User-agent: *\nDisallow: /*.zip$\nAllow: /a.b(c)+\n"
+            "Disallow: /plain\n",
+        ).collect()
+    }
+    assert rows["/*.zip$"].pattern == r"^/.*\.zip$"
+    assert rows["/*.zip$"].prio == 7 and not rows["/*.zip$"].is_allow
+    assert rows["/a.b(c)+"].pattern == r"^/a\.b\(c\)\+"
+    assert rows["/a.b(c)+"].is_allow
+    assert rows["/plain"].pattern == "^/plain" and rows["/plain"].prio == 6
+
+
+def test_robots_rules_agent_specific_group(spark):
+    txt = (
+        "User-agent: *\nDisallow: /all/\n\n"
+        "User-agent: MyBot\nDisallow: /mine/\n"
+    )
+    # without an agent (or an agent with no own group): the '*' group
+    star = {r.rule for r in _rules_for(spark, txt).collect()}
+    other = {r.rule for r in _rules_for(spark, txt, agent="nobot").collect()}
+    assert star == other == {"/all/"}
+    # our own group displaces '*' entirely, token match case-insensitive
+    mine = {r.rule for r in _rules_for(spark, txt, agent="mybot").collect()}
+    assert mine == {"/mine/"}
+
+
+def _apply(spark, urls_rows, robots_txt):
     urls = spark.createDataFrame(
+        urls_rows, "doc_id int, url string, host string"
+    )
+    rules = _rules_for(spark, robots_txt)
+    return {r.doc_id: r.allowed for r in apply_robots(urls, rules).collect()}
+
+
+def test_apply_robots_prefix_and_missing_host(spark):
+    got = _apply(
+        spark,
         [
             (1, "https://h/a/b", "h"),
             (2, "https://h/c", "h"),
             (3, "https://other/a/b", "other"),  # no robots → allowed
             (4, "https://h", "h"),  # empty path → '/'
         ],
-        "doc_id int, url string, host string",
+        "User-agent: *\nDisallow: /a\n",
     )
-    rules = spark.createDataFrame(
-        [("h", "/a")], "host string, disallow string"
-    )
-    got = {r.doc_id: r.allowed for r in apply_robots(urls, rules).collect()}
     assert got == {1: False, 2: True, 3: True, 4: True}
 
 
 def test_disallow_root_blocks_everything(spark):
-    urls = spark.createDataFrame(
+    got = _apply(
+        spark,
         [(1, "https://h/any/path", "h"), (2, "https://h", "h")],
-        "doc_id int, url string, host string",
+        "User-agent: *\nDisallow: /\n",
     )
-    rules = spark.createDataFrame(
-        [("h", "/")], "host string, disallow string"
-    )
-    got = {r.doc_id: r.allowed for r in apply_robots(urls, rules).collect()}
     assert got == {1: False, 2: False}
+
+
+def test_apply_robots_longest_match_allow_override(spark):
+    # RFC 9309 §2.2.2: the longest matching rule governs; /private/pub/
+    # (Allow, 13 octets) beats /private/ (Disallow, 9)
+    got = _apply(
+        spark,
+        [
+            (1, "https://h/private/x", "h"),
+            (2, "https://h/private/pub/x", "h"),
+            (3, "https://h/open", "h"),
+        ],
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n",
+    )
+    assert got == {1: False, 2: True, 3: True}
+
+
+def test_apply_robots_tie_breaks_toward_allow(spark):
+    got = _apply(
+        spark,
+        [(1, "https://h/dir/page", "h")],
+        "User-agent: *\nDisallow: /dir/\nAllow: /dir/\n",
+    )
+    assert got == {1: True}
+
+
+def test_apply_robots_wildcard_and_anchor(spark):
+    got = _apply(
+        spark,
+        [
+            (1, "https://h/files/x.pdf", "h"),
+            (2, "https://h/files/x.pdf.html", "h"),  # anchor: not blocked
+            (3, "https://h/a/deep/cache/z", "h"),
+            (4, "https://h/a/cachemiss", "h"),
+        ],
+        "User-agent: *\nDisallow: /*.pdf$\nDisallow: /a/*/cache\n",
+    )
+    assert got == {1: False, 2: True, 3: False, 4: True}
+
+
+def test_apply_robots_metachars_match_literally(spark):
+    # a rule containing regex metachars must match them as literals:
+    # /a.b blocks /a.b but NOT /aXb
+    got = _apply(
+        spark,
+        [(1, "https://h/a.b/x", "h"), (2, "https://h/aXb/x", "h")],
+        "User-agent: *\nDisallow: /a.b\n",
+    )
+    assert got == {1: False, 2: True}
 
 
 def test_apply_robots_broadcasts_rules(spark):
     urls = spark.createDataFrame(
         [(1, "https://h/a", "h")], "doc_id int, url string, host string"
     )
-    rules = spark.createDataFrame(
-        [("h", "/a")], "host string, disallow string"
-    )
+    rules = _rules_for(spark, "User-agent: *\nDisallow: /a\n")
     plan = (
         apply_robots(urls, rules)
         ._jdf.queryExecution()
@@ -207,11 +295,13 @@ def test_web_corpus_manifest_parity(spark):
     assert got == want
     # the mirror snapshot must vanish at the canonical-dedup stage
     assert all(doc_id < 1000000 for doc_id, _, _ in got)
-    # robots bit: news.example.com pages under /p/1* are gone while
-    # other news pages survive
+    # robots bit: news.example.com pages under /p/1* are gone — except
+    # /p/16, which the anchored `Allow: /p/16$` override resurrects
+    # (RFC 9309 longest-match) — while other news pages survive
     paths = {u.rsplit("/", 1)[-1] for _, u, _ in got
              if "news.example.com" in u}
-    assert paths and not any(p.startswith("1") for p in paths)
+    assert paths and "16" in paths
+    assert not any(p.startswith("1") for p in paths - {"16"})
 
 
 def test_sessionize_events(spark):
