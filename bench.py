@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "pdf_extract_docs",
     "warc_extract_docs",
     "markdown_convert_docs",
+    "page_metadata_docs",
     "url_filter_docs",
     "crawl_diff_docs",
     "robots_filter_docs",

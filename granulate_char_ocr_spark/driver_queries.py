@@ -1731,6 +1731,113 @@ def robots_filter_docs(spark, sf_dir):
     )
 
 
+# page-metadata gate: pages are synthesized per document with the
+# metadata fields derived from doc_id/lang ARITHMETIC, cycling a
+# 4-branch corner matrix (entities + JSON-LD date / flipped attribute
+# orders + bare attrs / uppercase-multiline title + <time> / nothing).
+# The oracle reconstructs the expected fields from the same arithmetic
+# — never from regexes over the HTML — so the whole extraction cascade
+# sits under the value hash.
+_PAGE_META_SQL = """
+    SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN 'Doc & — ' || CAST(doc_id AS VARCHAR)
+        WHEN 2 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+        ELSE NULL END AS title,
+      CASE WHEN doc_id % 4 IN (0, 1) THEN lang ELSE NULL END AS lang,
+      CASE doc_id % 4
+        WHEN 0 THEN 'https://corpus.example/d/' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN 'https://corpus.example/c/' || CAST(doc_id AS VARCHAR)
+        ELSE NULL END AS canonical_url,
+      CASE doc_id % 4
+        WHEN 0 THEN 'Entry "' || CAST(doc_id AS VARCHAR) || '"'
+        WHEN 1 THEN 'Desc ' || CAST(doc_id AS VARCHAR)
+        ELSE NULL END AS description,
+      CASE doc_id % 4
+        WHEN 0 THEN '2024-01-' ||
+                    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+                    'T00:00:00Z'
+        WHEN 1 THEN '2023-' ||
+                    lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-15'
+        WHEN 2 THEN '2020-06-' ||
+                    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        ELSE NULL END AS published
+    FROM documents
+    """
+
+
+@q("page_metadata_docs", _PAGE_META_SQL)
+def page_metadata_docs(spark, sf_dir):
+    """Page-metadata extraction (r4): title / lang / canonical URL /
+    meta description / published date pulled from synthesized pages by
+    the pure-codegen cascade in functions/metadata.py
+    (operators/docparse.page_metadata). Branch corners: entity-bearing
+    title + JSON-LD datePublished; flipped attribute orders + bare
+    attribute values + article:published_time; uppercase multiline
+    <TITLE> + <time datetime>; a metadata-free page (all NULL). The
+    published ladder's precedence is exercised by branch 0 carrying
+    BOTH a JSON-LD date and a decoy <time> element."""
+    from granulate_char_ocr_spark.operators.docparse import page_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    m4 = F.pmod(did, F.lit(4))
+    dd = F.lpad((F.pmod(did, F.lit(28)) + 1).cast("string"), 2, "0")
+    mm = F.lpad((F.pmod(did, F.lit(12)) + 1).cast("string"), 2, "0")
+    page = (
+        F.when(
+            m4 == 0,
+            F.concat(
+                F.lit('<html lang="'),
+                F.col("lang"),
+                F.lit('"><head><title>Doc &amp; &#8212; '),
+                ds,
+                F.lit('</title><link rel="canonical" '),
+                F.lit('href="https://corpus.example/d/'),
+                ds,
+                F.lit('"><meta name="description" content="Entry &quot;'),
+                ds,
+                F.lit('&quot;"><script type="application/ld+json">'),
+                F.lit('{"@type": "Article", "datePublished": "2024-01-'),
+                dd,
+                F.lit('T00:00:00Z"}</script></head><body><p>x</p>'),
+                F.lit('<time datetime="1970-01-01">decoy</time>'),
+                F.lit("</body></html>"),
+            ),
+        )
+        .when(
+            m4 == 1,
+            F.concat(
+                F.lit("<html lang="),
+                F.col("lang"),
+                F.lit("><head><link href='https://corpus.example/c/"),
+                ds,
+                F.lit("' rel='canonical'><meta content='Desc "),
+                ds,
+                F.lit("' name='description'><meta content='2023-"),
+                mm,
+                F.lit("-15' property='article:published_time'>"),
+                F.lit("</head><body>y</body></html>"),
+            ),
+        )
+        .when(
+            m4 == 2,
+            F.concat(
+                F.lit("<html><head><TITLE>\n  Doc\t"),
+                ds,
+                F.lit("\n</TITLE></head><body><time datetime=2020-06-"),
+                dd,
+                F.lit(">t</time></body></html>"),
+            ),
+        )
+        .otherwise(
+            F.lit("<html><head></head><body><p>plain</p></body></html>")
+        )
+    )
+    return page_metadata(docs.select("doc_id", page.alias("html")))
+
+
 def _web_manifest_sql() -> str:
     from granulate_char_ocr_spark.operators.urlfilter import (
         _RE_PATH,
@@ -2438,9 +2545,11 @@ def asof_last_purchase_events(spark, sf_dir):
     )
 
 
-@q(
-    "purchases_within_72h_events",
-    """
+# (purchases_within_72h_events left the 50-entry gate window in r4 for
+# page_metadata_docs; the bucketed range join keeps a DuckDB-parity
+# pytest in test_temporal.py and the temporal family stays gate-visible
+# via asof_last_purchase_events.)
+PURCHASES_72H_SQL = """
     WITH v AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
                FROM events WHERE event_type = 'view'),
     p AS (SELECT user_id, epoch_ms(ts) AS pms
@@ -2451,8 +2560,9 @@ def asof_last_purchase_events(spark, sf_dir):
       ON p.user_id = v.user_id
      AND p.pms >= v.ms AND p.pms < v.ms + 259200000
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
 def purchases_within_72h_events(spark, sf_dir):
     """Point-in-interval range join (operators/temporal.py): purchases
     landing in each view's [ms, ms+72h) follow-window, counted per view

@@ -41,6 +41,20 @@ def html_main_contents(
     )
 
 
+def page_metadata(
+    df: DataFrame, html_col: str = "html", key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, html) -> (key, title, lang, canonical_url, description,
+    published): the header metadata a corpus manifest stores next to
+    the main text (functions/metadata.py) — regexp cascades + shared
+    entity decode, pure codegen, NULL for absent fields."""
+    from granulate_char_ocr_spark.functions.metadata import (
+        page_metadata_cols,
+    )
+
+    return df.select(key_col, *page_metadata_cols(F.col(html_col)))
+
+
 def pdf_texts(
     df: DataFrame,
     payload_col: str = "payload",

@@ -1,0 +1,122 @@
+"""Page-metadata extraction (functions/metadata.py): field corners,
+expr ≡ python twin, NULL degradation, and the published-date ladder."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from granulate_char_ocr_spark.functions.metadata import (
+    page_metadata_python,
+)
+from granulate_char_ocr_spark.operators.docparse import page_metadata
+
+FULL = (
+    "<!DOCTYPE html><HTML Lang='en-GB'><head>\n"
+    "<TITLE id=t>\n  Fish &amp; Chips &#8212;\n guide </TITLE>\n"
+    '<link rel="canonical" href="https://ex.com/fish">\n'
+    '<meta name="description" content="Best &quot;chips&quot; in town">\n'
+    '<script type="application/ld+json">{"@type":"Article",\n'
+    ' "datePublished" : "2023-04-01T10:00:00Z"}</script>\n'
+    '<meta property="article:published_time" content="1999-01-01">\n'
+    "</head><body><time datetime='1990-05-05'>old</time></body></html>"
+)
+
+CASES = [
+    (
+        FULL,
+        {
+            "title": "Fish & Chips — guide",
+            "lang": "en-GB",
+            "canonical_url": "https://ex.com/fish",
+            "description": 'Best "chips" in town',
+            # JSON-LD outranks the meta tag and the <time> element
+            "published": "2023-04-01T10:00:00Z",
+        },
+    ),
+    # attribute order flipped everywhere; bare lang attr; single quotes
+    (
+        "<html lang=fr><head><title>Salut</title>"
+        "<link href='https://ex.fr/a' rel='canonical'>"
+        "<meta content='Desc FR' name='description'>"
+        "<meta content='2021-12-31' property='article:published_time'>"
+        "</head></html>",
+        {
+            "title": "Salut",
+            "lang": "fr",
+            "canonical_url": "https://ex.fr/a",
+            "description": "Desc FR",
+            "published": "2021-12-31",
+        },
+    ),
+    # only a <time> element carries the date; no head metadata at all
+    (
+        "<html><body><p>x</p><time datetime=2020-02-02>then</time></body>"
+        "</html>",
+        {
+            "title": None,
+            "lang": None,
+            "canonical_url": None,
+            "description": None,
+            "published": "2020-02-02",
+        },
+    ),
+    # everything absent -> all NULL; empty title collapses to NULL too
+    (
+        "<html><head><title>  \n </title></head><body>hi</body></html>",
+        {
+            "title": None,
+            "lang": None,
+            "canonical_url": None,
+            "description": None,
+            "published": None,
+        },
+    ),
+    # a <link rel=stylesheet href=...> before the canonical must not be
+    # captured; numeric entity in the title
+    (
+        '<html lang="de"><head>'
+        '<link rel="stylesheet" href="/s.css">'
+        '<link rel="canonical" href="https://ex.de/b?x=1">'
+        "<title>Ma&#223;e</title></head></html>",
+        {
+            "title": "Maße",
+            "lang": "de",
+            "canonical_url": "https://ex.de/b?x=1",
+            "description": None,
+            "published": None,
+        },
+    ),
+]
+
+
+@pytest.mark.parametrize("html,want", CASES)
+def test_python_twin_cases(html, want):
+    assert page_metadata_python(html) == want
+
+
+def test_expr_matches_python_twin(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(CASES)], "doc_id int, html string"
+    )
+    rows = {r.doc_id: r for r in page_metadata(df).collect()}
+    for i, (html, want) in enumerate(CASES):
+        got = {
+            k: getattr(rows[i], k)
+            for k in (
+                "title",
+                "lang",
+                "canonical_url",
+                "description",
+                "published",
+            )
+        }
+        assert got == want, f"case {i}"
+
+
+def test_no_python_in_plan(spark):
+    df = spark.createDataFrame([(1, "<html/>")], "doc_id int, html string")
+    plan = (
+        page_metadata(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -151,14 +151,32 @@ def test_range_join_bucket_width_irrelevant_to_result(spark, points, intervals):
 # ------------------------------------------------- gate entries (events)
 
 
-@pytest.mark.parametrize(
-    "name", ["asof_last_purchase_events", "purchases_within_72h_events"]
-)
-def test_gate_entries_run_nonempty(spark, name):
+def test_gate_entries_run_nonempty(spark):
     from granulate_char_ocr_spark import driver_queries as dq
 
-    df = dq.QUERIES[name](spark, "/root/testdata/sf0.001")
+    df = dq.QUERIES["asof_last_purchase_events"](spark, "/root/testdata/sf0.001")
     assert df.count() > 0
+
+
+def test_purchases_72h_matches_duckdb(spark):
+    """purchases_within_72h_events left the 50-entry gate window in r4
+    (for page_metadata_docs) — the bucketed range join keeps its exact
+    DuckDB parity here."""
+    import duckdb
+
+    from granulate_char_ocr_spark import driver_queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in dq.purchases_within_72h_events(spark, sf).collect()
+    }
+    assert got
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    con.execute("SET TimeZone = 'UTC'")
+    want = {tuple(r) for r in con.execute(dq.PURCHASES_72H_SQL).fetchall()}
+    assert got == want
 
 
 def test_asof_gate_matches_duckdb(spark):
