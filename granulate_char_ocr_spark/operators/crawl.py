@@ -94,6 +94,47 @@ def robots_rules(
     Hosts whose robots.txt yields no rules simply emit no rows
     (allow-all). Empty rule values are dropped here (they mean no rule
     per RFC 9309), so every emitted row is a real pattern."""
+    lines_g = _grouped_lines(robots, host_col, text_col)
+    groups = _governing_groups(lines_g, host_col, agent)
+    rules = lines_g.filter(
+        F.col("field").isin("disallow", "allow") & (F.col("value") != "")
+        # gid 0 = rules before any User-agent line: outside any group,
+        # ignored per the RFC (the join below drops them since no
+        # governing group has gid 0)
+    )
+    # rule value -> anchored regex, all codegen: strip one trailing '$'
+    # (the RFC end anchor), escape every Java-regex metachar EXCEPT
+    # '*', then turn '*' into '.*'; '^' + body (+ '$' if anchored)
+    # gives prefix semantics under RLIKE's find-at-position matching.
+    # A mid-rule '$' is literal per the RFC and lands in the escape.
+    v = F.col("value")
+    anchored = v.endswith("$")
+    body = F.regexp_replace(v, r"\$$", "")
+    esc = F.regexp_replace(body, r"([\\.\[\]{}()+\-?^$|])", r"\\$1")
+    rx = F.regexp_replace(esc, r"\*", ".*")
+    pattern = F.concat(
+        F.lit("^"), rx, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+    return (
+        # groups is per-host-per-group — always tiny; broadcast keeps
+        # the parse free of a sort-merge exchange pair
+        rules.join(F.broadcast(groups), [host_col, "gid"])
+        .select(
+            host_col,
+            v.alias("rule"),
+            (F.col("field") == "allow").alias("is_allow"),
+            F.octet_length(v).alias("prio"),
+            pattern.alias("pattern"),
+        )
+        .distinct()
+    )
+
+
+def _grouped_lines(
+    robots: DataFrame, host_col: str, text_col: str
+) -> DataFrame:
+    """robots.txt text -> one row per field line with its governing
+    User-agent group id (host, line_no, field, value, gid)."""
     lines = robots.select(
         host_col,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
@@ -134,9 +175,19 @@ def robots_rules(
     run_start = is_ua & ~F.coalesce(
         F.lag(is_ua).over(w_ord), F.lit(False)
     )
-    lines_g = fields.withColumn(
+    return fields.withColumn(
         "gid", F.sum(run_start.cast("int")).over(w_run)
     )
+
+
+def _governing_groups(
+    lines_g: DataFrame, host_col: str, agent: str | None
+) -> DataFrame:
+    """Grouped lines -> the (host, gid) group ids whose rules govern
+    ``agent``: the groups naming its product token (case-insensitive)
+    when any exist for a host, else that host's ``*`` groups — RFC
+    9309 §2.2.1."""
+    is_ua = F.col("field") == "user-agent"
     ua_lines = lines_g.filter(is_ua)
     star_groups = (
         ua_lines.filter(F.col("value") == "*")
@@ -144,58 +195,86 @@ def robots_rules(
         .distinct()
         .withColumn("_spec", F.lit(False))
     )
-    if agent is not None:
-        spec_groups = (
-            ua_lines.filter(F.lower(F.col("value")) == agent.lower())
-            .select(host_col, "gid")
-            .distinct()
-            .withColumn("_spec", F.lit(True))
-        )
-        # RFC 9309 §2.2.1: if a group names our product token, ONLY
-        # that group governs; the '*' group is the fallback. The window
-        # runs over the tiny per-host group table, not the line table.
-        w_host = Window.partitionBy(host_col)
-        groups = (
-            star_groups.unionByName(spec_groups)
-            .withColumn(
-                "_has_spec", F.max(F.col("_spec").cast("int")).over(w_host)
-            )
-            .filter(F.col("_spec").cast("int") == F.col("_has_spec"))
-            .select(host_col, "gid")
-        )
-    else:
-        groups = star_groups.select(host_col, "gid")
-    rules = lines_g.filter(
-        F.col("field").isin("disallow", "allow") & (F.col("value") != "")
-        # gid 0 = rules before any User-agent line: outside any group,
-        # ignored per the RFC (the join below drops them since no
-        # governing group has gid 0)
+    if agent is None:
+        return star_groups.select(host_col, "gid")
+    spec_groups = (
+        ua_lines.filter(F.lower(F.col("value")) == agent.lower())
+        .select(host_col, "gid")
+        .distinct()
+        .withColumn("_spec", F.lit(True))
     )
-    # rule value -> anchored regex, all codegen: strip one trailing '$'
-    # (the RFC end anchor), escape every Java-regex metachar EXCEPT
-    # '*', then turn '*' into '.*'; '^' + body (+ '$' if anchored)
-    # gives prefix semantics under RLIKE's find-at-position matching.
-    # A mid-rule '$' is literal per the RFC and lands in the escape.
-    v = F.col("value")
-    anchored = v.endswith("$")
-    body = F.regexp_replace(v, r"\$$", "")
-    esc = F.regexp_replace(body, r"([\\.\[\]{}()+\-?^$|])", r"\\$1")
-    rx = F.regexp_replace(esc, r"\*", ".*")
-    pattern = F.concat(
-        F.lit("^"), rx, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    # RFC 9309 §2.2.1: if a group names our product token, ONLY that
+    # group governs; the '*' group is the fallback. The window runs
+    # over the tiny per-host group table, not the line table.
+    w_host = Window.partitionBy(host_col)
+    return (
+        star_groups.unionByName(spec_groups)
+        .withColumn(
+            "_has_spec", F.max(F.col("_spec").cast("int")).over(w_host)
+        )
+        .filter(F.col("_spec").cast("int") == F.col("_has_spec"))
+        .select(host_col, "gid")
+    )
+
+
+def robots_crawl_delay(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str | None = None,
+) -> DataFrame:
+    """(host, robots_txt) -> (host, crawl_delay): the governing group's
+    ``Crawl-delay`` in seconds — the de-facto politeness directive
+    (not in RFC 9309 but honored by most crawlers). Group selection is
+    the same machinery as robots_rules; when a group states several
+    delays the MINIMUM non-negative one wins (conservative for the
+    site), and non-numeric values are ignored. Hosts without a valid
+    directive emit no row (crawler default applies)."""
+    lines_g = _grouped_lines(robots, host_col, text_col)
+    groups = _governing_groups(lines_g, host_col, agent)
+    # try_cast: ANSI mode (Spark 4 default) would THROW on a malformed
+    # delay value; a junk directive must be ignored, not kill the job
+    delay = F.col("value").try_cast("double")
+    delays = lines_g.filter(
+        (F.col("field") == "crawl-delay")
+        & delay.isNotNull()
+        & (delay >= 0)
     )
     return (
-        # groups is per-host-per-group — always tiny; broadcast keeps
-        # the parse free of a sort-merge exchange pair
-        rules.join(F.broadcast(groups), [host_col, "gid"])
-        .select(
-            host_col,
-            v.alias("rule"),
-            (F.col("field") == "allow").alias("is_allow"),
-            F.octet_length(v).alias("prio"),
-            pattern.alias("pattern"),
-        )
-        .distinct()
+        delays.join(F.broadcast(groups), [host_col, "gid"])
+        .groupBy(host_col)
+        .agg(F.min(delay).alias("crawl_delay"))
+    )
+
+
+def host_budget_sample(
+    urls: DataFrame,
+    k: int,
+    host_col: str = "host",
+    url_col: str = "url",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-host frontier budget: keep at most ``k`` URLs
+    per host, chosen by hash rank — the politeness/anti-spam cap every
+    crawl scheduler applies before fetch (a single host must not own
+    the batch).
+
+    Selection is ``xxhash64(url, seed)``-ordered, so it is
+    partition-layout-invariant and stable across retries (the same
+    property as operators/sampling.py), and changing ``seed`` rotates
+    the kept set without re-ranking semantics. One exchange on host;
+    the per-host window sort is bounded by per-host frontier size —
+    at 100 TB the frontier is consumed in batches, so the sort input
+    per host is the batch slice, not the full crawl history. Ties on
+    the 64-bit hash are broken by the URL itself, making the kept set
+    a pure function of (url set, k, seed)."""
+    w = Window.partitionBy(host_col).orderBy(
+        F.xxhash64(F.col(url_col), F.lit(seed)), F.col(url_col)
+    )
+    return (
+        urls.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )
 
 

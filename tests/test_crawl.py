@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from granulate_char_ocr_spark.operators.crawl import (
     apply_robots,
+    host_budget_sample,
+    robots_crawl_delay,
     robots_rules,
     snapshot_diff,
 )
@@ -192,6 +194,63 @@ def test_apply_robots_wildcard_and_anchor(spark):
         "User-agent: *\nDisallow: /*.pdf$\nDisallow: /a/*/cache\n",
     )
     assert got == {1: False, 2: True, 3: False, 4: True}
+
+
+def test_robots_crawl_delay_parse(spark):
+    df = spark.createDataFrame(
+        [
+            # governing '*' group: min of the two valid delays wins;
+            # junk and negative values ignored
+            (
+                "a",
+                "User-agent: *\nCrawl-delay: 10\nCrawl-delay: 2.5\n"
+                "Crawl-delay: junk\nCrawl-delay: -3\n",
+            ),
+            # delay in a foreign group does not apply
+            ("b", "User-agent: other\nCrawl-delay: 9\n"),
+            # only junk -> no row
+            ("c", "User-agent: *\nCrawl-delay: soon\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {r.host: r.crawl_delay for r in robots_crawl_delay(df).collect()}
+    assert got == {"a": 2.5}
+
+
+def test_robots_crawl_delay_agent_group(spark):
+    txt = (
+        "User-agent: *\nCrawl-delay: 1\n\n"
+        "User-agent: mybot\nCrawl-delay: 7\n"
+    )
+    df = spark.createDataFrame(
+        [("h", txt)], "host string, robots_txt string"
+    )
+    [star] = robots_crawl_delay(df).collect()
+    [mine] = robots_crawl_delay(df, agent="MyBot").collect()
+    assert star.crawl_delay == 1.0 and mine.crawl_delay == 7.0
+
+
+def test_host_budget_sample_caps_and_is_deterministic(spark):
+    urls = spark.createDataFrame(
+        [(f"https://h{i}/p/{j}", f"h{i}")
+         for i in range(3) for j in range(40)],
+        "url string, host string",
+    )
+    kept = host_budget_sample(urls, 5)
+    got = kept.groupBy("host").count().collect()
+    assert {r.host: r["count"] for r in got} == {"h0": 5, "h1": 5, "h2": 5}
+    # partition-layout invariance + determinism
+    a = {r.url for r in kept.collect()}
+    b = {r.url for r in host_budget_sample(urls.repartition(7), 5).collect()}
+    assert a == b
+    # a different seed rotates the kept set
+    c = {r.url for r in host_budget_sample(urls, 5, seed=1).collect()}
+    assert a != c
+    # hosts under budget keep everything
+    small = spark.createDataFrame(
+        [("https://s/1", "s"), ("https://s/2", "s")], "url string, host string"
+    )
+    assert host_budget_sample(small, 5).count() == 2
 
 
 def test_apply_robots_metachars_match_literally(spark):
