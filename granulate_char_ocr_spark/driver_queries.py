@@ -1653,7 +1653,7 @@ _ROBOTS_EXPECTED_RULES = [
     ("files.example.com", "^/assets/", 8, True),
     ("files.example.com", r"^/.*\.zip$", 7, False),
     ("deep.example.com", "^/a/b/c", 6, False),
-    ("deep.example.com", "^/a/.*/c", 7, False),
+    ("deep.example.com", "^/a/.*/c", 6, False),  # octet_length('/a/*/c')
 ]
 
 # the RFC 9309 longest-match fold as one SQL aggregate: among matching

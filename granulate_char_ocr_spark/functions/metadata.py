@@ -25,8 +25,10 @@ module comes from the builder's web-tier brief):
 - ``description``: ``<meta name=description content=…>`` in either
   attribute order, entity-decoded, whitespace collapsed.
 - ``published``: a priority ladder mirroring how extractors source
-  dates — JSON-LD ``"datePublished"`` first (most structured), then
-  ``<meta property=article:published_time>`` (either attribute
+  dates — JSON-LD ``"datePublished"`` first (most structured; only
+  trusted inside an ``application/ld+json`` script block, so inline
+  JS or body text containing the key cannot outrank the meta tag),
+  then ``<meta property=article:published_time>`` (either attribute
   order), then the first ``<time datetime=…>``. The value is kept as
   the raw string — parsing/normalizing timestamps is a downstream
   concern (and a cross-engine trap, CLAUDE.md).
@@ -49,37 +51,56 @@ from granulate_char_ocr_spark.functions.html import (
     decode_entities_python,
 )
 
+# HTML permits whitespace around the attribute '='
+_EQ = r"[ \t\r\n]*=[ \t\r\n]*"
 _TITLE = r"(?is)<title[^>]*>(.*?)</title>"
-_LANG = r"(?is)<html[^>]*[ \t\r\n]lang=[\"']?([A-Za-z][A-Za-z0-9-]*)"
+_LANG = rf"(?is)<html[^>]*[ \t\r\n]lang{_EQ}[\"']?([A-Za-z][A-Za-z0-9-]*)"
 # attribute order varies in the wild — one pattern per order, first
-# non-empty wins. Values stop at the closing quote; bare (unquoted)
-# canonical hrefs stop at whitespace or '>'.
+# non-empty wins. URL/token values (canonical, datetime, dates) carry
+# no quotes or spaces, so a combined [^"' \t\r\n>]+ capture is exact
+# for them; free-TEXT values (description) get one pattern per QUOTE
+# STYLE so a value containing the other quote character is captured
+# whole, not truncated at it (review finding r4). Bare unquoted
+# description values are not matched — bare values cannot contain
+# spaces, so a bare prose description cannot exist.
 _CANON_RH = (
-    r"(?is)<link[^>]*rel=[\"']?canonical[\"']?[^>]*"
-    r"href=[\"']?([^\"' \t\r\n>]+)"
+    rf"(?is)<link[^>]*rel{_EQ}[\"']?canonical[\"']?[^>]*"
+    rf"href{_EQ}[\"']?([^\"' \t\r\n>]+)"
 )
 _CANON_HR = (
-    r"(?is)<link[^>]*href=[\"']?([^\"' \t\r\n>]+)[\"']?[^>]*"
-    r"rel=[\"']?canonical"
+    rf"(?is)<link[^>]*href{_EQ}[\"']?([^\"' \t\r\n>]+)[\"']?[^>]*"
+    rf"rel{_EQ}[\"']?canonical"
 )
-_DESC_NC = (
-    r"(?is)<meta[^>]*name=[\"']?description[\"']?[^>]*"
-    r"content=[\"']([^\"']*)"
+_DESC_ND = (
+    rf"(?is)<meta[^>]*name{_EQ}[\"']?description[\"']?[^>]*"
+    rf'content{_EQ}"([^"]*)"'
 )
-_DESC_CN = (
-    r"(?is)<meta[^>]*content=[\"']([^\"']*)[\"'][^>]*"
-    r"name=[\"']?description"
+_DESC_NS = (
+    rf"(?is)<meta[^>]*name{_EQ}[\"']?description[\"']?[^>]*"
+    rf"content{_EQ}'([^']*)'"
 )
-_LD_DATE = r"(?is)\"datePublished\"[ \t\r\n]*:[ \t\r\n]*\"([^\"]+)\""
+_DESC_DN = (
+    rf'(?is)<meta[^>]*content{_EQ}"([^"]*)"[^>]*'
+    rf"name{_EQ}[\"']?description"
+)
+_DESC_SN = (
+    rf"(?is)<meta[^>]*content{_EQ}'([^']*)'[^>]*"
+    rf"name{_EQ}[\"']?description"
+)
+# the JSON-LD date is only trusted INSIDE an application/ld+json
+# script block (review finding r4: a bare key match would let inline
+# JS or body text outrank the real meta tag) — first block wins
+_LD_SCRIPT = r"(?is)<script[^>]*ld\+json[^>]*>(.*?)</script>"
+_LD_DATE = r"(?i)\"datePublished\"[ \t\r\n]*:[ \t\r\n]*\"([^\"]+)\""
 _PUB_PC = (
-    r"(?is)<meta[^>]*property=[\"']?article:published_time[\"']?[^>]*"
-    r"content=[\"']([^\"']+)"
+    rf"(?is)<meta[^>]*property{_EQ}[\"']?article:published_time[\"']?"
+    rf"[^>]*content{_EQ}[\"']?([^\"' \t\r\n>]+)"
 )
 _PUB_CP = (
-    r"(?is)<meta[^>]*content=[\"']([^\"']+)[\"'][^>]*"
-    r"property=[\"']?article:published_time"
+    rf"(?is)<meta[^>]*content{_EQ}[\"']?([^\"' \t\r\n>]+)[\"']?[^>]*"
+    rf"property{_EQ}[\"']?article:published_time"
 )
-_TIME = r"(?is)<time[^>]*datetime=[\"']?([^\"' \t\r\n>]+)"
+_TIME = rf"(?is)<time[^>]*datetime{_EQ}[\"']?([^\"' \t\r\n>]+)"
 
 
 def _first(col: Column, *patterns: str) -> Column:
@@ -103,7 +124,8 @@ def _clean_text(c: Column) -> Column:
 
 
 def title_expr(col: Column) -> Column:
-    return _clean_text(F.coalesce(_first(col, _TITLE), F.lit("")))
+    # _clean_text is NULL-preserving, so no coalesce is needed
+    return _clean_text(_first(col, _TITLE))
 
 
 def lang_expr(col: Column) -> Column:
@@ -115,11 +137,16 @@ def canonical_url_meta_expr(col: Column) -> Column:
 
 
 def description_expr(col: Column) -> Column:
-    return _clean_text(F.coalesce(_first(col, _DESC_NC, _DESC_CN), F.lit("")))
+    return _clean_text(_first(col, _DESC_ND, _DESC_NS, _DESC_DN, _DESC_SN))
 
 
 def published_expr(col: Column) -> Column:
-    return _first(col, _LD_DATE, _PUB_PC, _PUB_CP, _TIME)
+    ld = F.regexp_extract(
+        F.regexp_extract(col, _LD_SCRIPT, 1), _LD_DATE, 1
+    )
+    return F.coalesce(
+        F.nullif(ld, F.lit("")), _first(col, _PUB_PC, _PUB_CP, _TIME)
+    )
 
 
 def page_metadata_cols(col: Column) -> list[Column]:
@@ -151,12 +178,20 @@ def _clean_text_py(s: str | None) -> str | None:
     return out or None
 
 
+def _published_py(html: str) -> str | None:
+    block = _first_py(html, _LD_SCRIPT)
+    ld = _first_py(block, _LD_DATE) if block else None
+    return ld or _first_py(html, _PUB_PC, _PUB_CP, _TIME)
+
+
 def page_metadata_python(html: str) -> dict[str, str | None]:
     """Python twin of page_metadata_cols over one page."""
     return {
         "title": _clean_text_py(_first_py(html, _TITLE)),
         "lang": _first_py(html, _LANG),
         "canonical_url": _first_py(html, _CANON_RH, _CANON_HR),
-        "description": _clean_text_py(_first_py(html, _DESC_NC, _DESC_CN)),
-        "published": _first_py(html, _LD_DATE, _PUB_PC, _PUB_CP, _TIME),
+        "description": _clean_text_py(
+            _first_py(html, _DESC_ND, _DESC_NS, _DESC_DN, _DESC_SN)
+        ),
+        "published": _published_py(html),
     }

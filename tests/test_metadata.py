@@ -90,6 +90,51 @@ CASES = [
 ]
 
 
+# review-finding regressions (r4): quote-aware free-text captures,
+# ld+json scoping, whitespace around the attribute '='
+CASES += [
+    # an apostrophe inside a double-quoted description must survive
+    (
+        '<html><head><meta name="description" content="it\'s fine">'
+        "</head></html>",
+        {
+            "title": None,
+            "lang": None,
+            "canonical_url": None,
+            "description": "it's fine",
+            "published": None,
+        },
+    ),
+    # a datePublished key in plain JS must NOT outrank the meta tag
+    (
+        '<html><head><script>var a={"datePublished": "BOGUS"};</script>'
+        '<meta property="article:published_time" content="2024-01-01">'
+        "</head></html>",
+        {
+            "title": None,
+            "lang": None,
+            "canonical_url": None,
+            "description": None,
+            "published": "2024-01-01",
+        },
+    ),
+    # whitespace around '=' is legal HTML
+    (
+        '<html lang = "en"><head>'
+        '<link rel = "canonical" href = "https://ex.com/ws">'
+        '<meta name = "description" content = "spaced">'
+        "</head><body><time datetime = 2022-02-02>t</time></body></html>",
+        {
+            "title": None,
+            "lang": "en",
+            "canonical_url": "https://ex.com/ws",
+            "description": "spaced",
+            "published": "2022-02-02",
+        },
+    ),
+]
+
+
 @pytest.mark.parametrize("html,want", CASES)
 def test_python_twin_cases(html, want):
     assert page_metadata_python(html) == want
