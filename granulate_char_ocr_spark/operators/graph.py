@@ -90,6 +90,67 @@ def link_edges(
     )
 
 
+# whole <a> elements: group 1 = href value, group 2 = inner markup.
+# Same double-quote convention as _RE_HREF; (?s) lets anchors span
+# lines, and the lazy body stops at the first </a> (nested <a> is
+# illegal HTML that browsers auto-close the same way).
+_RE_ANCHOR = r'(?is)<a\s[^>]*href="([^"]+)"[^>]*>(.*?)</a>'
+
+
+def anchor_texts(
+    pages: DataFrame,
+    src_host_col: str = "src_host",
+    html_col: str = "html",
+) -> DataFrame:
+    """(src_host, dst_url, dst_host, anchor): the anchor-text table —
+    what each page SAYS about the pages it links to. Anchor text is a
+    classic relevance/training signal (it describes the TARGET, not
+    the source); a corpus pipeline aggregates it per dst_url.
+
+    Pure codegen: the two capture groups are pulled with two
+    regexp_extract_all passes over the page, zip_with pairs them
+    positionally (both passes walk the same matches of the same
+    pattern, so the arrays are index-aligned by construction), then
+    per anchor the inner markup is tag-stripped, entity-decoded and
+    whitespace-collapsed — the main-text cleanup, scoped to the
+    element. Relative hrefs (no authority after canonicalization) and
+    empty anchors (image links, spacer anchors) are dropped. One scan
+    -> explode, zero joins, zero UDFs."""
+    from granulate_char_ocr_spark.functions.html import (
+        _WS_CLASS,
+        decode_entities_expr,
+    )
+
+    html = F.col(html_col)
+    pairs = F.zip_with(
+        F.regexp_extract_all(html, F.lit(_RE_ANCHOR), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_RE_ANCHOR), F.lit(2)),
+        lambda h, t: F.struct(h.alias("href"), t.alias("txt")),
+    )
+    df = pages.select(
+        F.col(src_host_col).alias("src_host"), F.explode(pairs).alias("_a")
+    )
+    url = canonical_url_expr(F.col("_a.href"))
+    anchor = F.trim(
+        F.regexp_replace(
+            decode_entities_expr(
+                F.regexp_replace(F.col("_a.txt"), r"<[^>]+>", " ")
+            ),
+            _WS_CLASS,
+            " ",
+        )
+    )
+    return (
+        df.select(
+            "src_host",
+            url.alias("dst_url"),
+            host_of(url).alias("dst_host"),
+            anchor.alias("anchor"),
+        )
+        .filter((F.col("dst_host") != "") & (F.col("anchor") != ""))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 8,

@@ -9,7 +9,11 @@ iteration of the same textbook formulation.
 import numpy as np
 import pytest
 
-from granulate_char_ocr_spark.operators.graph import link_edges, pagerank
+from granulate_char_ocr_spark.operators.graph import (
+    anchor_texts,
+    link_edges,
+    pagerank,
+)
 
 
 def _numpy_pagerank(edges, iterations=8, damping=0.85):
@@ -99,3 +103,67 @@ def test_pagerank_duplicate_edges_collapse(spark):
     want = _numpy_pagerank([("a.com", "b.com"), ("b.com", "a.com")], 4)
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_anchor_texts_extraction(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                '<p>See <a class="x" href="https://B.com/Path#frag">the '
+                "<b>big</b>\n  fish &amp; chips</a> and "
+                '<a href="/relative">rel</a> and '
+                '<a href="https://c.com/"><img src="i.png"></a> and '
+                '<a href="https://d.com/d">D&#233;j\u00e0</a>.</p>',
+            ),
+        ],
+        "src_host string, html string",
+    )
+    rows = {
+        (r.dst_url, r.anchor): r for r in anchor_texts(pages).collect()
+    }
+    # canonicalized target (host lowercased, fragment stripped), inner
+    # markup stripped, entities decoded, whitespace collapsed
+    assert ("https://b.com/Path", "the big fish & chips") in rows
+    assert rows[("https://b.com/Path", "the big fish & chips")].dst_host == "b.com"
+    # relative links and empty (image-only) anchors are dropped
+    assert all(u != "/relative" for u, _ in rows)
+    assert all("c.com" not in u for u, _ in rows)
+    # numeric entity decode in the anchor body
+    assert ("https://d.com/d", "D\u00e9j\u00e0") in rows
+    assert len(rows) == 2
+
+
+def test_anchor_texts_pairs_align_with_python(spark):
+    """zip_with pairing must stay index-aligned with a reference
+    re.findall over the same pattern."""
+    import re as _re
+
+    from granulate_char_ocr_spark.operators.graph import _RE_ANCHOR
+
+    html = "".join(
+        f'<a href="https://h{i}.com/p{i}">t{i}</a><a name="x">skip</a>'
+        for i in range(7)
+    )
+    want = _re.findall(_RE_ANCHOR, html)
+    pages = spark.createDataFrame(
+        [("s", html)], "src_host string, html string"
+    )
+    got = [
+        (r.dst_url, r.anchor)
+        for r in anchor_texts(pages).orderBy("dst_url").collect()
+    ]
+    assert got == sorted(
+        (f"https://h{i}.com/p{i}", f"t{i}") for i in range(7)
+    )
+    assert len(want) == 7
+
+
+def test_anchor_texts_no_python_in_plan(spark):
+    pages = spark.createDataFrame(
+        [("s", "<a href=\'x\'>y</a>")], "src_host string, html string"
+    )
+    plan = (
+        anchor_texts(pages)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
