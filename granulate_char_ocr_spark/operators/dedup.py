@@ -308,56 +308,82 @@ def connected_components(
     )
 
 
-def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hd: int = 2) -> DataFrame:
-    """(doc_a, doc_b, hd): SimHash pairs within Hamming distance ``max_hd``.
+def hamming_near_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bits: int = 16,
+    max_hd: int = 2,
+) -> DataFrame:
+    """(id_a, id_b, hd): pairs of bigint hashes within Hamming distance
+    ``max_hd``, EXACT — the pigeonhole band trick over any 64-bit-or-
+    narrower hash column (SimHash here; perceptual image hashes in
+    operators/multimodal.py).
 
-    Scale formulation — the pigeonhole band trick: split the ``bits`` into
-    ``max_hd + 1`` contiguous chunks; two hashes within HD <= max_hd must
-    agree EXACTLY on at least one chunk (at most max_hd chunks can contain a
-    differing bit), so candidates come from an equi-join on
-    (chunk_id, chunk_value) — the same plan shape as MinHash LSH banding, no
-    cross join anywhere. Candidates are then exact-verified with bit_count,
-    which makes the result IDENTICAL to the brute-force formulation (100%
-    recall by pigeonhole, 0 false positives by verification) — the DuckDB
-    oracle stays the brute-force quadratic, uncapped.
+    Split the ``bits`` into ``max_hd + 1`` contiguous chunks; two
+    hashes within HD <= max_hd must agree EXACTLY on at least one chunk
+    (at most max_hd chunks can contain a differing bit), so candidates
+    come from an equi-join on (chunk_id, chunk_value) — the same plan
+    shape as MinHash LSH banding, no cross join anywhere. Candidates
+    are then exact-verified with bit_count, which makes the result
+    IDENTICAL to the brute-force formulation (100% recall by
+    pigeonhole, 0 false positives by verification). The shiftright is
+    arithmetic, but the chunk mask keeps only the low ``width`` bits,
+    so sign extension from a set bit 63 cannot leak into chunk values.
     """
     n_chunks = max_hd + 1
     base, rem = divmod(bits, n_chunks)
     chunk_cols, offset = [], 0
     for i in range(n_chunks):
         width = base + (1 if i < rem else 0)
+        # a full-width (64-bit) chunk takes the hash verbatim: its mask
+        # (1<<64)-1 would overflow signed bigint and parse as DECIMAL
+        chunk_val = (
+            f"shiftright({hash_col}, {offset})"
+            if width >= 64
+            else f"(shiftright({hash_col}, {offset}) & {(1 << width) - 1})"
+        )
         chunk_cols.append(
             F.struct(
                 F.lit(i).alias("chunk_id"),
-                F.expr(
-                    f"(shiftright(simhash, {offset}) & {(1 << width) - 1})"
-                ).alias("chunk_val"),
+                F.expr(chunk_val).alias("chunk_val"),
             )
         )
         offset += width
-    s = simhash(docs, bits)
-    banded = s.select(
-        "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
-    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_val")
+    banded = hashed.select(
+        id_col, hash_col, F.explode(F.array(*chunk_cols)).alias("c")
+    ).select(id_col, hash_col, "c.chunk_id", "c.chunk_val")
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
             r,
             (F.col("l.chunk_id") == F.col("r.chunk_id"))
             & (F.col("l.chunk_val") == F.col("r.chunk_val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .withColumn(
             "hd",
-            F.expr("bit_count(l.simhash ^ r.simhash)").cast("int"),
+            F.expr(f"bit_count(l.{hash_col} ^ r.{hash_col})").cast("int"),
         )
         .filter(F.col("hd") <= max_hd)
         .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
             "hd",
         )
         .distinct()
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hd: int = 2) -> DataFrame:
+    """(doc_a, doc_b, hd): SimHash pairs within Hamming distance
+    ``max_hd`` — exact via the pigeonhole equi-join
+    (``hamming_near_pairs``); the DuckDB oracle stays the brute-force
+    quadratic, uncapped."""
+    return hamming_near_pairs(
+        simhash(docs, bits), "doc_id", "simhash", bits, max_hd
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hd"
     )
 
 

@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from granulate_char_ocr_spark.functions import kernels
 
@@ -330,6 +331,42 @@ def image_embeddings(images: DataFrame) -> DataFrame:
 
     cols = ["media_ref", "codec", "width", "height", "payload"]
     return images.select(*cols).mapInPandas(fn, schema=EMBED_SCHEMA)
+
+
+def image_phashes(images: DataFrame) -> DataFrame:
+    """(media_ref, phash): the 64-bit perceptual hash per image — the
+    aHash bit vector of ``image_embeddings`` packed into ONE bigint,
+    entirely engine-side (zip_with the bit array against bit positions,
+    fold with bitwise OR — OR, not +, because bit 63 as an addend would
+    overflow signed bigint and ANSI mode would throw)."""
+    pack = F.expr(
+        "aggregate(zip_with(embedding, sequence(0, 63),"
+        " (b, i) -> IF(b > 0.5D, shiftleft(1L, i), 0L)),"
+        " 0L, (a, x) -> a | x)"
+    )
+    return image_embeddings(images).select(
+        "media_ref", pack.alias("phash")
+    )
+
+
+def image_near_pairs(images: DataFrame, max_hd: int = 6) -> DataFrame:
+    """(ref_a, ref_b, hd): image pairs whose perceptual hashes are
+    within Hamming distance ``max_hd`` — near-duplicate IMAGE dedup,
+    the media twin of text SimHash dedup (the step a multimodal corpus
+    runs so recompressed/lightly-retouched copies of one image don't
+    multiply in training data).
+
+    Decode + hash happen once per image (Arrow-batched, shape-grouped);
+    the pair search is the EXACT pigeonhole equi-join shared with
+    SimHash (dedup.hamming_near_pairs, bits=64) — no cross join, and
+    brute-force-identical results by verification."""
+    from granulate_char_ocr_spark.operators.dedup import hamming_near_pairs
+
+    return hamming_near_pairs(
+        image_phashes(images), "media_ref", "phash", 64, max_hd
+    ).select(
+        F.col("id_a").alias("ref_a"), F.col("id_b").alias("ref_b"), "hd"
+    )
 
 
 # ---------------------------------------------------------------------------

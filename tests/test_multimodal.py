@@ -343,3 +343,66 @@ def test_sample_frames_animated_gif(spark):
         # neutral palette -> gray == index, within 1 LSB of the
         # float-weight truncation in to_grayscale
         assert np.all(np.abs(plane.astype(int) - 40 * i) <= 1)
+
+
+def test_image_phash_packs_embedding_bits(spark, images):
+    """phash must be the embedding bit vector packed little-endian
+    (bit i of the bigint = embedding[i]), including a set bit 63."""
+    emb = {r["media_ref"]: r["embedding"]
+           for r in multimodal.image_embeddings(images).collect()}
+    ph = {r["media_ref"]: r["phash"]
+          for r in multimodal.image_phashes(images).collect()}
+    assert set(emb) == set(ph)
+    for ref, bits in emb.items():
+        want = 0
+        for i, b in enumerate(bits):
+            if b > 0.5:
+                want |= 1 << i
+        # compare as signed 64-bit (Spark bigint wraps bit 63)
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert ph[ref] == want, ref
+    # at least one hash in the glyph store must exercise the sign bit
+    # path in some corpus... if none does here, the pack parity above
+    # still pins the arithmetic; assert variety instead
+    assert len(set(ph.values())) > 1
+
+
+def test_image_near_pairs_matches_bruteforce(spark, images):
+    """The pigeonhole equi-join is EXACT: equal to the all-pairs
+    popcount at the same threshold."""
+    ph = {r["media_ref"]: r["phash"] & ((1 << 64) - 1)
+          for r in multimodal.image_phashes(images).collect()}
+    refs = sorted(ph)
+    want = set()
+    for i, a in enumerate(refs):
+        for b in refs[i + 1:]:
+            hd = bin(ph[a] ^ ph[b]).count("1")
+            if hd <= 10:
+                want.add((min(a, b), max(a, b), hd))
+    got = {
+        (r.ref_a, r.ref_b, r.hd)
+        for r in multimodal.image_near_pairs(images, max_hd=10).collect()
+    }
+    assert got == want
+    assert got  # the glyph store has near neighbors at this threshold
+
+
+def test_image_near_pairs_duplicate_images_hd0(spark, images):
+    """An exact duplicate payload under a new ref must pair at hd=0."""
+    import pandas as pd
+
+    pdf = images.toPandas()
+    dup = pdf.iloc[[0]].copy()
+    dup["media_ref"] = "dup-of-first"
+    store = spark.createDataFrame(
+        pd.concat([pdf, dup], ignore_index=True),
+        schema=multimodal.MULTIMODAL_SCHEMA,
+    )
+    first = pdf.iloc[0]["media_ref"]
+    got = {
+        (r.ref_a, r.ref_b): r.hd
+        for r in multimodal.image_near_pairs(store, max_hd=0).collect()
+    }
+    key = (min(first, "dup-of-first"), max(first, "dup-of-first"))
+    assert got.get(key) == 0
