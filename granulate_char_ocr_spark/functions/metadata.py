@@ -20,8 +20,8 @@ module comes from the builder's web-tier brief):
 - ``lang``: the ``<html lang=…>`` attribute (BCP-47 tag charset),
   quoted or bare.
 - ``canonical_url``: ``<link rel=canonical href=…>`` in EITHER
-  attribute order, first match wins (the duplicate-canonical case is
-  a page bug; first is what browsers use).
+  attribute order (duplicate metadata resolves by ladder order — see
+  ``_first``'s tie-break note).
 - ``description``: ``<meta name=description content=…>`` in either
   attribute order, entity-decoded, whitespace collapsed.
 - ``published``: a priority ladder mirroring how extractors source
@@ -53,6 +53,13 @@ from granulate_char_ocr_spark.functions.html import (
 
 # HTML permits whitespace around the attribute '='
 _EQ = r"[ \t\r\n]*=[ \t\r\n]*"
+# a known attribute TOKEN (description, canonical, …) must be followed
+# by a boundary — closing quote, whitespace, '/' or '>' — or a value
+# that merely STARTS with the token (rel="canonical-old",
+# name="description-mobile") would be accepted (review finding r4).
+# The boundary is CONSUMED, not looked-ahead, to stay inside the
+# RE2-common subset (RE2 has no lookaround).
+_B = r"[\"' \t\r\n/>]"
 _TITLE = r"(?is)<title[^>]*>(.*?)</title>"
 _LANG = rf"(?is)<html[^>]*[ \t\r\n]lang{_EQ}[\"']?([A-Za-z][A-Za-z0-9-]*)"
 # attribute order varies in the wild — one pattern per order, first
@@ -64,28 +71,28 @@ _LANG = rf"(?is)<html[^>]*[ \t\r\n]lang{_EQ}[\"']?([A-Za-z][A-Za-z0-9-]*)"
 # description values are not matched — bare values cannot contain
 # spaces, so a bare prose description cannot exist.
 _CANON_RH = (
-    rf"(?is)<link[^>]*rel{_EQ}[\"']?canonical[\"']?[^>]*"
+    rf"(?is)<link[^>]*rel{_EQ}[\"']?canonical{_B}[^>]*"
     rf"href{_EQ}[\"']?([^\"' \t\r\n>]+)"
 )
 _CANON_HR = (
     rf"(?is)<link[^>]*href{_EQ}[\"']?([^\"' \t\r\n>]+)[\"']?[^>]*"
-    rf"rel{_EQ}[\"']?canonical"
+    rf"rel{_EQ}[\"']?canonical{_B}"
 )
 _DESC_ND = (
-    rf"(?is)<meta[^>]*name{_EQ}[\"']?description[\"']?[^>]*"
+    rf"(?is)<meta[^>]*name{_EQ}[\"']?description{_B}[^>]*"
     rf'content{_EQ}"([^"]*)"'
 )
 _DESC_NS = (
-    rf"(?is)<meta[^>]*name{_EQ}[\"']?description[\"']?[^>]*"
+    rf"(?is)<meta[^>]*name{_EQ}[\"']?description{_B}[^>]*"
     rf"content{_EQ}'([^']*)'"
 )
 _DESC_DN = (
     rf'(?is)<meta[^>]*content{_EQ}"([^"]*)"[^>]*'
-    rf"name{_EQ}[\"']?description"
+    rf"name{_EQ}[\"']?description{_B}"
 )
 _DESC_SN = (
     rf"(?is)<meta[^>]*content{_EQ}'([^']*)'[^>]*"
-    rf"name{_EQ}[\"']?description"
+    rf"name{_EQ}[\"']?description{_B}"
 )
 # the JSON-LD date is only trusted INSIDE an application/ld+json
 # script block (review finding r4: a bare key match would let inline
@@ -93,25 +100,34 @@ _DESC_SN = (
 _LD_SCRIPT = r"(?is)<script[^>]*ld\+json[^>]*>(.*?)</script>"
 _LD_DATE = r"(?i)\"datePublished\"[ \t\r\n]*:[ \t\r\n]*\"([^\"]+)\""
 _PUB_PC = (
-    rf"(?is)<meta[^>]*property{_EQ}[\"']?article:published_time[\"']?"
+    rf"(?is)<meta[^>]*property{_EQ}[\"']?article:published_time{_B}"
     rf"[^>]*content{_EQ}[\"']?([^\"' \t\r\n>]+)"
 )
 _PUB_CP = (
     rf"(?is)<meta[^>]*content{_EQ}[\"']?([^\"' \t\r\n>]+)[\"']?[^>]*"
-    rf"property{_EQ}[\"']?article:published_time"
+    rf"property{_EQ}[\"']?article:published_time{_B}"
 )
 _TIME = rf"(?is)<time[^>]*datetime{_EQ}[\"']?([^\"' \t\r\n>]+)"
 
 
 def _first(col: Column, *patterns: str) -> Column:
     """First non-empty regexp_extract over the pattern ladder, NULL
-    when nothing matches (regexp_extract yields '' on no-match)."""
-    return F.nullif(
-        F.coalesce(
-            *[F.nullif(F.regexp_extract(col, p, 1), F.lit("")) for p in patterns],
-            F.lit(""),
-        ),
-        F.lit(""),
+    when nothing matches (regexp_extract yields '' on no-match;
+    coalesce over the nullifs is already NULL when every rung misses).
+
+    Note the tie-break this implies for fields with several syntactic
+    variants (attribute orders, quote styles): each rung scans the
+    WHOLE page before the next is tried, so when a field repeats
+    across variants the LADDER order wins, not document order.
+    Duplicate metadata is a page bug; picking the more-canonical
+    syntax is an acceptable, documented resolution — recovering true
+    document order would need positional regexp_instr per rung for a
+    case that real extractors also resolve arbitrarily."""
+    return F.coalesce(
+        *[
+            F.nullif(F.regexp_extract(col, p, 1), F.lit(""))
+            for p in patterns
+        ]
     )
 
 

@@ -227,9 +227,11 @@ def robots_crawl_delay(
     ``Crawl-delay`` in seconds — the de-facto politeness directive
     (not in RFC 9309 but honored by most crawlers). Group selection is
     the same machinery as robots_rules; when a group states several
-    delays the MINIMUM non-negative one wins (conservative for the
-    site), and non-numeric values are ignored. Hosts without a valid
-    directive emit no row (crawler default applies)."""
+    delays the MAXIMUM non-negative one wins — the strictest directive
+    is the conservative reading for the site (review finding r4: min
+    would fetch faster than the site asked) — and non-numeric values
+    are ignored. Hosts without a valid directive emit no row (crawler
+    default applies)."""
     lines_g = _grouped_lines(robots, host_col, text_col)
     groups = _governing_groups(lines_g, host_col, agent)
     # try_cast: ANSI mode (Spark 4 default) would THROW on a malformed
@@ -243,7 +245,7 @@ def robots_crawl_delay(
     return (
         delays.join(F.broadcast(groups), [host_col, "gid"])
         .groupBy(host_col)
-        .agg(F.min(delay).alias("crawl_delay"))
+        .agg(F.max(delay).alias("crawl_delay"))
     )
 
 

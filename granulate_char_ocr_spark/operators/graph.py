@@ -49,8 +49,10 @@ from granulate_char_ocr_spark.operators.urlfilter import (
 # href values of <a> tags, group 1 = the URL. Double-quoted attributes
 # only (the deterministic page synth and WARC-extracted markup both
 # quote); single-quote support would be a second alternation, excluded
-# to keep the Java/RE2 parity surface minimal.
-_RE_HREF = r'<a\s[^>]*href="([^"]+)"'
+# to keep the Java/RE2 parity surface minimal. Case-insensitive so
+# <A HREF=...> markup feeds the edge table exactly like the anchor
+# table (_RE_ANCHOR) — the two graph surfaces must not diverge.
+_RE_HREF = r'(?i)<a\s[^>]*href="([^"]+)"'
 
 
 def extract_hrefs(html: Column) -> Column:

@@ -199,8 +199,8 @@ def test_apply_robots_wildcard_and_anchor(spark):
 def test_robots_crawl_delay_parse(spark):
     df = spark.createDataFrame(
         [
-            # governing '*' group: min of the two valid delays wins;
-            # junk and negative values ignored
+            # governing '*' group: the STRICTEST (max) valid delay
+            # wins; junk and negative values ignored
             (
                 "a",
                 "User-agent: *\nCrawl-delay: 10\nCrawl-delay: 2.5\n"
@@ -214,7 +214,7 @@ def test_robots_crawl_delay_parse(spark):
         "host string, robots_txt string",
     )
     got = {r.host: r.crawl_delay for r in robots_crawl_delay(df).collect()}
-    assert got == {"a": 2.5}
+    assert got == {"a": 10.0}
 
 
 def test_robots_crawl_delay_agent_group(spark):

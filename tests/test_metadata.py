@@ -118,6 +118,22 @@ CASES += [
             "published": "2024-01-01",
         },
     ),
+    # a value that merely STARTS with a known token must not match:
+    # these are different attributes, not the fields we extract
+    (
+        '<html><head>'
+        '<meta name="description-mobile" content="NOT A DESC">'
+        '<link rel="canonical-old" href="https://wrong.example/x">'
+        '<meta property="article:published_timestamp" content="9999-01-01">'
+        "</head></html>",
+        {
+            "title": None,
+            "lang": None,
+            "canonical_url": None,
+            "description": None,
+            "published": None,
+        },
+    ),
     # whitespace around '=' is legal HTML
     (
         '<html lang = "en"><head>'
