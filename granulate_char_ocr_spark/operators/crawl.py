@@ -317,6 +317,128 @@ def sitemap_urls(
     )
 
 
+# the five predefined XML entities (XML 1.0 §4.6) — feed titles/links
+# are XML-escaped; &amp; decodes LAST so '&amp;lt;' yields '&lt;', not
+# '<' (the same ordering contract as functions/html.py's decoder)
+_XML_ENTITIES_PRE = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+]
+_XML_ENTITY_AMP = ("&amp;", "&")
+_CDATA = r"(?s)<!\[CDATA\[(.*?)\]\]>"
+
+
+def _feed_text(c):
+    """CDATA-unwrap, XML-entity-decode and trim an extracted feed field
+    (pure column expressions)."""
+    out = F.regexp_replace(c, F.lit(_CDATA), F.lit("$1"))
+    for ent, rep in _XML_ENTITIES_PRE:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.replace(out, F.lit(_XML_ENTITY_AMP[0]), F.lit(_XML_ENTITY_AMP[1]))
+    return F.trim(out)
+
+
+def feed_entries(
+    df: DataFrame, xml_col: str = "feed_xml", key_col: str = "host"
+) -> DataFrame:
+    """(key, feed_xml) -> (key, fmt, link, title, published): the
+    entries of an RSS 2.0 or Atom 1.0 feed — the third crawl-discovery
+    channel next to sitemaps and the link graph (feeds surface NEW
+    urls faster than either; every crawl scheduler polls them).
+
+    Parsed as pure column expressions, one regex family per format:
+
+    - RSS 2.0 (RSS Advisory Board spec): ``<item>`` blocks; ``link`` is
+      the ``<link>`` element TEXT, ``published`` is ``<pubDate>``.
+    - Atom 1.0 (RFC 4287): ``<entry>`` blocks; ``link`` is the ``href``
+      ATTRIBUTE of the first ``<link>`` whose ``rel`` is absent or
+      ``alternate`` (§4.2.7.2: no rel means alternate), ``published``
+      prefers ``<published>``, falling back to ``<updated>``.
+
+    Both formats can appear in one corpus (or one row), so both block
+    families are extracted and concatenated before the single explode.
+    Titles and links are CDATA-unwrapped and XML-entity-decoded;
+    ``published`` stays the raw date string (RFC 822 vs RFC 3339 —
+    normalization is the caller's tier). Entries without a link are
+    dropped (nothing to fetch). Namespace-prefixed dialects (RSS 1.0 /
+    RDF) yield zero rows here — documented out of scope, as with
+    <sitemapindex> above. Per row the work is a bounded regex cascade
+    in whole-stage codegen; the explode is the only row multiplier —
+    the same 100 TB posture as ``sitemap_urls``."""
+    xml = F.col(xml_col)
+    rss_blocks = F.regexp_extract_all(
+        xml, F.lit(r"(?is)<item\b[^>]*>(.*?)</item>"), 1
+    )
+    atom_blocks = F.regexp_extract_all(
+        xml, F.lit(r"(?is)<entry\b[^>]*>(.*?)</entry>"), 1
+    )
+    title_re = r"(?is)<title\b[^>]*>(.*?)</title>"
+
+    def rss_entry(b):
+        return F.struct(
+            F.lit("rss").alias("fmt"),
+            _feed_text(
+                F.regexp_extract(b, r"(?is)<link\b[^>]*>(.*?)</link>", 1)
+            ).alias("link"),
+            _feed_text(F.regexp_extract(b, title_re, 1)).alias("title"),
+            F.trim(
+                F.regexp_extract(
+                    b, r"(?is)<pubDate\b[^>]*>(.*?)</pubDate>", 1
+                )
+            ).alias("published"),
+        )
+
+    # Atom link: first <link> element carrying rel="alternate" or no
+    # rel at all, href pulled from inside that one tag. Two-step —
+    # select the tag, then its href — keeps it lookaround-free.
+    _ATOM_ALT_LINK = (
+        r"(?is)<link\b(?:[^>]*\brel\s*=\s*[\"']alternate[\"'][^>]*"
+        r"|(?:[^>r]|r(?!el\s*=))*)>"
+    )
+
+    def atom_link(b):
+        tag = F.regexp_extract(b, _ATOM_ALT_LINK, 0)
+        return _feed_text(
+            F.regexp_extract(
+                tag, r"(?is)\bhref\s*=\s*[\"']([^\"']*)[\"']", 1
+            )
+        )
+
+    def atom_entry(b):
+        pub = F.trim(
+            F.regexp_extract(
+                b, r"(?is)<published\b[^>]*>(.*?)</published>", 1
+            )
+        )
+        upd = F.trim(
+            F.regexp_extract(b, r"(?is)<updated\b[^>]*>(.*?)</updated>", 1)
+        )
+        return F.struct(
+            F.lit("atom").alias("fmt"),
+            atom_link(b).alias("link"),
+            _feed_text(F.regexp_extract(b, title_re, 1)).alias("title"),
+            F.when(pub != "", pub).otherwise(upd).alias("published"),
+        )
+
+    entries = F.concat(
+        F.transform(rss_blocks, rss_entry),
+        F.transform(atom_blocks, atom_entry),
+    )
+    return (
+        df.select(key_col, F.explode(entries).alias("_e"))
+        .select(
+            key_col,
+            F.col("_e.fmt").alias("fmt"),
+            F.col("_e.link").alias("link"),
+            F.nullif(F.col("_e.title"), F.lit("")).alias("title"),
+            F.nullif(F.col("_e.published"), F.lit("")).alias("published"),
+        )
+        .filter(F.col("link") != "")
+    )
+
+
 def apply_robots(
     urls: DataFrame,
     rules: DataFrame,

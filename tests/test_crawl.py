@@ -428,3 +428,99 @@ def test_confusion_matrix_docs(spark):
         .fetchall()
     }
     assert got == want
+
+
+RSS_FEED = """<?xml version="1.0"?>
+<rss version="2.0"><channel>
+  <title>Example Blog</title>
+  <link>https://blog.example.com/</link>
+  <item>
+    <title><![CDATA[Hello <world> &amp; more]]></title>
+    <link>https://blog.example.com/a?x=1&amp;y=2</link>
+    <pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>
+  </item>
+  <item>
+    <title>Second &lt;post&gt;</title>
+    <link> https://blog.example.com/b </link>
+  </item>
+  <item><title>no link: dropped</title></item>
+</channel></rss>"""
+
+ATOM_FEED = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+  <title>Site</title>
+  <link rel="self" href="https://site.example.com/feed.xml"/>
+  <entry>
+    <title>Entry one</title>
+    <link rel="self" href="https://site.example.com/e1.meta"/>
+    <link rel="alternate" href="https://site.example.com/e1"/>
+    <published>2024-03-01T12:00:00Z</published>
+    <updated>2024-03-02T12:00:00Z</updated>
+  </entry>
+  <entry>
+    <title>Entry two &amp;lt;kept encoded&amp;gt;</title>
+    <link href="https://site.example.com/e2"/>
+    <updated>2024-04-01T00:00:00Z</updated>
+  </entry>
+</feed>"""
+
+
+def test_feed_entries_rss(spark):
+    from granulate_char_ocr_spark.operators.crawl import feed_entries
+
+    df = spark.createDataFrame(
+        [("blog.example.com", RSS_FEED)], "host string, feed_xml string"
+    )
+    rows = feed_entries(df).orderBy("link").collect()
+    # the link-less third item is dropped
+    assert [(r.fmt, r.link, r.title, r.published) for r in rows] == [
+        (
+            "rss",
+            "https://blog.example.com/a?x=1&y=2",
+            "Hello <world> & more",
+            "Mon, 01 Jan 2024 00:00:00 GMT",
+        ),
+        ("rss", "https://blog.example.com/b", "Second <post>", None),
+    ]
+
+
+def test_feed_entries_atom(spark):
+    from granulate_char_ocr_spark.operators.crawl import feed_entries
+
+    df = spark.createDataFrame(
+        [("site.example.com", ATOM_FEED)], "host string, feed_xml string"
+    )
+    rows = feed_entries(df).orderBy("link").collect()
+    # rel="self" link skipped in favor of rel="alternate"; bare <link
+    # href> (no rel) accepted per RFC 4287 §4.2.7.2; <published> beats
+    # <updated>, falls back when absent; double-escaped &amp;lt; decodes
+    # exactly one level
+    assert [(r.fmt, r.link, r.title, r.published) for r in rows] == [
+        (
+            "atom",
+            "https://site.example.com/e1",
+            "Entry one",
+            "2024-03-01T12:00:00Z",
+        ),
+        (
+            "atom",
+            "https://site.example.com/e2",
+            "Entry two &lt;kept encoded&gt;",
+            "2024-04-01T00:00:00Z",
+        ),
+    ]
+
+
+def test_feed_entries_mixed_corpus(spark):
+    """Both formats in one DataFrame; per-host provenance preserved."""
+    from granulate_char_ocr_spark.operators.crawl import feed_entries
+
+    df = spark.createDataFrame(
+        [("blog", RSS_FEED), ("site", ATOM_FEED), ("empty", "<rss/>")],
+        "host string, feed_xml string",
+    )
+    rows = feed_entries(df).collect()
+    assert {(r.host, r.fmt) for r in rows} == {
+        ("blog", "rss"), ("site", "atom"),
+    }
+    assert len(rows) == 4
