@@ -26,7 +26,6 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash32",
     "simhash_near_pairs",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
@@ -46,6 +45,7 @@ BENCH_QUERIES = [
     "warc_extract_docs",
     "markdown_convert_docs",
     "page_metadata_docs",
+    "html_table_rows_docs",
     "url_filter_docs",
     "crawl_diff_docs",
     "robots_filter_docs",

@@ -978,7 +978,16 @@ def _simhash_sql(bits: int = 16, where: str = "") -> str:
     """
 
 
-@q("dedup_simhash32", _simhash_sql(bits=32))
+# (dedup_simhash32 left the 50-entry gate window in r4 for
+# html_table_rows_docs: the 32-bit signature computation is a strict
+# subset of simhash_near_pairs — that gate entry computes the SAME
+# dedup.simhash(bits=32) signatures before its pigeonhole join, and its
+# oracle embeds the SAME _simhash_sql(bits=32) — and the exact parity
+# stays pinned by tests/test_dedup_ops.py::test_dedup_simhash32_parity
+# against the oracle below.)
+SIMHASH32_ORACLE = _simhash_sql(bits=32)
+
+
 def dedup_simhash32(spark, sf_dir):
     """Production-width SimHash (32 of the supported 60 bits): wider hashes
     keep the near-pair graph sparse at corpus scale (the 16-bit space
@@ -1342,6 +1351,68 @@ def html_main_content_docs(spark, sf_dir):
         F.lit(_DOM_PREFIX), escape_text(F.col("text")), F.lit(_DOM_SUFFIX)
     )
     return html_main_contents(docs.select("doc_id", page.alias("html")))
+
+
+# page skeleton for html_table_rows_docs: a header-rowed spec table
+# carrying the document text and lang as escaped cell content, a script
+# trap holding a fake table (code, not content), and a second table
+# whose cells exercise numeric references, inline-tag flattening and
+# the double-escape rule — so pre-clean, both posexplodes, header
+# detection and the shared entity decode are ALL under the value hash.
+_TBL_PREFIX = (
+    '<html><head><script>var t = "<table><tr><td>trap</td></tr>'
+    '</table>";</script></head><body><table class="spec">'
+    "<tr><th>Field</th><th>Value</th></tr><tr><td>body</td><td>"
+)
+_TBL_MID = "</td></tr><tr><td>lang</td><td>"
+_TBL_SUFFIX = (
+    "</td></tr></table><p>prose between tables</p>"
+    "<table><tr><td>A&#32;B</td><td><b>bold</b> cell &amp;amp;</td>"
+    "</tr></table></body></html>"
+)
+
+
+def _table_oracle_sql() -> str:
+    from granulate_char_ocr_spark.functions.htmltable import (
+        table_rows_oracle_sql,
+    )
+
+    def esc(col: str) -> str:
+        return (
+            f"replace(replace(replace({col}, '&', '&amp;'), '<', '&lt;'), "
+            "'>', '&gt;')"
+        )
+
+    page = (
+        f"('{_TBL_PREFIX}' || {esc('text')} || '{_TBL_MID}' || "
+        f"{esc('lang')} || '{_TBL_SUFFIX}')"
+    )
+    return table_rows_oracle_sql("documents", page)
+
+
+@q("html_table_rows_docs", _table_oracle_sql())
+def html_table_rows_docs(spark, sf_dir):
+    """Structured-table recovery (functions/htmltable.py): each document's
+    text and lang are entity-escaped into a two-table page (header row,
+    script-trap table, numeric-reference cells) and the extractor must
+    emit exactly 4 structured rows per document — (table_idx, row_idx,
+    is_header, US-joined cells, n_cells). The oracle synthesizes the
+    SAME page in SQL and runs the byte-identical RE2 transform, so the
+    page build AND both explode stages sit under the value hash. Pure
+    whole-stage codegen — the two posexplodes are the only row
+    multipliers."""
+    from granulate_char_ocr_spark.functions.html import escape_text
+    from granulate_char_ocr_spark.operators.docparse import html_tables
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(_TBL_PREFIX),
+        escape_text(F.col("text")),
+        F.lit(_TBL_MID),
+        escape_text(F.col("lang")),
+        F.lit(_TBL_SUFFIX),
+    )
+    return html_tables(docs.select("doc_id", page.alias("html")))
 
 
 @q(

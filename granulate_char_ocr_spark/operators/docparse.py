@@ -55,6 +55,22 @@ def page_metadata(
     return df.select(key_col, *page_metadata_cols(F.col(html_col)))
 
 
+def html_tables(
+    df: DataFrame, html_col: str = "html", key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, html) -> (key, table_idx, row_idx, is_header, cells,
+    n_cells): ``<table>`` markup recovered as structured rows
+    (functions/htmltable.py) — the structure the main-text legs
+    deliberately flatten. Cells are US-joined (htmltable.CELL_SEP).
+    Pure whole-stage codegen; the two posexplodes are the only row
+    multipliers."""
+    from granulate_char_ocr_spark.functions.htmltable import (
+        table_rows_expr,
+    )
+
+    return table_rows_expr(df.select(key_col, html_col), html_col)
+
+
 def pdf_texts(
     df: DataFrame,
     payload_col: str = "payload",

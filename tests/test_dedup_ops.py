@@ -521,3 +521,28 @@ def test_temperature_resample_null_stratum_and_guards(spark):
         temperature_resample(
             docs.withColumn("rate", F.lit(0.0)), "doc_id", "lang"
         )
+
+
+def test_dedup_simhash32_parity(spark):
+    """dedup_simhash32 left the 50-entry gate window in r4 for
+    html_table_rows_docs (its signature computation is a strict subset
+    of the still-gated simhash_near_pairs): exact DuckDB parity over
+    the sf0.001 documents table, pinned here instead."""
+    import duckdb
+
+    from granulate_char_ocr_spark import driver_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.simhash)
+        for r in driver_queries.dedup_simhash32(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(driver_queries.SIMHASH32_ORACLE).fetchall()
+    }
+    assert got == want
