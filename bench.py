@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "bpe_token_count_docs",
     "mm_audio_features",
     "quality_filter_docs",
+    "fix_mojibake_docs",
     "repetition_signals_docs",
     "charlm_perplexity_docs",
     "dsir_select_docs",

@@ -2436,6 +2436,63 @@ def pii_redact_docs(spark, sf_dir):
     return curation.pii_redact(injected)
 
 
+# encoding-repair gate: the base text is all-ASCII (verified against the
+# driver's parquet), so non-ASCII is injected arithmetically — one suffix
+# per UTF-8 width class: branch 0 = 2-byte (é) + 3-byte chars that ARE
+# cp1252 display chars (— €, exercising the display↔C1 translate in both
+# directions), branch 1 = CJK incl. 丁/不 whose UTF-8 bytes hit cp1252's
+# UNDEFINED positions 0x81/0x8D (the sloppy-cp1252 passthrough), branch
+# 2 = 2-byte umlauts + a 4-byte emoji (the F0 lead class), branch 3 =
+# pure ASCII (mojibake is the identity there — must NOT flag). Rows with
+# doc_id%3=0 are corrupted Spark-side via the forward map; the oracle
+# never sees the corruption — expected repaired text is rebuilt from the
+# same clean arithmetic, so the detector AND the repair sit under the
+# value hash (a false positive on a clean row, a missed repair, or one
+# wrong byte all hash-mismatch).
+_MOJIBAKE_SUFFIX_SQL = """CASE doc_id % 4
+        WHEN 0 THEN ' — café €'
+        WHEN 1 THEN ' 你好丁不'
+        WHEN 2 THEN ' Grüße 😀'
+        ELSE '' END"""
+
+
+@q(
+    "fix_mojibake_docs",
+    f"""
+    SELECT doc_id,
+           text || {_MOJIBAKE_SUFFIX_SQL} AS repaired,
+           (doc_id % 3 = 0 AND doc_id % 4 <> 3) AS was_repaired
+    FROM documents
+    """,
+)
+def fix_mojibake_docs(spark, sf_dir):
+    """Mojibake repair (r4): UTF-8-read-as-cp1252 corruption is applied
+    to every third document (functions/mojibake.mojibake_expr) and the
+    pure-codegen repair (curation.repair_mojibake: translate + validity
+    regex + encode/decode, no UDF) must restore every byte — emoji,
+    em-dash/euro display chars, and the cp1252-undefined 0x81/0x8D
+    bytes included — while leaving clean accented/CJK rows untouched.
+    Zero exchanges: one scan, one projection."""
+    from granulate_char_ocr_spark.functions.mojibake import mojibake_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m4 = F.pmod(d, F.lit(4))
+    suffix = (
+        F.when(m4 == 0, F.lit(" — café €"))
+        .when(m4 == 1, F.lit(" 你好丁不"))
+        .when(m4 == 2, F.lit(" Grüße 😀"))
+        .otherwise(F.lit(""))
+    )
+    clean = F.concat(F.col("text"), suffix)
+    broken = F.when(
+        F.pmod(d, F.lit(3)) == 0, mojibake_expr(clean)
+    ).otherwise(clean)
+    return curation.repair_mojibake(
+        docs.select("doc_id", broken.alias("text"))
+    )
+
+
 @q(
     "decontaminate_docs",
     """
@@ -3113,12 +3170,20 @@ def ocr_extract_documents(spark, sf_dir):
     return explode_expected(extract_documents(docs, media))
 
 
-@q("ocr_extract_salted", _FLAT_SPAN_ORACLE)
+# (ocr_extract_salted left the 50-entry gate window in r4 for
+# fix_mojibake_docs: its OUTPUT is value-identical to the still-graded
+# ocr_extract_documents by construction — pinned every run by
+# tests/test_pipeline.py::test_dedup_and_salted_paths_agree against the
+# same golden oracle — so grading it added no value coverage, only a
+# duplicate hash of the same rows; the salted PLAN's distinct shape
+# (key-only exchange + explicit partition counts) stays exercised by
+# bench.py's dedicated ocr_extract_salted timing and carries the
+# N-vs-4N scaling evidence in BENCH/scaling.json.)
 def ocr_extract_salted(spark, sf_dir):
     """The north rule's literal doc_id-salted per-span extraction path
     (dedup_media=False); output must equal ocr_extract_documents (pinned by
     tests/test_pipeline.py::test_dedup_and_salted_paths_agree), hence the
-    identical golden oracle."""
+    identical golden oracle (kept for tools/check_oracles.py ad-hoc use)."""
     from granulate_char_ocr_spark.operators.stitch import explode_expected
     from granulate_char_ocr_spark.plans.pipeline import extract_documents
 

@@ -53,6 +53,31 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repair_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(…, repaired, was_repaired): undo UTF-8-read-as-cp1252 mojibake
+    (functions/mojibake.py) — the encoding-repair pass that sits between
+    charset-sniffed body decode and quality filtering in a crawl
+    pipeline. Conservative: a row is rewritten only when its non-ASCII
+    content parses EXACTLY as UTF-8 bytes through the cp1252 display
+    map; clean accented/CJK text can never validate, so it passes
+    through byte-identical.
+
+    Pure per-row projection (translate + two rlike + encode/decode) —
+    no shuffle, no UDF; the plan is a map at any scale."""
+    from granulate_char_ocr_spark.functions.mojibake import (
+        fix_mojibake_expr,
+        is_mojibake_expr,
+    )
+
+    t = F.col(text_col)
+    keep = [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *keep,
+        fix_mojibake_expr(t).alias("repaired"),
+        is_mojibake_expr(t).alias("was_repaired"),
+    )
+
+
 def _distinct_word_grams(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, g): each doc's DISTINCT space-joined word n-grams —
     dedup.shingles is exactly this extraction (same tokenization, in-row
