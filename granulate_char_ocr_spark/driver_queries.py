@@ -1814,6 +1814,8 @@ _PAGE_META_SQL = """
       CASE doc_id % 4
         WHEN 0 THEN 'Doc & — ' || CAST(doc_id AS VARCHAR)
         WHEN 2 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+        WHEN 3 THEN CASE WHEN doc_id % 8 = 7
+                         THEN 'Error 404 Not Found' ELSE NULL END
         ELSE NULL END AS title,
       CASE WHEN doc_id % 4 IN (0, 1) THEN lang ELSE NULL END AS lang,
       CASE doc_id % 4
@@ -1832,7 +1834,10 @@ _PAGE_META_SQL = """
                     lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-15'
         WHEN 2 THEN '2020-06-' ||
                     lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
-        ELSE NULL END AS published
+        ELSE NULL END AS published,
+      (doc_id % 4 IN (1, 2) OR doc_id % 5 = 0) AS noindex,
+      (doc_id % 4 = 2 OR doc_id % 5 = 0) AS nofollow,
+      (doc_id % 8 = 7 OR doc_id = 404) AS soft404
     FROM documents
     """
 
@@ -1847,8 +1852,24 @@ def page_metadata_docs(spark, sf_dir):
     attribute values + article:published_time; uppercase multiline
     <TITLE> + <time datetime>; a metadata-free page (all NULL). The
     published ladder's precedence is exercised by branch 0 carrying
-    BOTH a JSON-LD date and a decoy <time> element."""
-    from granulate_char_ocr_spark.operators.docparse import page_metadata
+    BOTH a JSON-LD date and a decoy <time> element.
+
+    The same pages also grade INDEXABILITY (r4,
+    functions/metadata.indexability_cols): branch 0 carries an explicit
+    'index, follow' robots meta (must NOT flag — and 'index'/'follow'
+    must not substring-match the no- tokens), branch 1 a flipped-order
+    single-quoted 'noindex', branch 2 an uppercase bare-attribute
+    CONTENT=none (== noindex+nofollow), and every fifth doc gets an
+    X-Robots-Tag response header; doc_id%8==7 pages are soft-404s
+    (error title on an otherwise-200 page). The oracle derives all
+    three booleans from doc_id arithmetic — with one deliberate pin:
+    doc_id 404's title 'Doc & — 404' legitimately trips the \\b404\\b
+    marker, a real false positive of the standard heuristic, asserted
+    rather than hidden (soft404 includes OR doc_id = 404)."""
+    from granulate_char_ocr_spark.functions.metadata import (
+        indexability_cols,
+        page_metadata_cols,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id")
@@ -1869,7 +1890,9 @@ def page_metadata_docs(spark, sf_dir):
                 ds,
                 F.lit('"><meta name="description" content="Entry &quot;'),
                 ds,
-                F.lit('&quot;"><script type="application/ld+json">'),
+                F.lit('&quot;"><meta name="robots" '),
+                F.lit('content="index, follow">'),
+                F.lit('<script type="application/ld+json">'),
                 F.lit('{"@type": "Article", "datePublished": "2024-01-'),
                 dd,
                 F.lit('T00:00:00Z"}</script></head><body><p>x</p>'),
@@ -1889,6 +1912,7 @@ def page_metadata_docs(spark, sf_dir):
                 F.lit("' name='description'><meta content='2023-"),
                 mm,
                 F.lit("-15' property='article:published_time'>"),
+                F.lit("<meta content='noindex' name='robots'>"),
                 F.lit("</head><body>y</body></html>"),
             ),
         )
@@ -1897,16 +1921,41 @@ def page_metadata_docs(spark, sf_dir):
             F.concat(
                 F.lit("<html><head><TITLE>\n  Doc\t"),
                 ds,
-                F.lit("\n</TITLE></head><body><time datetime=2020-06-"),
+                F.lit("\n</TITLE><META NAME=ROBOTS CONTENT=none>"),
+                F.lit("</head><body><time datetime=2020-06-"),
                 dd,
                 F.lit(">t</time></body></html>"),
+            ),
+        )
+        .when(
+            F.pmod(did, F.lit(8)) == 7,
+            F.lit(
+                "<html><head><title>Error 404 Not Found</title></head>"
+                "<body><p>The page does not exist.</p></body></html>"
             ),
         )
         .otherwise(
             F.lit("<html><head></head><body><p>plain</p></body></html>")
         )
     )
-    return page_metadata(docs.select("doc_id", page.alias("html")))
+    headers = F.when(
+        F.pmod(did, F.lit(5)) == 0,
+        F.lit(
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            "X-Robots-Tag: noindex, nofollow\r\nServer: x\r\n"
+        ),
+    ).otherwise(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n")
+    )
+    pages = docs.select(
+        "doc_id", page.alias("html"), headers.alias("headers")
+    )
+    # one projection — metadata + indexability fused, zero exchanges
+    return pages.select(
+        "doc_id",
+        *page_metadata_cols(F.col("html")),
+        *indexability_cols(F.col("html"), F.col("headers")),
+    )
 
 
 def _web_manifest_sql() -> str:

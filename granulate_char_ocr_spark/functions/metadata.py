@@ -176,6 +176,108 @@ def page_metadata_cols(col: Column) -> list[Column]:
     ]
 
 
+# --- indexability: robots meta / X-Robots-Tag / soft-404 ----------------
+#
+# The crawl-side twin of RFC 9309: robots.txt says what may be FETCHED,
+# the robots META tag and the X-Robots-Tag response header say what may
+# be KEPT/INDEXED — a real ingest pipeline checks both before a page
+# enters the corpus. Soft-404s (HTTP 200 pages whose content is an
+# error page) are the classic crawl-quality trap; the detector here is
+# the standard title-marker heuristic plus a short-body content check.
+#
+# All pure codegen, same regex-dialect constraints as above. Documented
+# limits: user-agent-scoped X-Robots-Tag values ("X-Robots-Tag:
+# googlebot: noindex") are treated as applying to us (the conservative
+# read); <meta name=googlebot …> variants are not consulted.
+
+# meta robots content, every attribute order / quote style (mirrors the
+# description ladder); a bare value covers single-token content
+_ROB_NQ = (
+    rf"(?is)<meta[^>]*name{_EQ}[\"']?robots{_B}[^>]*"
+    rf'content{_EQ}"([^"]*)"'
+)
+_ROB_NS = (
+    rf"(?is)<meta[^>]*name{_EQ}[\"']?robots{_B}[^>]*"
+    rf"content{_EQ}'([^']*)'"
+)
+_ROB_NB = (
+    rf"(?is)<meta[^>]*name{_EQ}[\"']?robots{_B}[^>]*"
+    rf"content{_EQ}([^\"' \t\r\n>]+)"
+)
+_ROB_QN = (
+    rf'(?is)<meta[^>]*content{_EQ}"([^"]*)"[^>]*'
+    rf"name{_EQ}[\"']?robots{_B}"
+)
+_ROB_SN = (
+    rf"(?is)<meta[^>]*content{_EQ}'([^']*)'[^>]*"
+    rf"name{_EQ}[\"']?robots{_B}"
+)
+_ROB_BN = (
+    rf"(?is)<meta[^>]*content{_EQ}([^\"' \t\r\n>]+)[^>]*"
+    rf"name{_EQ}[\"']?robots{_B}"
+)
+_ROBOTS_PATTERNS = (_ROB_NQ, _ROB_NS, _ROB_NB, _ROB_QN, _ROB_SN, _ROB_BN)
+# "none" == "noindex, nofollow" per the robots-meta spec
+_NOINDEX_TOK = r"(?i)\b(noindex|none)\b"
+_NOFOLLOW_TOK = r"(?i)\b(nofollow|none)\b"
+# X-Robots-Tag response header lines (one directive list per line)
+_XROB_NOINDEX = r"(?im)^x-robots-tag:[^\r\n]*\b(noindex|none)\b"
+_XROB_NOFOLLOW = r"(?im)^x-robots-tag:[^\r\n]*\b(nofollow|none)\b"
+
+# soft-404: error-marker in the <title>, or marker in the tag-stripped
+# body of a SHORT page (long pages legitimately mention "not found")
+_S404_MARK = (
+    r"(?i)\b(404|page not found|not found|no longer available"
+    r"|does not exist|page unavailable)\b"
+)
+_S404_BODY_MAX = 200
+
+
+def _robots_content(col: Column) -> Column:
+    return _first(col, *_ROBOTS_PATTERNS)
+
+
+def noindex_expr(html: Column, headers: Column | None = None) -> Column:
+    """True when the page asks not to be indexed — robots META tag or
+    X-Robots-Tag header. False (not NULL) when neither is present."""
+    c = F.coalesce(_robots_content(html), F.lit(""))
+    out = c.rlike(_NOINDEX_TOK)
+    if headers is not None:
+        out = out | F.coalesce(headers, F.lit("")).rlike(_XROB_NOINDEX)
+    return out
+
+
+def nofollow_expr(html: Column, headers: Column | None = None) -> Column:
+    """True when the page asks its links not be followed."""
+    c = F.coalesce(_robots_content(html), F.lit(""))
+    out = c.rlike(_NOFOLLOW_TOK)
+    if headers is not None:
+        out = out | F.coalesce(headers, F.lit("")).rlike(_XROB_NOFOLLOW)
+    return out
+
+
+def soft404_expr(html: Column) -> Column:
+    """True when a (nominally 200) page is an error page in disguise:
+    error marker in the title, or marker in the tag-stripped body of a
+    page shorter than _S404_BODY_MAX chars."""
+    title = F.coalesce(title_expr(html), F.lit(""))
+    body = F.trim(F.regexp_replace(html, r"(?s)<[^>]*>", " "))
+    return title.rlike(_S404_MARK) | (
+        body.rlike(_S404_MARK) & (F.length(body) < _S404_BODY_MAX)
+    )
+
+
+def indexability_cols(
+    html: Column, headers: Column | None = None
+) -> list[Column]:
+    """The three keep/drop signals, ready for a select(*existing, …)."""
+    return [
+        noindex_expr(html, headers).alias("noindex"),
+        nofollow_expr(html, headers).alias("nofollow"),
+        soft404_expr(html).alias("soft404"),
+    ]
+
+
 # --- Python twin (fixtures/tests pin expr ≡ python) ---------------------
 
 
@@ -211,3 +313,23 @@ def page_metadata_python(html: str) -> dict[str, str | None]:
         ),
         "published": _published_py(html),
     }
+
+
+def indexability_python(
+    html: str, headers: str | None = None
+) -> dict[str, bool]:
+    """Python twin of indexability_cols over one page."""
+    c = _first_py(html, *_ROBOTS_PATTERNS) or ""
+    h = headers or ""
+    noindex = bool(re.search(_NOINDEX_TOK, c)) or bool(
+        re.search(_XROB_NOINDEX, h)
+    )
+    nofollow = bool(re.search(_NOFOLLOW_TOK, c)) or bool(
+        re.search(_XROB_NOFOLLOW, h)
+    )
+    title = _clean_text_py(_first_py(html, _TITLE)) or ""
+    body = re.sub(r"(?s)<[^>]*>", " ", html).strip()
+    soft404 = bool(re.search(_S404_MARK, title)) or (
+        bool(re.search(_S404_MARK, body)) and len(body) < _S404_BODY_MAX
+    )
+    return {"noindex": noindex, "nofollow": nofollow, "soft404": soft404}

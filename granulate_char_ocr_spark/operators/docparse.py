@@ -55,6 +55,25 @@ def page_metadata(
     return df.select(key_col, *page_metadata_cols(F.col(html_col)))
 
 
+def page_indexability(
+    df: DataFrame,
+    html_col: str = "html",
+    headers_col: str | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(key, html[, headers]) -> (key, noindex, nofollow, soft404): the
+    keep/drop signals an ingest pipeline checks before a fetched page
+    enters the corpus — robots META directives, X-Robots-Tag response
+    headers, and soft-404 (error page served as HTTP 200) detection
+    (functions/metadata.py). Pure codegen, zero exchanges."""
+    from granulate_char_ocr_spark.functions.metadata import (
+        indexability_cols,
+    )
+
+    h = F.col(headers_col) if headers_col else None
+    return df.select(key_col, *indexability_cols(F.col(html_col), h))
+
+
 def html_tables(
     df: DataFrame, html_col: str = "html", key_col: str = "doc_id"
 ) -> DataFrame:

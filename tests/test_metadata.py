@@ -181,3 +181,105 @@ def test_no_python_in_plan(spark):
         page_metadata(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- indexability: robots meta / X-Robots-Tag / soft-404 -------------------
+
+# (html, headers, want) triplets covering attribute orders, quote styles,
+# case, the 'none' alias, explicit index/follow (substring trap), header
+# directives, and both soft-404 rules
+IDX_CASES = [
+    # explicit allow — and 'index'/'follow' must not substring-match
+    (
+        '<meta name="robots" content="index, follow"><title>Hi</title>',
+        None,
+        {"noindex": False, "nofollow": False, "soft404": False},
+    ),
+    # flipped order, single quotes
+    (
+        "<meta content='noindex' name='robots'>",
+        None,
+        {"noindex": True, "nofollow": False, "soft404": False},
+    ),
+    # uppercase bare attributes; none == noindex+nofollow
+    (
+        "<META NAME=ROBOTS CONTENT=none>",
+        None,
+        {"noindex": True, "nofollow": True, "soft404": False},
+    ),
+    # nofollow only, mixed case token
+    (
+        '<meta name=robots content="NoFollow, noarchive">',
+        None,
+        {"noindex": False, "nofollow": True, "soft404": False},
+    ),
+    # X-Robots-Tag header only
+    (
+        "<p>body</p>",
+        "HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\n",
+        {"noindex": True, "nofollow": False, "soft404": False},
+    ),
+    # header 'none' implies both; meta absent
+    (
+        "<p>x</p>",
+        "X-Robots-Tag: none\r\nServer: y\r\n",
+        {"noindex": True, "nofollow": True, "soft404": False},
+    ),
+    # a header VALUE mentioning noindex on a different header must not fire
+    (
+        "<p>x</p>",
+        "X-Other: noindex\r\n",
+        {"noindex": False, "nofollow": False, "soft404": False},
+    ),
+    # soft-404 via title marker
+    (
+        "<title>Error 404 Not Found</title><body>gone</body>",
+        None,
+        {"noindex": False, "nofollow": False, "soft404": True},
+    ),
+    # soft-404 via short body marker, no title
+    (
+        "<html><body>This page does not exist.</body></html>",
+        None,
+        {"noindex": False, "nofollow": False, "soft404": True},
+    ),
+    # marker in a LONG body is editorial, not an error page
+    (
+        "<body>The phrase not found appears here. " + "x" * 300 + "</body>",
+        None,
+        {"noindex": False, "nofollow": False, "soft404": False},
+    ),
+    # robots meta for another product (name=googlebot) is not consulted
+    (
+        '<meta name="googlebot" content="noindex">',
+        None,
+        {"noindex": False, "nofollow": False, "soft404": False},
+    ),
+]
+
+
+@pytest.mark.parametrize("html,headers,want", IDX_CASES)
+def test_indexability_python_twin(html, headers, want):
+    from granulate_char_ocr_spark.functions.metadata import (
+        indexability_python,
+    )
+
+    assert indexability_python(html, headers) == want
+
+
+def test_indexability_expr_matches_twin(spark):
+    from granulate_char_ocr_spark.operators.docparse import (
+        page_indexability,
+    )
+
+    df = spark.createDataFrame(
+        [(i, h, hd) for i, (h, hd, _) in enumerate(IDX_CASES)],
+        "doc_id int, html string, headers string",
+    )
+    out = page_indexability(df, headers_col="headers")
+    rows = {r.doc_id: r for r in out.collect()}
+    for i, (_, _, want) in enumerate(IDX_CASES):
+        got = {k: getattr(rows[i], k) for k in want}
+        assert got == want, f"case {i}"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
