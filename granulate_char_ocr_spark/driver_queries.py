@@ -3231,8 +3231,8 @@ def ocr_extract_documents(spark, sf_dir):
 def ocr_extract_salted(spark, sf_dir):
     """The north rule's literal doc_id-salted per-span extraction path
     (dedup_media=False); output must equal ocr_extract_documents (pinned by
-    tests/test_pipeline.py::test_dedup_and_salted_paths_agree), hence the
-    identical golden oracle (kept for tools/check_oracles.py ad-hoc use)."""
+    tests/test_pipeline.py::test_dedup_and_salted_paths_agree). No longer
+    @q-registered; tools/dump_plans.py resolves it by module attribute."""
     from granulate_char_ocr_spark.operators.stitch import explode_expected
     from granulate_char_ocr_spark.plans.pipeline import extract_documents
 

@@ -29,9 +29,11 @@ regex), DuckDB (RE2) and Python:
    are dropped (nothing extracted).
 
 ``cells`` is the cell list joined on US (U+001F, the ASCII unit
-separator) — a flat string survives every engine's value-hash compare,
-and U+001F cannot appear in decoded HTML text that came through the
-whitespace collapse.
+separator) — a flat string survives every engine's value-hash compare.
+U+001F is not whitespace-collapsed, and ``&#31;`` DECODES to it, so
+cell text explicitly replaces U+001F with a space before joining
+(review finding r4: without this, one numeric entity desynchronizes
+``cells``' split count from ``n_cells``).
 
 Documented scope bounds (the regex-parse tradeoff, same contract as
 the sitemap/feed parsers): NESTED tables truncate — the inner
@@ -81,6 +83,9 @@ CELL_SEP = "\x1f"  # U+001F unit separator (see module docstring)
 def _cell_text_expr(c: Column) -> Column:
     out = F.regexp_replace(c, F.lit(_TAG), F.lit(" "))
     out = decode_entities_expr(out)
+    # &#31; decodes to the join separator itself — neutralize before
+    # the collapse so cells.split(CELL_SEP) always equals n_cells
+    out = F.replace(out, F.lit(CELL_SEP), F.lit(" "))
     return F.trim(F.regexp_replace(out, F.lit(_WS_CLASS), F.lit(" ")))
 
 
@@ -138,6 +143,7 @@ def table_rows_python(html: str) -> list[tuple[int, int, bool, list[str]]]:
             for c in re.findall(_CELL, row):
                 c = re.sub(_TAG, " ", c)
                 c = decode_entities_python(c)
+                c = c.replace(CELL_SEP, " ")  # &#31; == the separator
                 # strip(" ") not strip(): Spark/DuckDB trim() leave
                 # Unicode whitespace (NBSP) alone
                 cells.append(re.sub(_WS_CLASS, " ", c).strip(" "))
@@ -153,6 +159,7 @@ def _cell_text_sql(c: str) -> str:
         out = f"replace({out}, '{ent}', '{lit}')"
     out = _numeric_entities_sql(out)
     out = f"replace({out}, '{_ENTITY_AMP[0]}', '{_ENTITY_AMP[1]}')"
+    out = f"replace({out}, chr(31), ' ')"  # &#31; == the separator
     return f"trim(regexp_replace({out}, '{_WS_CLASS}', ' ', 'g'))"
 
 

@@ -46,6 +46,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from granulate_char_ocr_spark.functions.html import (
+    _TAG,
     _WS_CLASS,
     decode_entities_expr,
     decode_entities_python,
@@ -54,12 +55,19 @@ from granulate_char_ocr_spark.functions.html import (
 # HTML permits whitespace around the attribute '='
 _EQ = r"[ \t\r\n]*=[ \t\r\n]*"
 # a known attribute TOKEN (description, canonical, …) must be followed
-# by a boundary — closing quote, whitespace, '/' or '>' — or a value
-# that merely STARTS with the token (rel="canonical-old",
-# name="description-mobile") would be accepted (review finding r4).
-# The boundary is CONSUMED, not looked-ahead, to stay inside the
-# RE2-common subset (RE2 has no lookaround).
-_B = r"[\"' \t\r\n/>]"
+# by a boundary — or a value that merely STARTS with the token
+# (rel="canonical-old", name="description-mobile") would be accepted
+# (review finding r4). The boundary is CONSUMED, not looked-ahead, to
+# stay inside the RE2-common subset (RE2 has no lookaround) — which
+# forces TWO classes (review finding r4b): when more attributes of the
+# SAME tag still need matching ([^>]*attr follows), '>' must NOT be in
+# the class, or consuming it would let [^>]* continue into the NEXT tag
+# and extract another element's attribute ('<link rel=canonical><a
+# href=…>' must not yield the <a>'s href — a token at tag end with the
+# other attribute missing is correctly no-match). At pattern END the
+# tag close IS a legitimate boundary, so '>' is included there.
+_B_MID = r"[\"' \t\r\n/]"
+_B_END = r"[\"' \t\r\n/>]"
 _TITLE = r"(?is)<title[^>]*>(.*?)</title>"
 _LANG = rf"(?is)<html[^>]*[ \t\r\n]lang{_EQ}[\"']?([A-Za-z][A-Za-z0-9-]*)"
 # attribute order varies in the wild — one pattern per order, first
@@ -71,28 +79,28 @@ _LANG = rf"(?is)<html[^>]*[ \t\r\n]lang{_EQ}[\"']?([A-Za-z][A-Za-z0-9-]*)"
 # description values are not matched — bare values cannot contain
 # spaces, so a bare prose description cannot exist.
 _CANON_RH = (
-    rf"(?is)<link[^>]*rel{_EQ}[\"']?canonical{_B}[^>]*"
+    rf"(?is)<link[^>]*rel{_EQ}[\"']?canonical{_B_MID}[^>]*"
     rf"href{_EQ}[\"']?([^\"' \t\r\n>]+)"
 )
 _CANON_HR = (
     rf"(?is)<link[^>]*href{_EQ}[\"']?([^\"' \t\r\n>]+)[\"']?[^>]*"
-    rf"rel{_EQ}[\"']?canonical{_B}"
+    rf"rel{_EQ}[\"']?canonical{_B_END}"
 )
 _DESC_ND = (
-    rf"(?is)<meta[^>]*name{_EQ}[\"']?description{_B}[^>]*"
+    rf"(?is)<meta[^>]*name{_EQ}[\"']?description{_B_MID}[^>]*"
     rf'content{_EQ}"([^"]*)"'
 )
 _DESC_NS = (
-    rf"(?is)<meta[^>]*name{_EQ}[\"']?description{_B}[^>]*"
+    rf"(?is)<meta[^>]*name{_EQ}[\"']?description{_B_MID}[^>]*"
     rf"content{_EQ}'([^']*)'"
 )
 _DESC_DN = (
     rf'(?is)<meta[^>]*content{_EQ}"([^"]*)"[^>]*'
-    rf"name{_EQ}[\"']?description{_B}"
+    rf"name{_EQ}[\"']?description{_B_END}"
 )
 _DESC_SN = (
     rf"(?is)<meta[^>]*content{_EQ}'([^']*)'[^>]*"
-    rf"name{_EQ}[\"']?description{_B}"
+    rf"name{_EQ}[\"']?description{_B_END}"
 )
 # the JSON-LD date is only trusted INSIDE an application/ld+json
 # script block (review finding r4: a bare key match would let inline
@@ -100,12 +108,12 @@ _DESC_SN = (
 _LD_SCRIPT = r"(?is)<script[^>]*ld\+json[^>]*>(.*?)</script>"
 _LD_DATE = r"(?i)\"datePublished\"[ \t\r\n]*:[ \t\r\n]*\"([^\"]+)\""
 _PUB_PC = (
-    rf"(?is)<meta[^>]*property{_EQ}[\"']?article:published_time{_B}"
+    rf"(?is)<meta[^>]*property{_EQ}[\"']?article:published_time{_B_MID}"
     rf"[^>]*content{_EQ}[\"']?([^\"' \t\r\n>]+)"
 )
 _PUB_CP = (
     rf"(?is)<meta[^>]*content{_EQ}[\"']?([^\"' \t\r\n>]+)[\"']?[^>]*"
-    rf"property{_EQ}[\"']?article:published_time{_B}"
+    rf"property{_EQ}[\"']?article:published_time{_B_END}"
 )
 _TIME = rf"(?is)<time[^>]*datetime{_EQ}[\"']?([^\"' \t\r\n>]+)"
 
@@ -193,28 +201,28 @@ def page_metadata_cols(col: Column) -> list[Column]:
 # meta robots content, every attribute order / quote style (mirrors the
 # description ladder); a bare value covers single-token content
 _ROB_NQ = (
-    rf"(?is)<meta[^>]*name{_EQ}[\"']?robots{_B}[^>]*"
+    rf"(?is)<meta[^>]*name{_EQ}[\"']?robots{_B_MID}[^>]*"
     rf'content{_EQ}"([^"]*)"'
 )
 _ROB_NS = (
-    rf"(?is)<meta[^>]*name{_EQ}[\"']?robots{_B}[^>]*"
+    rf"(?is)<meta[^>]*name{_EQ}[\"']?robots{_B_MID}[^>]*"
     rf"content{_EQ}'([^']*)'"
 )
 _ROB_NB = (
-    rf"(?is)<meta[^>]*name{_EQ}[\"']?robots{_B}[^>]*"
+    rf"(?is)<meta[^>]*name{_EQ}[\"']?robots{_B_MID}[^>]*"
     rf"content{_EQ}([^\"' \t\r\n>]+)"
 )
 _ROB_QN = (
     rf'(?is)<meta[^>]*content{_EQ}"([^"]*)"[^>]*'
-    rf"name{_EQ}[\"']?robots{_B}"
+    rf"name{_EQ}[\"']?robots{_B_END}"
 )
 _ROB_SN = (
     rf"(?is)<meta[^>]*content{_EQ}'([^']*)'[^>]*"
-    rf"name{_EQ}[\"']?robots{_B}"
+    rf"name{_EQ}[\"']?robots{_B_END}"
 )
 _ROB_BN = (
     rf"(?is)<meta[^>]*content{_EQ}([^\"' \t\r\n>]+)[^>]*"
-    rf"name{_EQ}[\"']?robots{_B}"
+    rf"name{_EQ}[\"']?robots{_B_END}"
 )
 _ROBOTS_PATTERNS = (_ROB_NQ, _ROB_NS, _ROB_NB, _ROB_QN, _ROB_SN, _ROB_BN)
 # "none" == "noindex, nofollow" per the robots-meta spec
@@ -261,7 +269,9 @@ def soft404_expr(html: Column) -> Column:
     error marker in the title, or marker in the tag-stripped body of a
     page shorter than _S404_BODY_MAX chars."""
     title = F.coalesce(title_expr(html), F.lit(""))
-    body = F.trim(F.regexp_replace(html, r"(?s)<[^>]*>", " "))
+    # shared tag-strip (html._TAG) so a strip refinement lands everywhere;
+    # F.trim strips ASCII space only — the twin mirrors with .strip(" ")
+    body = F.trim(F.regexp_replace(html, _TAG, " "))
     return title.rlike(_S404_MARK) | (
         body.rlike(_S404_MARK) & (F.length(body) < _S404_BODY_MAX)
     )
@@ -328,7 +338,9 @@ def indexability_python(
         re.search(_XROB_NOFOLLOW, h)
     )
     title = _clean_text_py(_first_py(html, _TITLE)) or ""
-    body = re.sub(r"(?s)<[^>]*>", " ", html).strip()
+    # .strip(" ") — ASCII space only, mirroring F.trim exactly (a bare
+    # .strip() also eats \t\n\r and diverges the <200-char length check)
+    body = re.sub(_TAG, " ", html).strip(" ")
     soft404 = bool(re.search(_S404_MARK, title)) or (
         bool(re.search(_S404_MARK, body)) and len(body) < _S404_BODY_MAX
     )

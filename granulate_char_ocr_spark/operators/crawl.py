@@ -317,27 +317,23 @@ def sitemap_urls(
     )
 
 
-# the five predefined XML entities (XML 1.0 §4.6) — feed titles/links
-# are XML-escaped; &amp; decodes LAST so '&amp;lt;' yields '&lt;', not
-# '<' (the same ordering contract as functions/html.py's decoder)
-_XML_ENTITIES_PRE = [
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
-    ("&apos;", "'"),
-]
-_XML_ENTITY_AMP = ("&amp;", "&")
 _CDATA = r"(?s)<!\[CDATA\[(.*?)\]\]>"
 
 
 def _feed_text(c):
     """CDATA-unwrap, XML-entity-decode and trim an extracted feed field
-    (pure column expressions)."""
+    (pure column expressions). Entity decode is the SHARED
+    functions/html.py tail with the predefined-XML named set
+    (lt/gt/quot/apos — no &nbsp;, which XML doesn't define) — the
+    named-first/amp-LAST ordering contract and the numeric
+    character-reference pass live in one place (review finding r4)."""
+    from granulate_char_ocr_spark.functions.html import (
+        XML_ENTITIES_PRE,
+        decode_entities_expr,
+    )
+
     out = F.regexp_replace(c, F.lit(_CDATA), F.lit("$1"))
-    for ent, rep in _XML_ENTITIES_PRE:
-        out = F.replace(out, F.lit(ent), F.lit(rep))
-    out = F.replace(out, F.lit(_XML_ENTITY_AMP[0]), F.lit(_XML_ENTITY_AMP[1]))
-    return F.trim(out)
+    return F.trim(decode_entities_expr(out, pre=XML_ENTITIES_PRE))
 
 
 def feed_entries(
@@ -391,11 +387,17 @@ def feed_entries(
         )
 
     # Atom link: first <link> element carrying rel="alternate" or no
-    # rel at all, href pulled from inside that one tag. Two-step —
-    # select the tag, then its href — keeps it lookaround-free.
+    # rel at all, href pulled from inside that one tag. The no-rel
+    # branch must reject only a rel ATTRIBUTE — i.e. 'rel=' preceded by
+    # whitespace — not the substring 'rel=' inside an href value
+    # ('<link href="…/v?rel=author"/>' is a valid bare link; review
+    # finding r4). The negative lookahead is Java-regex-only (this
+    # pattern never needs a DuckDB mirror — the feed leg is
+    # pytest-verified); a URL containing a literal space before 'rel='
+    # would still be rejected, but spaces are illegal in URLs.
     _ATOM_ALT_LINK = (
-        r"(?is)<link\b(?:[^>]*\brel\s*=\s*[\"']alternate[\"'][^>]*"
-        r"|(?:[^>r]|r(?!el\s*=))*)>"
+        r"(?is)<link\b(?:[^>]*[ \t\r\n]rel\s*=\s*[\"']alternate[\"'][^>]*"
+        r"|(?:[^>\s]|\s(?!rel\s*=))*)>"
     )
 
     def atom_link(b):

@@ -524,3 +524,36 @@ def test_feed_entries_mixed_corpus(spark):
         ("blog", "rss"), ("site", "atom"),
     }
     assert len(rows) == 4
+
+
+def test_feed_atom_bare_link_with_rel_inside_href(spark):
+    # review r4: 'rel=' INSIDE the href value must not disqualify a
+    # bare (rel-less) Atom link — only a rel ATTRIBUTE does
+    from granulate_char_ocr_spark.operators.crawl import feed_entries
+
+    xml = (
+        '<feed><entry><title>t</title>'
+        '<link href="https://ex.com/v?rel=author"/>'
+        "<updated>2024-01-01</updated></entry>"
+        '<entry><title>u</title>'
+        '<link rel="self" href="https://ex.com/feed.xml"/>'
+        "<updated>2024-01-02</updated></entry></feed>"
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, feed_xml string")
+    rows = feed_entries(df).collect()
+    # entry 1 keeps its link; entry 2's only link is rel=self -> dropped
+    assert [r.link for r in rows] == ["https://ex.com/v?rel=author"]
+
+
+def test_feed_numeric_entities_decode(spark):
+    # the shared decoder now handles &#NNN; in feed fields too
+    from granulate_char_ocr_spark.operators.crawl import feed_entries
+
+    xml = (
+        "<rss><channel><item><title>a &#8212; b &apos;q&apos;</title>"
+        "<link>https://ex.com/1</link>"
+        "<pubDate>x</pubDate></item></channel></rss>"
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, feed_xml string")
+    [r] = feed_entries(df).collect()
+    assert r.title == "a — b 'q'"

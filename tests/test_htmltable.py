@@ -100,3 +100,22 @@ def test_carried_columns_pass_through(spark):
     )
     r = table_rows_expr(df).collect()[0]
     assert (r.doc_id, r.host, r.cells, r.n_cells) == ("d1", "h1", "x", 1)
+
+
+def test_separator_entity_cannot_desync_cells():
+    # &#31; decodes to the US join separator — must be neutralized so
+    # cells.split(CELL_SEP) always has exactly n_cells parts (review r4)
+    from granulate_char_ocr_spark.functions.htmltable import (
+        CELL_SEP,
+        table_rows_python,
+    )
+
+    rows = table_rows_python(
+        "<table><tr><td>A&#31;B</td><td>C</td></tr></table>"
+    )
+    assert len(rows) == 1
+    _, _, _, cells = rows[0]
+    assert len(cells) == 2
+    joined = CELL_SEP.join(cells)
+    assert len(joined.split(CELL_SEP)) == 2
+    assert cells[0] == "A B"

@@ -283,3 +283,20 @@ def test_indexability_expr_matches_twin(spark):
         assert got == want, f"case {i}"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_canonical_does_not_bleed_across_tags():
+    # consumed-boundary regression (review r4b): a canonical link with
+    # no href must NOT pick up the NEXT tag's href
+    from granulate_char_ocr_spark.functions.metadata import (
+        page_metadata_python,
+    )
+
+    html = '<link rel=canonical><a href="https://evil.example/x">y</a>'
+    assert page_metadata_python(html)["canonical_url"] is None
+    # and a legitimate same-tag pair still extracts
+    ok = '<link rel=canonical href=https://good.example/p>'
+    assert (
+        page_metadata_python(ok)["canonical_url"]
+        == "https://good.example/p"
+    )
