@@ -487,3 +487,83 @@ def apply_robots(
         ).otherwise(acc),
     )
     return j.withColumn("allowed", best["is_allow"]).drop("_rules", "_path")
+
+
+# --- CDX: the crawl-index lookup format --------------------------------
+
+# A CDXJ line (the Common Crawl index layout) is 'SURT timestamp JSON':
+#   org,example)/path 20240101123456 {"url": "...", "status": "200",
+#   "mime": "text/html", "digest": "sha1:..", "length": "1234",
+#   "offset": "456", "filename": "crawl/.../x.warc.gz"}
+# Parsing it is how a pipeline FINDS records inside a petabyte WARC
+# store without reading the WARCs — the index is the random-access
+# layer the ingest planner queries.
+_CDX_JSON = r"^\S+ \S+ (.*)$"
+_CDX_TS = r"^\S+ (\S+) "
+
+
+def surt_expr(url):
+    """URL -> SURT key (Sort-friendly URI Reordering Transform): host
+    lowercased, leading 'www.' dropped, dot-segments REVERSED and
+    comma-joined, then ')' and the lowercased path. The key Common
+    Crawl's index sorts on — same-site rows become one contiguous,
+    prefix-scannable range. Query strings are dropped (the documented
+    simplification vs CC's full canonicalizer, which also strips
+    sessions params — our canonical_url_expr handles that separately).
+    Pure codegen."""
+    from granulate_char_ocr_spark.operators.urlfilter import (
+        _RE_HOST,
+        _RE_PATH,
+    )
+
+    host = F.lower(F.regexp_extract(url, _RE_HOST, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.lower(F.regexp_extract(url, _RE_PATH, 1))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        path,
+    )
+
+
+def cdx_records(df: DataFrame, line_col: str = "cdx_line") -> DataFrame:
+    """(…, cdx_line) -> (…, surt, ts, url, status, mime, digest,
+    length, offset, filename): one CDXJ index line parsed to typed
+    columns. get_json_object is JVM-side; numeric fields use try_cast
+    (ANSI mode throws on junk — CLAUDE.md), so a malformed line yields
+    NULL fields, never a task failure. Zero exchanges."""
+    line = F.col(line_col)
+    j = F.regexp_extract(line, _CDX_JSON, 1)
+
+    def g(field):
+        return F.get_json_object(j, f"$.{field}")
+
+    carried = [c for c in df.columns if c != line_col]
+    return df.select(
+        *carried,
+        F.substring_index(line, " ", 1).alias("surt"),
+        F.regexp_extract(line, _CDX_TS, 1).alias("ts"),
+        g("url").alias("url"),
+        g("status").try_cast("int").alias("status"),
+        g("mime").alias("mime"),
+        g("digest").alias("digest"),
+        g("length").try_cast("bigint").alias("length"),
+        g("offset").try_cast("bigint").alias("offset"),
+        g("filename").alias("filename"),
+    )
+
+
+def cdx_first_by_digest(cdx: DataFrame) -> DataFrame:
+    """Keep ONE index row per content digest — the earliest capture
+    (ties broken by surt) — the crawl-index twin of exact dedup: plan
+    WARC reads for distinct content only, skipping re-crawls of
+    unchanged pages. One exchange (hash by digest); rows with a NULL
+    digest (malformed lines) are dropped — nothing to fetch."""
+    w = Window.partitionBy("digest").orderBy("ts", "surt")
+    return (
+        cdx.filter(F.col("digest").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
