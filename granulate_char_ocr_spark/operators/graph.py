@@ -246,3 +246,79 @@ def pagerank(
             ).alias("_rank")
         ).localCheckpoint(eager=True)
     return ranks.select(F.col("_node").alias("host"), F.col("_rank").alias("rank"))
+
+
+# --- registrable domains and the nepotistic-link signal -----------------
+
+# second-level labels under which registrations happen one level deeper
+# (the high-frequency core of the Public Suffix List's country sections:
+# 'example.co.uk' registers under 'co.uk', so its registrable domain is
+# 'example.co.uk', not 'co.uk'). The FULL PSL is thousands of entries
+# and changes monthly — shipping it would pin stale data; this embedded
+# core covers the dominant patterns and is the documented approximation
+# (production swaps in a broadcast PSL table, same expression shape).
+_SLD_CORE = (
+    "co,com,org,net,ac,gov,edu,mil,sch,or,ne,go"
+)
+
+
+def registrable_domain_expr(host: Column) -> Column:
+    """host -> registrable domain (eTLD+1, PSL-core approximation):
+    the last two labels, or the last three when the middle label is a
+    known second-level registry label under a 2-letter ccTLD
+    ('example.co.uk' -> 'example.co.uk', 'a.b.example.org' ->
+    'example.org'). IP literals pass through whole. Pure codegen."""
+    parts = F.split(F.lower(host), r"\.")
+    n = F.size(parts)
+    # IPv4 literal: every label numeric — grouping by a /16 would be
+    # wrong; treat the address as its own domain
+    is_ip = F.lower(host).rlike(r"^[0-9.]+$")
+    tld = F.element_at(parts, -1)
+    sld = F.when(n >= 2, F.element_at(parts, -2)).otherwise(F.lit(""))
+    deep = (
+        (n >= 3)
+        & (F.length(tld) == 2)
+        & F.array_contains(
+            F.split(F.lit(_SLD_CORE), ","), sld
+        )
+    )
+    last2 = F.concat_ws(".", F.slice(parts, -2, 2))
+    last3 = F.concat_ws(".", F.slice(parts, -3, 3))
+    return (
+        F.when(is_ip | (n <= 2), F.lower(host))
+        .when(deep, last3)
+        .otherwise(last2)
+    )
+
+
+def domain_link_stats(edges: DataFrame) -> DataFrame:
+    """host-level edge table (src_host, dst_host, n_links) ->
+    (src_domain, n_links, n_intra, intra_ratio): how much of a
+    domain's outlinking stays inside its own registrable domain — the
+    classic nepotistic-link spam signal (link farms self-link heavily;
+    editorial sites don't). One hash aggregate over the edge table; the
+    domain map is a projection, so the plan is agg-over-map at any
+    scale."""
+    src_d = registrable_domain_expr(F.col("src_host"))
+    dst_d = registrable_domain_expr(F.col("dst_host"))
+    intra = F.when(src_d == dst_d, F.col("n_links")).otherwise(F.lit(0))
+    return (
+        edges.select(
+            src_d.alias("src_domain"),
+            F.col("n_links"),
+            intra.alias("_intra"),
+        )
+        .groupBy("src_domain")
+        .agg(
+            F.sum("n_links").alias("n_links"),
+            F.sum("_intra").alias("n_intra"),
+        )
+        .select(
+            "src_domain",
+            "n_links",
+            "n_intra",
+            F.round(F.col("n_intra") / F.col("n_links"), 6).alias(
+                "intra_ratio"
+            ),
+        )
+    )
