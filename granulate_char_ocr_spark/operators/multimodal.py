@@ -518,3 +518,53 @@ def audio_features(audio: DataFrame, n_mels: int = 16) -> DataFrame:
 
     cols = ["media_ref", "codec", "sample_rate", "payload"]
     return audio.select(*cols).mapInPandas(fn, schema=AUDIO_FEAT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image: EXIF capture metadata (functions/exif.py)
+# ---------------------------------------------------------------------------
+
+EXIF_SCHEMA = (
+    "media_ref string, make string, model string, orientation int, "
+    "datetime string, datetime_original string, exposure_time double, "
+    "f_number double, iso int, gps_lat double, gps_lon double"
+)
+_EXIF_FIELDS = (
+    "make",
+    "model",
+    "orientation",
+    "datetime",
+    "datetime_original",
+    "exposure_time",
+    "f_number",
+    "iso",
+    "gps_lat",
+    "gps_lon",
+)
+
+
+def image_exif(images: DataFrame) -> DataFrame:
+    """(media_ref, payload) -> the EXIF capture fields a media-curation
+    pass stores as typed metadata (orientation, capture time, device,
+    GPS — the GPS columns being exactly what a PII scrub then drops).
+    Arrow-batched; malformed or absent EXIF yields NULL fields, never a
+    task failure (functions/exif.py's contract). Pure map — zero
+    exchanges at any scale."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.exif import exif_from_jpeg
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                f = exif_from_jpeg(bytes(r.payload))
+                rows.append(
+                    (r.media_ref, *(f[k] for k in _EXIF_FIELDS))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_ref", *_EXIF_FIELDS]
+            )
+
+    return images.select("media_ref", "payload").mapInPandas(
+        fn, schema=EXIF_SCHEMA
+    )

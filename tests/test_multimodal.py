@@ -406,3 +406,79 @@ def test_image_near_pairs_duplicate_images_hd0(spark, images):
     }
     key = (min(first, "dup-of-first"), max(first, "dup-of-first"))
     assert got.get(key) == 0
+
+
+# --- EXIF capture metadata --------------------------------------------------
+
+
+def test_exif_roundtrip_fields():
+    from granulate_char_ocr_spark.functions import exif
+
+    f = exif.parse_exif(exif.build_exif())
+    assert f["make"] == "ExampleCorp" and f["model"] == "Cam 9"
+    assert f["orientation"] == 6 and f["iso"] == 200
+    assert abs(f["exposure_time"] - 1 / 250) < 1e-12
+    assert abs(f["f_number"] - 2.8) < 1e-12
+    assert f["datetime"] == "2024:03:01 10:20:30"
+    assert abs(f["gps_lat"] - 48.8584) < 1e-4
+    assert abs(f["gps_lon"] - 2.2945) < 1e-4
+
+
+def test_exif_southern_western_hemisphere():
+    from granulate_char_ocr_spark.functions import exif
+
+    f = exif.parse_exif(exif.build_exif(gps=(-33.8688, -70.6693)))
+    assert abs(f["gps_lat"] + 33.8688) < 1e-4
+    assert abs(f["gps_lon"] + 70.6693) < 1e-4
+
+
+def test_exif_big_endian_and_malformed():
+    import struct
+
+    from granulate_char_ocr_spark.functions import exif
+
+    # hand-build a minimal MM (big-endian) block: one orientation tag
+    ifd = (
+        struct.pack(">H", 1)
+        + struct.pack(">HHI", 0x0112, 3, 1)
+        + struct.pack(">H", 8)
+        + b"\x00\x00"
+        + struct.pack(">I", 0)
+    )
+    blob = exif.EXIF_SIG + b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8) + ifd
+    f = exif.parse_exif(blob)
+    assert f["orientation"] == 8 and f["make"] is None
+    # malformed inputs: all-None, never a raise
+    for junk in (b"", b"II", exif.EXIF_SIG + b"XX\x00\x00", b"\x00" * 40):
+        g = exif.parse_exif(junk)
+        assert all(v is None for v in g.values())
+
+
+def test_exif_from_jpeg_and_without(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from granulate_char_ocr_spark.functions import exif
+    from granulate_char_ocr_spark.functions.jpeg import encode_jpeg
+    from granulate_char_ocr_spark.operators.multimodal import image_exif
+
+    img = (np.arange(48 * 32, dtype=np.uint8).reshape(48, 32) % 251)
+    plain = encode_jpeg(img)
+    tagged = exif.splice_exif_into_jpeg(plain, exif.build_exif())
+    # JPEG with EXIF still decodes identically (APP1 is skipped)
+    from granulate_char_ocr_spark.functions.jpeg import decode_jpeg
+
+    assert np.array_equal(decode_jpeg(tagged), decode_jpeg(plain))
+
+    df = spark.createDataFrame(
+        [("with", bytearray(tagged)), ("without", bytearray(plain))],
+        "media_ref string, payload binary",
+    )
+    rows = {r.media_ref: r for r in image_exif(df).collect()}
+    assert rows["with"].make == "ExampleCorp"
+    assert rows["with"].orientation == 6
+    assert abs(rows["with"].gps_lat - 48.8584) < 1e-4
+    assert rows["without"].make is None
+    assert rows["without"].orientation is None
+    plan = image_exif(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
