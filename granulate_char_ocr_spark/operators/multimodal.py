@@ -389,72 +389,10 @@ def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                codec = r.codec
-                if codec == "auto":
-                    head = bytes(r.payload[:12])
-                    if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
-                        codec = "avi"
-                    elif head[:6] in (b"GIF87a", b"GIF89a"):
-                        codec = "gif"
-                    else:
-                        codec = "raw"
-                if codec == "gif":
-                    from granulate_char_ocr_spark.functions.gif import (
-                        iter_gif_frames,
+                for i, g in _iter_gray_frames(r, step=every_k):
+                    out.append(
+                        (r.media_ref, i, g.shape[1], g.shape[0], g.tobytes())
                     )
-
-                    # GIF composition is sequential (each frame builds on
-                    # the previous canvas), so every frame decodes even
-                    # when sampled — unlike MJPEG, whose frames are
-                    # independent standalone JPEGs. The generator keeps
-                    # only one canvas resident, not the whole animation.
-                    for i, frame in enumerate(
-                        iter_gif_frames(bytes(r.payload))
-                    ):
-                        if i % every_k:
-                            continue
-                        g = kernels.to_grayscale(frame[..., 2::-1])
-                        out.append(
-                            (
-                                r.media_ref, i, g.shape[1], g.shape[0],
-                                g.tobytes(),
-                            )
-                        )
-                    continue
-                if codec in ("avi", "mjpeg"):
-                    from granulate_char_ocr_spark.functions.avi import (
-                        iter_mjpeg_payloads,
-                    )
-                    from granulate_char_ocr_spark.functions.jpeg import (
-                        decode_jpeg,
-                    )
-
-                    # decode ONLY the sampled frames — JPEG decode is the
-                    # dominant per-frame cost in this UDF
-                    for i, p in enumerate(iter_mjpeg_payloads(bytes(r.payload))):
-                        if i % every_k:
-                            continue
-                        frame = decode_jpeg(p)
-                        if frame.ndim == 3:
-                            frame = kernels.to_grayscale(frame[..., 2::-1])
-                        out.append(
-                            (
-                                r.media_ref, i, frame.shape[1],
-                                frame.shape[0], frame.tobytes(),
-                            )
-                        )
-                    continue
-                if codec != "raw":
-                    raise NotImplementedError(
-                        f"video decode for codec={r.codec!r} is stubbed "
-                        "(raw / mjpeg-avi only in-sandbox)"
-                    )
-                frame_bytes = r.width * r.height
-                for i in range(0, int(r.n_frames), every_k):
-                    payload = bytes(
-                        r.payload[i * frame_bytes : (i + 1) * frame_bytes]
-                    )
-                    out.append((r.media_ref, i, r.width, r.height, payload))
             yield pd.DataFrame(
                 out,
                 columns=["media_ref", "frame_index", "width", "height", "payload"],
@@ -462,6 +400,60 @@ def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
 
     cols = ["media_ref", "codec", "width", "height", "n_frames", "payload"]
     return videos.select(*cols).mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+def _iter_gray_frames(r, step: int = 1):
+    """(frame_index, grayscale ndarray) for every ``step``-th frame of
+    one video row — the shared codec dispatch of the frame sampler and
+    the scene-change detector. 'auto' sniffs the container."""
+    codec = r.codec
+    if codec == "auto":
+        head = bytes(r.payload[:12])
+        if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+            codec = "avi"
+        elif head[:6] in (b"GIF87a", b"GIF89a"):
+            codec = "gif"
+        else:
+            codec = "raw"
+    if codec == "gif":
+        from granulate_char_ocr_spark.functions.gif import iter_gif_frames
+
+        # GIF composition is sequential (each frame builds on the
+        # previous canvas), so every frame decodes even when sampled —
+        # unlike MJPEG, whose frames are independent standalone JPEGs.
+        # The generator keeps only one canvas resident.
+        for i, frame in enumerate(iter_gif_frames(bytes(r.payload))):
+            if i % step:
+                continue
+            yield i, kernels.to_grayscale(frame[..., 2::-1])
+        return
+    if codec in ("avi", "mjpeg"):
+        from granulate_char_ocr_spark.functions.avi import (
+            iter_mjpeg_payloads,
+        )
+        from granulate_char_ocr_spark.functions.jpeg import decode_jpeg
+
+        # decode ONLY the selected frames — JPEG decode is the dominant
+        # per-frame cost in this UDF
+        for i, p in enumerate(iter_mjpeg_payloads(bytes(r.payload))):
+            if i % step:
+                continue
+            frame = decode_jpeg(p)
+            if frame.ndim == 3:
+                frame = kernels.to_grayscale(frame[..., 2::-1])
+            yield i, frame
+        return
+    if codec != "raw":
+        raise NotImplementedError(
+            f"video decode for codec={r.codec!r} is stubbed "
+            "(raw / mjpeg-avi only in-sandbox)"
+        )
+    frame_bytes = r.width * r.height
+    for i in range(0, int(r.n_frames), step):
+        yield i, np.frombuffer(
+            bytes(r.payload[i * frame_bytes : (i + 1) * frame_bytes]),
+            dtype=np.uint8,
+        ).reshape(int(r.height), int(r.width))
 
 
 # ---------------------------------------------------------------------------
@@ -568,3 +560,56 @@ def image_exif(images: DataFrame) -> DataFrame:
     return images.select("media_ref", "payload").mapInPandas(
         fn, schema=EXIF_SCHEMA
     )
+
+
+SCENE_SCHEMA = (
+    "media_ref string, frame_index int, diff double, is_scene_start boolean"
+)
+
+
+def scene_changes(videos: DataFrame, threshold: float = 24.0) -> DataFrame:
+    """Shot-boundary detection per video: every frame's mean absolute
+    luminance difference against its predecessor, on an 8×8 area-mean
+    thumbnail (the downsample makes the metric resolution-invariant and
+    keeps the per-frame cost at the decode, not the diff). Frame 0 and
+    every frame whose diff exceeds ``threshold`` (≈ a tenth of the
+    luminance range — content cuts in practice land far above it,
+    in-scene motion far below) are scene starts — the frames a
+    training-data pipeline keeps as the video's representative stills,
+    replacing blind every-k sampling with content-aware sampling.
+
+    One sequential pass per video inside the Arrow batch (temporal
+    state is per-video, so the video row is the right unit of
+    parallelism); emits ALL frames with their diffs so the caller can
+    re-threshold without re-decoding. Zero exchanges."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                prev = None
+                for i, g in _iter_gray_frames(r):
+                    small = kernels.resize_area(g, 8, 8).astype(np.float64)
+                    diff = (
+                        0.0
+                        if prev is None
+                        else float(np.abs(small - prev).mean())
+                    )
+                    out.append(
+                        (
+                            r.media_ref,
+                            i,
+                            diff,
+                            prev is None or diff > threshold,
+                        )
+                    )
+                    prev = small
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_ref", "frame_index", "diff", "is_scene_start",
+                ],
+            )
+
+    cols = ["media_ref", "codec", "width", "height", "n_frames", "payload"]
+    return videos.select(*cols).mapInPandas(fn, schema=SCENE_SCHEMA)

@@ -482,3 +482,52 @@ def test_exif_from_jpeg_and_without(spark):
     assert rows["without"].orientation is None
     plan = image_exif(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_scene_changes_raw_video(spark):
+    # three scenes: black run, white run, mid-gray run; in-scene noise
+    # must stay below threshold
+    h = w = 16
+    rng = np.random.RandomState(7)
+
+    def scene(level, n):
+        return [
+            np.clip(
+                np.full((h, w), level, np.int16) + rng.randint(-3, 4, (h, w)),
+                0, 255,
+            ).astype(np.uint8)
+            for _ in range(n)
+        ]
+
+    frames = scene(10, 3) + scene(200, 3) + scene(100, 2)
+    payload = b"".join(f.tobytes() for f in frames)
+    vid = spark.createDataFrame(
+        [("v1", "video", "raw", w, h, len(frames), 0, payload)],
+        schema=multimodal.MULTIMODAL_SCHEMA,
+    )
+    out = multimodal.scene_changes(vid).orderBy("frame_index").collect()
+    assert len(out) == len(frames)
+    starts = [r.frame_index for r in out if r.is_scene_start]
+    assert starts == [0, 3, 6]
+    # diffs exposed so the caller can re-threshold without re-decoding
+    assert out[0].diff == 0.0
+    assert out[3].diff > 100 and out[1].diff < 10
+
+
+def test_scene_changes_mjpeg_avi(spark):
+    from granulate_char_ocr_spark.functions.avi import encode_avi_mjpeg
+
+    h = w = 32
+    frames = [
+        np.full((h, w), 20, np.uint8),
+        np.full((h, w), 22, np.uint8),  # same scene (tiny diff)
+        np.full((h, w), 230, np.uint8),  # hard cut
+    ]
+    payload = encode_avi_mjpeg(frames)
+    vid = spark.createDataFrame(
+        [("v2", "video", "avi", w, h, len(frames), 0, bytearray(payload))],
+        schema=multimodal.MULTIMODAL_SCHEMA,
+    )
+    out = multimodal.scene_changes(vid).orderBy("frame_index").collect()
+    starts = [r.frame_index for r in out if r.is_scene_start]
+    assert starts == [0, 2]
