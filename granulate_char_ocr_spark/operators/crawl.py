@@ -567,3 +567,58 @@ def cdx_first_by_digest(cdx: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    ranks: DataFrame,
+    diff: DataFrame | None = None,
+    per_host_budget: int = 100,
+    default_rank: float = 1e-6,
+) -> DataFrame:
+    """Priority-ordered fetch schedule — the stage that turns the
+    crawl-maintenance signals into tomorrow's fetch list:
+
+      priority = host authority (PageRank, graph.pagerank) ×
+                 page change status (snapshot_diff):
+                 added 1.0 / changed 0.8 / unchanged 0.05;
+                 a URL with no diff row is new → 1.0;
+                 'removed' pages leave the schedule entirely.
+
+    Capped per host (politeness twin of host_budget_sample, but
+    priority-ranked rather than hash-sampled) and ordered so the
+    fetcher drains highest-value URLs first.
+
+    Plan shape at scale: the rank table is hosts (small — broadcast),
+    the diff join is one url-key shuffle, the budget cap one host-key
+    window — two exchanges over the frontier regardless of corpus
+    size. Hosts absent from the rank table get ``default_rank`` so
+    newly-discovered sites are crawlable but never outrank known
+    authority."""
+    f = frontier.join(F.broadcast(ranks), "host", "left")
+    if diff is not None:
+        f = f.join(diff.select("url", "status"), "url", "left")
+        weight = (
+            F.when(F.col("status") == "removed", F.lit(0.0))
+            .when(F.col("status") == "changed", F.lit(0.8))
+            .when(F.col("status") == "unchanged", F.lit(0.05))
+            .otherwise(F.lit(1.0))  # added, or never seen
+        )
+    else:
+        weight = F.lit(1.0)
+    scored = f.select(
+        "url",
+        "host",
+        (F.coalesce(F.col("rank"), F.lit(default_rank)) * weight).alias(
+            "priority"
+        ),
+    ).filter(F.col("priority") > 0)
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("url")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_host_budget)
+        .drop("_rn")
+        .orderBy(F.col("priority").desc(), F.col("url"))
+    )

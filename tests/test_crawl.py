@@ -677,3 +677,60 @@ def test_surt_expr(spark):
     assert rows[1] == "com,example)/path/x"
     assert rows[2] == "org,example,b,a)/"
     assert rows[3] == "net,example)/p"
+
+
+def test_crawl_schedule(spark):
+    from granulate_char_ocr_spark.operators.crawl import crawl_schedule
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://big.example/new1", "big.example"),
+            ("https://big.example/new2", "big.example"),
+            ("https://big.example/stale", "big.example"),
+            ("https://big.example/gone", "big.example"),
+            ("https://small.example/changed", "small.example"),
+            ("https://unknown.example/x", "unknown.example"),
+        ],
+        "url string, host string",
+    )
+    ranks = spark.createDataFrame(
+        [("big.example", 0.6), ("small.example", 0.1)],
+        "host string, rank double",
+    )
+    diff = spark.createDataFrame(
+        [
+            ("https://big.example/stale", "unchanged"),
+            ("https://big.example/gone", "removed"),
+            ("https://small.example/changed", "changed"),
+        ],
+        "url string, status string",
+    )
+    out = crawl_schedule(
+        frontier, ranks, diff, per_host_budget=2
+    ).collect()
+    urls = [r.url for r in out]
+    # removed page never scheduled
+    assert "https://big.example/gone" not in urls
+    # budget 2 per host: big.example keeps its two NEW urls (priority
+    # 0.6) and drops the unchanged one (0.03)
+    big = [u for u in urls if u.startswith("https://big")]
+    assert big == ["https://big.example/new1", "https://big.example/new2"]
+    # global order: highest priority first; changed small page (0.08)
+    # outranks the unknown-host default (1e-6)
+    assert urls.index("https://small.example/changed") < urls.index(
+        "https://unknown.example/x"
+    )
+    # unknown host still crawlable
+    assert "https://unknown.example/x" in urls
+
+
+def test_crawl_schedule_no_diff(spark):
+    from granulate_char_ocr_spark.operators.crawl import crawl_schedule
+
+    frontier = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h1"), ("u3", "h1")], "url string, host string"
+    )
+    ranks = spark.createDataFrame([("h1", 0.5)], "host string, rank double")
+    out = crawl_schedule(frontier, ranks, per_host_budget=2).collect()
+    # deterministic tie-break by url under equal priority
+    assert [r.url for r in out] == ["u1", "u2"]
