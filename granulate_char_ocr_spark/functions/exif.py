@@ -165,6 +165,13 @@ def exif_from_jpeg(jpeg: bytes) -> dict:
     while i + 4 <= n:
         if jpeg[i] != 0xFF:
             break
+        # legal 0xFF fill bytes may precede any marker (T.81 B.1.1.2) —
+        # skip them or the next byte is read as a bogus marker and the
+        # APP1 is silently missed (review finding r4)
+        while i + 4 <= n and jpeg[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = jpeg[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2

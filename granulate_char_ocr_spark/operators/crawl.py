@@ -539,7 +539,16 @@ def cdx_records(df: DataFrame, line_col: str = "cdx_line") -> DataFrame:
     def g(field):
         return F.get_json_object(j, f"$.{field}")
 
-    carried = [c for c in df.columns if c != line_col]
+    # a carried column named like one of the nine outputs (a frontier
+    # row that already has 'url'/'status') would duplicate the name
+    # and make every downstream F.col ambiguous — the parse wins
+    out_names = {
+        "surt", "ts", "url", "status", "mime",
+        "digest", "length", "offset", "filename",
+    }
+    carried = [
+        c for c in df.columns if c != line_col and c not in out_names
+    ]
     return df.select(
         *carried,
         F.substring_index(line, " ", 1).alias("surt"),
@@ -592,10 +601,18 @@ def crawl_schedule(
     Plan shape at scale: the rank table is hosts (small — broadcast),
     the diff join is one url-key shuffle, the budget cap one host-key
     window — two exchanges over the frontier regardless of corpus
-    size. Hosts absent from the rank table get ``default_rank`` so
+    size (output is NOT globally sorted: the per-host window already
+    orders each host's drain, and a global sort would add a
+    range-partition exchange for an ordering the fetcher pool doesn't
+    need — order by ``priority`` at the consumer if required). Hosts
+    absent from the rank table get ``default_rank`` so
     newly-discovered sites are crawlable but never outrank known
     authority."""
-    f = frontier.join(F.broadcast(ranks), "host", "left")
+    # project first: a frontier carrying its own 'rank'/'status'
+    # columns (cdx_records output does) would make the joins ambiguous
+    f = frontier.select("url", "host").join(
+        F.broadcast(ranks.select("host", "rank")), "host", "left"
+    )
     if diff is not None:
         f = f.join(diff.select("url", "status"), "url", "left")
         weight = (
@@ -620,5 +637,4 @@ def crawl_schedule(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= per_host_budget)
         .drop("_rn")
-        .orderBy(F.col("priority").desc(), F.col("url"))
     )

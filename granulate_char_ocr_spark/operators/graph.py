@@ -267,12 +267,16 @@ def registrable_domain_expr(host: Column) -> Column:
     the last two labels, or the last three when the middle label is a
     known second-level registry label under a 2-letter ccTLD
     ('example.co.uk' -> 'example.co.uk', 'a.b.example.org' ->
-    'example.org'). IP literals pass through whole. Pure codegen."""
+    'example.org'). IP literals pass through whole; a NULL host stays
+    NULL (concat_ws would otherwise fold it to '' and alias every
+    missing host into one spurious domain — review finding r4).
+    Pure codegen."""
     parts = F.split(F.lower(host), r"\.")
     n = F.size(parts)
     # IPv4 literal: every label numeric — grouping by a /16 would be
     # wrong; treat the address as its own domain
     is_ip = F.lower(host).rlike(r"^[0-9.]+$")
+    null_host = host.isNull()
     tld = F.element_at(parts, -1)
     sld = F.when(n >= 2, F.element_at(parts, -2)).otherwise(F.lit(""))
     deep = (
@@ -285,7 +289,8 @@ def registrable_domain_expr(host: Column) -> Column:
     last2 = F.concat_ws(".", F.slice(parts, -2, 2))
     last3 = F.concat_ws(".", F.slice(parts, -3, 3))
     return (
-        F.when(is_ip | (n <= 2), F.lower(host))
+        F.when(null_host, F.lit(None).cast("string"))
+        .when(is_ip | (n <= 2), F.lower(host))
         .when(deep, last3)
         .otherwise(last2)
     )
@@ -317,7 +322,9 @@ def domain_link_stats(edges: DataFrame) -> DataFrame:
             "src_domain",
             "n_links",
             "n_intra",
-            F.round(F.col("n_intra") / F.col("n_links"), 6).alias(
+            # try_divide: ANSI mode (default-on, CLAUDE.md) throws on
+            # /0 — a zero-weight edge group yields NULL ratio instead
+            F.round(F.try_divide("n_intra", "n_links"), 6).alias(
                 "intra_ratio"
             ),
         )

@@ -405,7 +405,13 @@ def sample_frames(videos: DataFrame, every_k: int = 2) -> DataFrame:
 def _iter_gray_frames(r, step: int = 1):
     """(frame_index, grayscale ndarray) for every ``step``-th frame of
     one video row — the shared codec dispatch of the frame sampler and
-    the scene-change detector. 'auto' sniffs the container."""
+    the scene-change detector. 'auto' sniffs the container. A NULL
+    payload yields no frames (a corpus row with missing media is empty,
+    not a task failure), and a truncated raw payload yields only its
+    COMPLETE frames (review finding r4: reshaping a short final slice
+    raised and killed the task)."""
+    if r.payload is None:
+        return
     codec = r.codec
     if codec == "auto":
         head = bytes(r.payload[:12])
@@ -450,10 +456,12 @@ def _iter_gray_frames(r, step: int = 1):
         )
     frame_bytes = r.width * r.height
     for i in range(0, int(r.n_frames), step):
-        yield i, np.frombuffer(
-            bytes(r.payload[i * frame_bytes : (i + 1) * frame_bytes]),
-            dtype=np.uint8,
-        ).reshape(int(r.height), int(r.width))
+        chunk = bytes(r.payload[i * frame_bytes : (i + 1) * frame_bytes])
+        if len(chunk) < frame_bytes:
+            break  # truncated tail: emit complete frames only
+        yield i, np.frombuffer(chunk, dtype=np.uint8).reshape(
+            int(r.height), int(r.width)
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -549,7 +557,10 @@ def image_exif(images: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                f = exif_from_jpeg(bytes(r.payload))
+                # NULL payload == absent EXIF (the never-fail contract)
+                f = exif_from_jpeg(
+                    b"" if r.payload is None else bytes(r.payload)
+                )
                 rows.append(
                     (r.media_ref, *(f[k] for k in _EXIF_FIELDS))
                 )

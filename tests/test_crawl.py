@@ -705,9 +705,10 @@ def test_crawl_schedule(spark):
         ],
         "url string, status string",
     )
-    out = crawl_schedule(
-        frontier, ranks, diff, per_host_budget=2
-    ).collect()
+    out = sorted(
+        crawl_schedule(frontier, ranks, diff, per_host_budget=2).collect(),
+        key=lambda r: (-r.priority, r.url),
+    )
     urls = [r.url for r in out]
     # removed page never scheduled
     assert "https://big.example/gone" not in urls
@@ -732,5 +733,37 @@ def test_crawl_schedule_no_diff(spark):
     )
     ranks = spark.createDataFrame([("h1", 0.5)], "host string, rank double")
     out = crawl_schedule(frontier, ranks, per_host_budget=2).collect()
-    # deterministic tie-break by url under equal priority
-    assert [r.url for r in out] == ["u1", "u2"]
+    # deterministic tie-break by url under equal priority (the per-host
+    # window keeps u1/u2; output itself is unsorted by design)
+    assert sorted(r.url for r in out) == ["u1", "u2"]
+
+
+def test_crawl_schedule_frontier_with_status_and_rank_columns(spark):
+    # review r4: a frontier built from cdx_records output carries its
+    # own url/status columns — the joins must not become ambiguous
+    from granulate_char_ocr_spark.operators.crawl import crawl_schedule
+
+    frontier = spark.createDataFrame(
+        [("u1", "h1", 200, 0.9)],
+        "url string, host string, status int, rank double",
+    )
+    ranks = spark.createDataFrame([("h1", 0.5)], "host string, rank double")
+    diff = spark.createDataFrame(
+        [("u1", "changed")], "url string, status string"
+    )
+    [r] = crawl_schedule(frontier, ranks, diff).collect()
+    assert abs(r.priority - 0.5 * 0.8) < 1e-12
+
+
+def test_cdx_records_drops_colliding_carried_columns(spark):
+    from granulate_char_ocr_spark.operators.crawl import cdx_records
+
+    df = spark.createDataFrame(
+        [("keep", "old-url", 'a)/x 20240101 {"url": "https://e/x"}')],
+        "extra string, url string, cdx_line string",
+    )
+    out = cdx_records(df)
+    # the parse's url wins; no duplicate names
+    assert out.columns.count("url") == 1 and "extra" in out.columns
+    [r] = out.collect()
+    assert r.url == "https://e/x" and r.extra == "keep"

@@ -281,3 +281,28 @@ def test_domain_link_stats_duckdb_parity(spark):
     )
     want = {(d, int(n), int(i), float(r)) for d, n, i, r in want}
     assert got == want
+
+
+def test_registrable_domain_null_host_stays_null(spark):
+    from pyspark.sql import functions as F
+
+    from granulate_char_ocr_spark.operators.graph import (
+        registrable_domain_expr,
+    )
+
+    df = spark.createDataFrame([(1, None)], "i int, h string")
+    [r] = df.select(registrable_domain_expr(F.col("h")).alias("d")).collect()
+    assert r.d is None
+
+
+def test_domain_link_stats_zero_links_no_ansi_throw(spark):
+    # ANSI mode is on by default: a zero-weight group must yield NULL
+    # ratio, not DIVIDE_BY_ZERO (review r4)
+    from granulate_char_ocr_spark.operators.graph import domain_link_stats
+
+    edges = spark.createDataFrame(
+        [("a.example.com", "b.example.com", 0)],
+        "src_host string, dst_host string, n_links int",
+    )
+    [r] = domain_link_stats(edges).collect()
+    assert r.n_links == 0 and r.intra_ratio is None

@@ -531,3 +531,43 @@ def test_scene_changes_mjpeg_avi(spark):
     out = multimodal.scene_changes(vid).orderBy("frame_index").collect()
     starts = [r.frame_index for r in out if r.is_scene_start]
     assert starts == [0, 2]
+
+
+def test_video_truncated_and_null_payloads_tolerated(spark):
+    # truncated raw tail -> complete frames only; NULL payload -> no
+    # frames; neither fails the task (review r4)
+    h = w = 4
+    frames = [np.full((h, w), i, np.uint8) for i in range(2)]
+    truncated = b"".join(f.tobytes() for f in frames) + b"\x01\x02"
+    vid = spark.createDataFrame(
+        [
+            ("t", "video", "raw", w, h, 3, 0, truncated),
+            ("n", "video", "raw", w, h, 3, 0, None),
+        ],
+        schema=multimodal.MULTIMODAL_SCHEMA,
+    )
+    out = multimodal.scene_changes(vid).collect()
+    assert {r.media_ref for r in out} == {"t"}
+    assert sorted(r.frame_index for r in out) == [0, 1]
+
+
+def test_image_exif_null_payload(spark):
+    from granulate_char_ocr_spark.operators.multimodal import image_exif
+
+    df = spark.createDataFrame(
+        [("nul", None)], "media_ref string, payload binary"
+    )
+    [r] = image_exif(df).collect()
+    assert r.make is None and r.orientation is None
+
+
+def test_exif_survives_fill_bytes():
+    # 0xFF fill bytes before a marker are legal (T.81 B.1.1.2) and must
+    # not hide the APP1 (review r4)
+    from granulate_char_ocr_spark.functions import exif
+
+    app1 = exif.build_exif()
+    seg = b"\xff\xe1" + (len(app1) + 2).to_bytes(2, "big") + app1
+    jpeg = b"\xff\xd8" + b"\xff\xff\xff" + seg + b"\xff\xd9"
+    f = exif.exif_from_jpeg(jpeg)
+    assert f["make"] == "ExampleCorp"
