@@ -638,3 +638,90 @@ def crawl_schedule(
         .filter(F.col("_rn") <= per_host_budget)
         .drop("_rn")
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> (host, sitemap_url): the ``Sitemap:``
+    lines — per RFC 9309 §2.3 / sitemaps.org these are GLOBAL (outside
+    any User-agent group), so every such line counts regardless of
+    grouping. Completes the discovery chain: robots_sitemaps →
+    sitemap_urls → frontier. Reuses the grouped-line parse (comments,
+    field case, whitespace already handled there)."""
+    lines = _grouped_lines(robots, host_col, text_col)
+    return (
+        lines.filter(
+            (F.col("field") == "sitemap") & (F.col("value") != "")
+        )
+        .select(host_col, F.col("value").alias("sitemap_url"))
+        .distinct()
+    )
+
+
+_REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+
+
+def resolve_redirects(
+    pages: DataFrame, max_hops: int = 5
+) -> DataFrame:
+    """(url, status, location) -> (url, final_url, n_hops): follow
+    HTTP redirect chains relationally so the corpus keys pages by
+    where the content actually lives (the crawl-side twin of the
+    canonical-URL dedup — a 301 is the server's own canonicalization
+    statement).
+
+    ``location`` is absolutized against the source URL when relative
+    (RFC 9110 §10.2.2 allows both): absolute URLs pass through,
+    '/path' targets keep the source's scheme://host, anything else
+    (rare relative-path form) is treated as unresolvable and ends the
+    chain. Each hop is one equi-join of the url table against the
+    (bounded, redirect-only) hop map — ``max_hops`` joins total, the
+    standard browser/crawler hop cap; loops and over-long chains stop
+    at the cap with ``n_hops = max_hops`` rather than spinning."""
+    from granulate_char_ocr_spark.operators.urlfilter import (
+        _RE_HOST,
+        _RE_SCHEME,
+    )
+
+    loc = F.col("location")
+    src_origin = F.concat(
+        F.regexp_extract("url", _RE_SCHEME, 1),
+        F.lit("://"),
+        F.regexp_extract("url", _RE_HOST, 1),
+    )
+    absolute = (
+        F.when(loc.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), loc)
+        .when(loc.startswith("/"), F.concat(src_origin, loc))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    hop = (
+        pages.filter(
+            F.col("status").isin(*_REDIRECT_STATUSES)
+            & F.col("location").isNotNull()
+        )
+        .select(F.col("url").alias("_src"), absolute.alias("_dst"))
+        .filter(F.col("_dst").isNotNull())
+    )
+    cur = pages.select(
+        "url",
+        F.col("url").alias("final_url"),
+        F.lit(0).alias("n_hops"),
+    )
+    for _ in range(max_hops):
+        cur = (
+            cur.join(
+                hop.withColumnRenamed("_src", "final_url"),
+                "final_url",
+                "left",
+            )
+            .select(
+                "url",
+                F.coalesce("_dst", "final_url").alias("final_url"),
+                (
+                    F.col("n_hops")
+                    + F.when(F.col("_dst").isNotNull(), 1).otherwise(0)
+                ).alias("n_hops"),
+            )
+        )
+    return cur.select("url", "final_url", "n_hops")

@@ -767,3 +767,51 @@ def test_cdx_records_drops_colliding_carried_columns(spark):
     assert out.columns.count("url") == 1 and "extra" in out.columns
     [r] = out.collect()
     assert r.url == "https://e/x" and r.extra == "keep"
+
+
+def test_robots_sitemaps_discovery(spark):
+    from granulate_char_ocr_spark.operators.crawl import robots_sitemaps
+
+    df = spark.createDataFrame(
+        [
+            (
+                "a",
+                "Sitemap: https://a/s1.xml\nUser-agent: *\nDisallow: /x\n"
+                "sitemap: https://a/s2.xml  # trailing comment\n",
+            ),
+            ("b", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {(r.host, r.sitemap_url) for r in robots_sitemaps(df).collect()}
+    # Sitemap lines count wherever they appear (global per RFC 9309),
+    # field name case-insensitive, comments stripped
+    assert got == {
+        ("a", "https://a/s1.xml"),
+        ("a", "https://a/s2.xml"),
+    }
+
+
+def test_resolve_redirects_chain_relative_and_loop(spark):
+    from granulate_char_ocr_spark.operators.crawl import resolve_redirects
+
+    pages = spark.createDataFrame(
+        [
+            # two-hop chain, second hop relative
+            ("https://a.example/old", 301, "https://a.example/mid"),
+            ("https://a.example/mid", 302, "/new"),
+            ("https://a.example/new", 200, None),
+            # loop: capped at max_hops, must terminate
+            ("https://l.example/p", 301, "https://l.example/q"),
+            ("https://l.example/q", 301, "https://l.example/p"),
+            # unresolvable relative-path form ends the chain
+            ("https://r.example/x", 301, "y/z"),
+        ],
+        "url string, status int, location string",
+    )
+    rows = {r.url: r for r in resolve_redirects(pages, max_hops=5).collect()}
+    assert rows["https://a.example/old"].final_url == "https://a.example/new"
+    assert rows["https://a.example/old"].n_hops == 2
+    assert rows["https://a.example/new"].n_hops == 0
+    assert rows["https://l.example/p"].n_hops == 5  # loop hit the cap
+    assert rows["https://r.example/x"].final_url == "https://r.example/x"
