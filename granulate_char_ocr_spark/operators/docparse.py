@@ -295,3 +295,15 @@ def pdf_pages(
     return df.select(key_col, payload_col).mapInPandas(
         fn, schema=f"{key_col} {key_type}, page_no int, page_text string"
     )
+
+
+def jsonld_metadata(
+    df: DataFrame, html_col: str = "html", key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, html) -> (key, ld_type, ld_headline, ld_author): the
+    schema.org JSON-LD fields of the page's first ld+json block
+    (functions/metadata.jsonld_cols) — JVM-side get_json_object, NULL
+    on absent/malformed JSON, zero exchanges."""
+    from granulate_char_ocr_spark.functions.metadata import jsonld_cols
+
+    return df.select(key_col, *jsonld_cols(F.col(html_col)))
