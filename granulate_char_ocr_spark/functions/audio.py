@@ -70,3 +70,64 @@ def mel_features(
     fb = mel_filterbank(n_mels, frame, rate)
     band = power @ fb.T  # (n_frames, n_mels)
     return np.log1p(band.mean(axis=0)).astype(np.float32)
+
+
+def activity_segments(
+    samples: np.ndarray,
+    rate: float,
+    frame: int = FRAME,
+    hop: int = HOP,
+    threshold_db: float = -35.0,
+    min_ms: float = 100.0,
+) -> list[tuple[float, float, bool]]:
+    """Energy VAD: mono samples -> [(start_sec, end_sec, active), …]
+    covering the whole clip. A frame is active when its RMS is within
+    ``threshold_db`` of the clip's peak frame (relative threshold — no
+    absolute level assumption); runs shorter than ``min_ms`` are
+    flipped into their surroundings (the standard hangover smoothing,
+    so a click doesn't open a segment and a breath doesn't close one).
+    Deterministic, pure NumPy, no model."""
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) == 0:
+        return []
+    if len(x) < frame:
+        x = np.pad(x, (0, frame - len(x)))
+    n_frames = 1 + (len(x) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    rms = np.sqrt((x[idx] ** 2).mean(axis=1))
+    peak = rms.max()
+    if peak <= 0:
+        active = np.zeros(n_frames, dtype=bool)
+    else:
+        with np.errstate(divide="ignore"):
+            db = 20.0 * np.log10(rms / peak)
+        active = db > threshold_db
+    # hangover smoothing: flip every run shorter than min_frames
+    # (iterate until stable — flipping can merge adjacent runs)
+    min_frames = max(1, int(round(min_ms / 1000.0 * rate / hop)))
+    changed = True
+    while changed:
+        changed = False
+        runs = _runs(active)
+        for s, e, _ in runs:
+            if e - s < min_frames and len(runs) > 1:
+                active[s:e] = ~active[s:e]
+                changed = True
+                break
+    out = []
+    for s, e, a in _runs(active):
+        start = s * hop / rate
+        end = min(len(samples), (e - 1) * hop + frame) / rate
+        out.append((start, end, bool(a)))
+    return out
+
+
+def _runs(mask: np.ndarray) -> list[tuple[int, int, bool]]:
+    """[(start, end, value), …] run-length segments of a bool array."""
+    out = []
+    s = 0
+    for i in range(1, len(mask) + 1):
+        if i == len(mask) or mask[i] != mask[s]:
+            out.append((s, i, bool(mask[s])))
+            s = i
+    return out

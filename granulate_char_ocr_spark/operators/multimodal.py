@@ -483,32 +483,11 @@ def audio_features(audio: DataFrame, n_mels: int = 16) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from granulate_char_ocr_spark.functions.audio import mel_features
-        from granulate_char_ocr_spark.functions.wav import decode_wav
 
         for pdf in batches:
             refs, durs, feats = [], [], []
             for r in pdf.itertuples(index=False):
-                codec = r.codec
-                if codec == "auto":
-                    head = bytes(r.payload[:12])
-                    codec = (
-                        "wav"
-                        if head[:4] == b"RIFF" and head[8:12] == b"WAVE"
-                        else "raw"
-                    )
-                if codec == "wav":
-                    mono, rate = decode_wav(bytes(r.payload))
-                    samples = mono.astype(np.float64)
-                elif codec == "raw":
-                    samples = np.frombuffer(r.payload, dtype=np.int16).astype(
-                        np.float64
-                    )
-                    rate = r.sample_rate
-                else:
-                    raise NotImplementedError(
-                        f"audio decode for codec={r.codec!r} is stubbed "
-                        "(raw / wav only in-sandbox)"
-                    )
+                samples, rate = _audio_samples(r)
                 durs.append(len(samples) / float(rate))
                 feats.append(mel_features(samples, float(rate), n_mels))
                 refs.append(r.media_ref)
@@ -518,6 +497,84 @@ def audio_features(audio: DataFrame, n_mels: int = 16) -> DataFrame:
 
     cols = ["media_ref", "codec", "sample_rate", "payload"]
     return audio.select(*cols).mapInPandas(fn, schema=AUDIO_FEAT_SCHEMA)
+
+
+def _audio_samples(r) -> tuple[np.ndarray, float]:
+    """(float64 mono samples, rate) for one audio row — the shared
+    codec dispatch of the featurizer and the VAD segmenter ('auto'
+    sniffs the RIFF/WAVE signature; raw is int16 PCM at the row's
+    sample_rate)."""
+    from granulate_char_ocr_spark.functions.wav import decode_wav
+
+    codec = r.codec
+    if codec == "auto":
+        head = bytes(r.payload[:12])
+        codec = (
+            "wav"
+            if head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+            else "raw"
+        )
+    if codec == "wav":
+        mono, rate = decode_wav(bytes(r.payload))
+        return mono.astype(np.float64), float(rate)
+    if codec == "raw":
+        samples = np.frombuffer(r.payload, dtype=np.int16).astype(
+            np.float64
+        )
+        return samples, float(r.sample_rate)
+    raise NotImplementedError(
+        f"audio decode for codec={r.codec!r} is stubbed "
+        "(raw / wav only in-sandbox)"
+    )
+
+
+SEGMENT_SCHEMA = (
+    "media_ref string, seg_index int, start_sec double, end_sec double, "
+    "active boolean"
+)
+
+
+def audio_segments(
+    audio: DataFrame,
+    threshold_db: float = -35.0,
+    min_ms: float = 100.0,
+) -> DataFrame:
+    """1→N energy-VAD segmentation (functions/audio.activity_segments):
+    each clip becomes its run-length speech/silence segments — the
+    pre-transcription stage that lets an audio-curation pass keep only
+    voiced spans, drop silence, and bound ASR costs. Relative-threshold
+    energy VAD with hangover smoothing; deterministic, frame-granular
+    boundaries. Zero exchanges — the clip row is the unit of
+    parallelism (temporal state is per-clip)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.audio import (
+            activity_segments,
+        )
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                samples, rate = _audio_samples(r)
+                for i, (s, e, a) in enumerate(
+                    activity_segments(
+                        samples,
+                        rate,
+                        threshold_db=threshold_db,
+                        min_ms=min_ms,
+                    )
+                ):
+                    out.append((r.media_ref, i, s, e, a))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_ref", "seg_index", "start_sec", "end_sec",
+                    "active",
+                ],
+            )
+
+    cols = ["media_ref", "codec", "sample_rate", "payload"]
+    return audio.select(*cols).mapInPandas(fn, schema=SEGMENT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

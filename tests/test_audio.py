@@ -175,3 +175,71 @@ def test_ima_adpcm_fact_and_partial_blocks():
 
     with _pytest.raises(ValueError, match="truncated"):
         _ima_decode(full[:1026], 1024)  # mid-header tail
+
+
+# --- energy-VAD segmentation ------------------------------------------------
+
+
+def test_activity_segments_tone_between_silences():
+    import numpy as np
+
+    from granulate_char_ocr_spark.functions.audio import activity_segments
+
+    sr = 8000
+    t = np.arange(int(0.5 * sr))
+    x = np.concatenate(
+        [
+            np.zeros(int(0.3 * sr)),
+            np.sin(2 * np.pi * 440 * t / sr) * 10000,
+            np.zeros(int(0.4 * sr)),
+        ]
+    )
+    segs = activity_segments(x, sr)
+    assert [a for _, _, a in segs] == [False, True, False]
+    assert abs(segs[1][0] - 0.3) < 0.05 and abs(segs[1][1] - 0.8) < 0.05
+
+
+def test_activity_segments_click_suppressed_and_silence():
+    import numpy as np
+
+    from granulate_char_ocr_spark.functions.audio import activity_segments
+
+    sr = 8000
+    # a 5 ms click inside silence must not open a segment (hangover)
+    click = np.concatenate(
+        [np.zeros(sr), np.ones(40) * 9000, np.zeros(sr)]
+    )
+    assert all(not a for _, _, a in activity_segments(click, sr))
+    # pure silence: one inactive segment; empty clip: none
+    assert [a for _, _, a in activity_segments(np.zeros(sr), sr)] == [False]
+    assert activity_segments(np.zeros(0), sr) == []
+
+
+def test_audio_segments_operator_wav_and_raw(spark):
+    import numpy as np
+
+    from granulate_char_ocr_spark.functions.wav import encode_wav
+    from granulate_char_ocr_spark.operators import multimodal
+
+    sr = 8000
+    t = np.arange(int(0.4 * sr))
+    voiced = (np.sin(2 * np.pi * 330 * t / sr) * 9000).astype(np.int16)
+    pcm = np.concatenate(
+        [np.zeros(int(0.3 * sr), np.int16), voiced]
+    )
+    wav = encode_wav(pcm, sr)
+    df = spark.createDataFrame(
+        [
+            ("w", "audio", "auto", 0, 0, 0, 0, bytearray(wav)),
+            ("r", "audio", "raw", 0, 0, 0, sr, pcm.tobytes()),
+        ],
+        schema=multimodal.MULTIMODAL_SCHEMA,
+    )
+    rows = multimodal.audio_segments(df).collect()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r.media_ref, []).append(r)
+    for ref in ("w", "r"):
+        segs = sorted(by_ref[ref], key=lambda r: r.seg_index)
+        assert [s.active for s in segs] == [False, True]
+        assert abs(segs[1].start_sec - 0.3) < 0.05
