@@ -81,11 +81,16 @@ def activity_segments(
     min_ms: float = 100.0,
 ) -> list[tuple[float, float, bool]]:
     """Energy VAD: mono samples -> [(start_sec, end_sec, active), …]
-    covering the whole clip. A frame is active when its RMS is within
-    ``threshold_db`` of the clip's peak frame (relative threshold — no
-    absolute level assumption); runs shorter than ``min_ms`` are
-    flipped into their surroundings (the standard hangover smoothing,
-    so a click doesn't open a segment and a breath doesn't close one).
+    partitioning the whole clip (hop-aligned boundaries, the last
+    segment extended to the clip end — segments are disjoint and their
+    durations sum to the clip length). A frame is active when its RMS
+    is within ``threshold_db`` of the clip's peak frame (relative
+    threshold — no absolute level assumption). Hangover smoothing is
+    the standard two-pass morphology, each pass LINEAR in the frame
+    count (review finding r4: the earlier flip-and-rescan loop was
+    quadratic on near-threshold noise): first drop active runs shorter
+    than ``min_ms`` (clicks don't open segments), then fill interior
+    inactive gaps shorter than ``min_ms`` (breaths don't close them).
     Deterministic, pure NumPy, no model."""
     x = np.asarray(samples, dtype=np.float64)
     if len(x) == 0:
@@ -102,22 +107,29 @@ def activity_segments(
         with np.errstate(divide="ignore"):
             db = 20.0 * np.log10(rms / peak)
         active = db > threshold_db
-    # hangover smoothing: flip every run shorter than min_frames
-    # (iterate until stable — flipping can merge adjacent runs)
     min_frames = max(1, int(round(min_ms / 1000.0 * rate / hop)))
-    changed = True
-    while changed:
-        changed = False
-        runs = _runs(active)
-        for s, e, _ in runs:
-            if e - s < min_frames and len(runs) > 1:
-                active[s:e] = ~active[s:e]
-                changed = True
-                break
-    out = []
+    # pass 1: drop short ACTIVE runs
     for s, e, a in _runs(active):
+        if a and e - s < min_frames:
+            active[s:e] = False
+    # pass 2: fill short INTERIOR inactive gaps (leading/trailing
+    # silence is real silence, not a gap between speech)
+    runs = _runs(active)
+    for i, (s, e, a) in enumerate(runs):
+        if not a and e - s < min_frames and 0 < i < len(runs) - 1:
+            active[s:e] = True
+    # hop-aligned disjoint boundaries; final segment takes the tail
+    # (frames overlap by frame-hop samples — attributing each boundary
+    # to the hop grid keeps segments disjoint and exhaustive)
+    runs = _runs(active)
+    out = []
+    for i, (s, e, a) in enumerate(runs):
         start = s * hop / rate
-        end = min(len(samples), (e - 1) * hop + frame) / rate
+        end = (
+            len(samples) / rate
+            if i == len(runs) - 1
+            else e * hop / rate
+        )
         out.append((start, end, bool(a)))
     return out
 

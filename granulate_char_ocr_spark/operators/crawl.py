@@ -673,25 +673,29 @@ def resolve_redirects(
 
     ``location`` is absolutized against the source URL when relative
     (RFC 9110 §10.2.2 allows both): absolute URLs pass through,
-    '/path' targets keep the source's scheme://host, anything else
-    (rare relative-path form) is treated as unresolvable and ends the
-    chain. Each hop is one equi-join of the url table against the
-    (bounded, redirect-only) hop map — ``max_hops`` joins total, the
-    standard browser/crawler hop cap; loops and over-long chains stop
-    at the cap with ``n_hops = max_hops`` rather than spinning."""
-    from granulate_char_ocr_spark.operators.urlfilter import (
-        _RE_HOST,
-        _RE_SCHEME,
-    )
+    '//host/path' network-path references (RFC 3986 — common on
+    CDN-fronted sites) take the source's scheme, '/path' targets keep
+    the source's full scheme://authority (port included), anything
+    else (rare relative-path form) is treated as unresolvable and ends
+    the chain. Duplicate fetch records for the same redirecting URL
+    (recrawls) fold to one deterministic hop (min destination) so the
+    output stays one row per url. Each hop is one equi-join of the url
+    table against the (bounded, redirect-only) hop map — ``max_hops``
+    joins total, the standard browser/crawler hop cap; loops and
+    over-long chains stop at the cap with ``n_hops = max_hops`` rather
+    than spinning."""
+    from granulate_char_ocr_spark.operators.urlfilter import _RE_SCHEME
 
     loc = F.col("location")
-    src_origin = F.concat(
-        F.regexp_extract("url", _RE_SCHEME, 1),
-        F.lit("://"),
-        F.regexp_extract("url", _RE_HOST, 1),
+    # scheme://authority INCLUDING any port — _RE_HOST stops at ':'
+    # and dropped the port (review finding r4)
+    src_origin = F.regexp_extract(
+        "url", r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1
     )
+    src_scheme = F.regexp_extract("url", _RE_SCHEME, 1)
     absolute = (
         F.when(loc.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), loc)
+        .when(loc.startswith("//"), F.concat(src_scheme, F.lit(":"), loc))
         .when(loc.startswith("/"), F.concat(src_origin, loc))
         .otherwise(F.lit(None).cast("string"))
     )
@@ -702,6 +706,11 @@ def resolve_redirects(
         )
         .select(F.col("url").alias("_src"), absolute.alias("_dst"))
         .filter(F.col("_dst").isNotNull())
+        # recrawl duplicates would fan out multiplicatively across the
+        # hop joins (2 rows -> 2^max_hops); min() is the deterministic
+        # fold (review finding r4)
+        .groupBy("_src")
+        .agg(F.min("_dst").alias("_dst"))
     )
     cur = pages.select(
         "url",

@@ -137,14 +137,15 @@ def fit_quality_model(
 
 
 def score_python(
-    text: str, weights: list[float], bias: float, spark_buckets=None
+    weights: list[float], bias: float, buckets
 ) -> float:
-    """NumPy twin of score_expr for a single text, given the SAME
-    bucket list Spark computed (hash parity is Spark-side; pass the
-    buckets from gram_buckets_expr to check the arithmetic twin)."""
-    if spark_buckets is None or len(spark_buckets) == 0:
+    """NumPy twin of score_expr's ARITHMETIC, over the bucket list
+    Spark computed (gram_buckets_expr) — hashing lives JVM-side only,
+    so the twin takes buckets, not text (a text parameter here would
+    be dead and silently score everything as empty — review r4)."""
+    if buckets is None or len(buckets) == 0:
         logit = bias
     else:
         w = np.asarray(weights, dtype=np.float64)
-        logit = bias + float(w[np.asarray(spark_buckets)].mean())
+        logit = bias + float(w[np.asarray(buckets)].mean())
     return float(1.0 / (1.0 + np.exp(-logit)))

@@ -815,3 +815,37 @@ def test_resolve_redirects_chain_relative_and_loop(spark):
     assert rows["https://a.example/new"].n_hops == 0
     assert rows["https://l.example/p"].n_hops == 5  # loop hit the cap
     assert rows["https://r.example/x"].final_url == "https://r.example/x"
+
+
+def test_resolve_redirects_port_protocol_relative_and_recrawl(spark):
+    # review r4: ports survive absolutization, protocol-relative
+    # Locations take the source scheme, and duplicate fetch records
+    # fold to one hop (no fan-out)
+    from granulate_char_ocr_spark.operators.crawl import resolve_redirects
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example:8080/old", 301, "/new"),
+            ("https://a.example:8080/new", 200, None),
+            ("https://b.example/p", 301, "//cdn.example/x"),
+            # the same redirecting url fetched twice (recrawl)
+            ("https://c.example/r", 301, "https://c.example/s"),
+            ("https://c.example/r", 301, "https://c.example/s"),
+        ],
+        "url string, status int, location string",
+    )
+    out = resolve_redirects(pages).collect()
+    rows = {}
+    for r in out:
+        rows.setdefault(r.url, []).append(r)
+    [a] = rows["https://a.example:8080/old"]
+    assert a.final_url == "https://a.example:8080/new" and a.n_hops == 1
+    [b] = rows["https://b.example/p"]
+    assert b.final_url == "https://cdn.example/x"
+    # one row per INPUT row even under recrawl duplicates (the hop map
+    # folds; the two identical input rows stay two rows, same answer)
+    assert len(rows["https://c.example/r"]) == 2
+    assert all(
+        r.final_url == "https://c.example/s" and r.n_hops == 1
+        for r in rows["https://c.example/r"]
+    )

@@ -76,7 +76,7 @@ def test_spark_score_equals_numpy_twin(spark, model):
         qm.score_expr(F.col("text"), w, b).alias("score"),
     ).collect()
     for r in rows:
-        want = qm.score_python("", w, b, spark_buckets=r.buckets)
+        want = qm.score_python(w, b, r.buckets)
         assert abs(r.score - want) < 1e-9
 
 
