@@ -553,3 +553,41 @@ def test_semi_join_active_customers(spark):
         for r in con.execute(driver_queries.SEMI_JOIN_ORACLE).fetchall()
     }
     assert got == want
+
+
+# --- sentence segmentation -------------------------------------------------
+
+
+def test_explode_sentences_twin_and_corners(spark):
+    from granulate_char_ocr_spark.operators.textstats import (
+        explode_sentences,
+        split_sentences_python,
+    )
+
+    texts = [
+        'First sentence. Second one! Third? "Quoted start." And more.',
+        "No terminal punctuation here",
+        "Decimals like 3.14 stay. Numbers 42 open sentences.",
+        "Trailing spaces.   Next sentence.",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    out = explode_sentences(df).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence))
+    for i, t in enumerate(texts):
+        want = split_sentences_python(t)
+        have = [s for _, s in sorted(got.get(i, []))]
+        assert have == want, (i, have, want)
+    # corners pinned concretely
+    assert [s for _, s in sorted(got[0])][0] == "First sentence."
+    assert len(got[0]) == 5
+    assert len(got[1]) == 1
+    assert [s for _, s in sorted(got[2])] == [
+        "Decimals like 3.14 stay.",
+        "Numbers 42 open sentences.",
+    ]
+    assert 4 not in got  # empty text yields no rows
