@@ -67,6 +67,21 @@ def train_bpe(texts: list[str], n_merges: int = N_MERGES) -> list[tuple[str, str
         for tok in pretokenize(t):
             if not tok.isspace():
                 words[tuple(_to_symbols(tok))] += 1
+    return train_bpe_from_counts(words, n_merges)
+
+
+def train_bpe_from_counts(
+    word_counts: Counter, n_merges: int = N_MERGES
+) -> list[tuple[str, str]]:
+    """The merge loop over a WEIGHTED vocabulary: keys are symbol tuples
+    (already space-folded via :func:`_to_symbols`), values are corpus
+    frequencies. This is the half of BPE training that is NOT
+    corpus-size-proportional — the vocabulary is Zipf-bounded — so it
+    runs driver-side over the output of one distributed word count
+    (operators/textstats.train_bpe_spark), the same split production
+    tokenizer trainers use (HF tokenizers: count words distributed,
+    merge-loop the counts)."""
+    words = Counter(word_counts)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs = Counter()

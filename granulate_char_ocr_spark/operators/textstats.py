@@ -363,6 +363,57 @@ def bpe_merged_count_udf():
     return pandas_udf(_count, "long")
 
 
+def bpe_word_counts(docs: DataFrame, min_count: int = 1) -> DataFrame:
+    """(word, n): corpus-wide pre-token frequencies — the distributed half
+    of BPE tokenizer training, and the ONLY corpus-size-proportional step.
+    One explode + one hash aggregate on the token key; the result is the
+    Zipf-bounded vocabulary, not the corpus. ``min_count`` is the 100 TB
+    safety valve: hapax pre-tokens (random blobs, typos) dominate the
+    distinct-key count but can never win a merge against real vocabulary,
+    so cutting them bounds the collect without changing early merges."""
+    tok = F.explode(
+        F.regexp_extract_all("text", F.lit("(" + BPE_PATTERN + ")"), 1)
+    ).alias("word")
+    out = (
+        docs.select(tok)
+        .where(~F.col("word").rlike(r"^[ \t\r\n]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("n") >= min_count)
+    return out
+
+
+def train_bpe_spark(docs: DataFrame, n_merges: int | None = None,
+                    min_count: int = 1) -> list:
+    """Train a BPE merges table over a document corpus, Spark-distributed
+    the way production tokenizer trainers are: the corpus pass is one
+    word-count aggregate (:func:`bpe_word_counts`); the merge loop runs
+    driver-side over the weighted vocabulary
+    (functions/bpe.train_bpe_from_counts), which is vocabulary-sized, not
+    corpus-sized. Deterministic (count ties break lexicographically), so
+    the committed resources/bpe_merges.txt is reproducible from this path.
+
+    Pre-tokenizer parity: the Spark side splits with the Java/RE2-safe
+    BPE_PATTERN, the in-process twin (functions/bpe.pretokenize) with
+    stdlib re — identical on ASCII and on all Unicode letters/digits;
+    they class Nl/No characters (Ⅻ, ²) and exotic whitespace (\\x0b, NBSP)
+    differently, which shifts only the affected words' counts. The
+    equality pin in tests runs on ASCII corpora; mixed-script corpora get
+    a determinism pin instead."""
+    from collections import Counter
+
+    from granulate_char_ocr_spark.functions import bpe as bpe_mod
+
+    if n_merges is None:
+        n_merges = bpe_mod.N_MERGES
+    words = Counter()
+    for row in bpe_word_counts(docs, min_count).toLocalIterator():
+        words[tuple(bpe_mod._to_symbols(row["word"]))] += row["n"]
+    return bpe_mod.train_bpe_from_counts(words, n_merges)
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
     """(doc_id, fp): winnowed k-gram fingerprints (Schleimer/Wilkerson/Aiken
     'Winnowing: Local Algorithms for Document Fingerprinting', SIGMOD'03 —

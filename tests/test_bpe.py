@@ -106,3 +106,46 @@ def test_cache_skips_pathological_keys():
     cache = {}
     bpe.count_tokens("word " + "x" * 1000, ranks, cache)
     assert "word" in cache and not any(len(k) > 256 for k in cache)
+
+
+def test_spark_trainer_matches_python_twin(spark):
+    """Distributed BPE training: the Spark path (one word-count aggregate
+    + driver merge loop over the weighted vocabulary) must learn the SAME
+    merges list as the in-process trainer. ASCII corpus — the regime where
+    the Java and stdlib-re pre-tokenizers are character-identical."""
+    from granulate_char_ocr_spark.operators import textstats
+
+    texts = [
+        "the cat sat on the mat, then the cat ran.",
+        "a cat sat; the mat sat still... 42 cats!",
+        "  doubled  spaces &&symbols++ and CAPS Caps caps",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string",
+    )
+    got = textstats.train_bpe_spark(docs, n_merges=80)
+    want = bpe.train_bpe(texts, 80)
+    assert got == want
+    assert len(got) > 10  # actually learned something
+
+
+def test_spark_trainer_min_count_cut(spark):
+    """min_count drops hapax pre-tokens from the collected vocabulary
+    without touching merges won by repeated words (the 100 TB collect
+    bound). 'zzqqxx' appears once: with the cut its internal pairs vanish
+    from the count table, so no merge may reference its unique letters."""
+    from granulate_char_ocr_spark.operators import textstats
+
+    texts = ["aa bb aa bb aa bb zzqqxx", "aa bb aa bb"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string",
+    )
+    kept = textstats.train_bpe_spark(docs, n_merges=20, min_count=2)
+    assert all("z" not in a + b and "q" not in a + b for a, b in kept)
+    # the dominant repeated words still merge to single symbols
+    ranks = {p: i for i, p in enumerate(kept)}
+    assert bpe.bpe_symbols("aa", ranks) == ["aa"]
+    assert bpe.bpe_symbols(" bb", ranks) == ["Ġbb"]
