@@ -681,3 +681,70 @@ def scene_changes(videos: DataFrame, threshold: float = 24.0) -> DataFrame:
 
     cols = ["media_ref", "codec", "width", "height", "n_frames", "payload"]
     return videos.select(*cols).mapInPandas(fn, schema=SCENE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# compressed-stream metadata: MP3 / H.264 headers, no decode
+# ---------------------------------------------------------------------------
+
+STREAM_INFO_SCHEMA = (
+    "media_ref string, format string, duration_sec double, sample_rate int, "
+    "channels int, bitrate_kbps double, vbr boolean, width int, height int, "
+    "profile_level string, n_frames int"
+)
+
+
+def media_stream_info(media: DataFrame) -> DataFrame:
+    """(media_ref, payload) -> typed stream metadata for the two codecs
+    whose FULL decode is stubbed in-sandbox: MP3 frame-header walk
+    (functions/mp3.py: frames, sample rate, channels, mean bitrate, VBR
+    flag, sample-exact duration) and H.264 Annex-B SPS parse
+    (functions/h264.py: width x height after cropping, profile@level,
+    slice census). This is the 100 TB routing pass — budget, dedup-key
+    and route media by stream properties BEFORE paying any decoder;
+    unrecognized payloads keep their row with format NULL (the
+    decode_error-surfacing convention, sources/binary_files.py).
+
+    Same Arrow-batched mapInPandas shape as the codec operators: one
+    Python stage, no shuffle; at scale this runs over the distinct
+    media store, so cost is per unique blob."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.h264 import parse_h264
+        from granulate_char_ocr_spark.functions.mp3 import parse_mp3
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                m = parse_mp3(payload)
+                if m is not None:
+                    rows.append((
+                        r.media_ref, f"mp3v{m.version}L{m.layer}",
+                        m.duration_s, m.sample_rate, m.channels,
+                        m.bitrate_kbps, m.vbr, None, None, None,
+                        m.n_frames,
+                    ))
+                    continue
+                v = parse_h264(payload)
+                if v is not None:
+                    rows.append((
+                        r.media_ref, "h264", None, None, None, None,
+                        None, v.width, v.height,
+                        f"{v.profile_idc}@{v.level_idc / 10:.1f}",
+                        v.n_slices,
+                    ))
+                    continue
+                rows.append((r.media_ref, None) + (None,) * 9)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "format", "duration_sec", "sample_rate",
+                    "channels", "bitrate_kbps", "vbr", "width", "height",
+                    "profile_level", "n_frames",
+                ],
+            )
+
+    return media.select("media_ref", "payload").mapInPandas(
+        fn, schema=STREAM_INFO_SCHEMA
+    )
