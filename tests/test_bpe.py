@@ -149,3 +149,19 @@ def test_spark_trainer_min_count_cut(spark):
     ranks = {p: i for i, p in enumerate(kept)}
     assert bpe.bpe_symbols("aa", ranks) == ["aa"]
     assert bpe.bpe_symbols(" bb", ranks) == ["Ġbb"]
+
+
+def test_spark_trainer_reproduces_committed_merges(spark):
+    """The committed resources/bpe_merges.txt (trained in-process by
+    tools/train_bpe.py) is byte-reproducible from the DISTRIBUTED
+    trainer over the same sf0.01 corpus — the two pre-tokenizers agree
+    on every word the corpus actually contains (incl. the CJK rows:
+    both engines class Han as letters), so the word-count tables and
+    hence every merge decision coincide."""
+    from granulate_char_ocr_spark.operators import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = textstats.train_bpe_spark(docs)
+    ranks = bpe.load_ranks()
+    committed = [p for p, _ in sorted(ranks.items(), key=lambda kv: kv[1])]
+    assert got == committed
