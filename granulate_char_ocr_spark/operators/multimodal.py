@@ -712,11 +712,23 @@ def media_stream_info(media: DataFrame) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from granulate_char_ocr_spark.functions.h264 import parse_h264
         from granulate_char_ocr_spark.functions.mp3 import parse_mp3
+        from granulate_char_ocr_spark.functions.mp4 import parse_mp4
 
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload)
+                # strongest signature first: ftyp is unambiguous, the
+                # MP3 sync scan is probabilistic
+                p4 = parse_mp4(payload)
+                if p4 is not None:
+                    rows.append((
+                        r.media_ref, f"mp4/{p4.brand}", p4.duration_s,
+                        p4.audio_sample_rate, p4.audio_channels, None,
+                        None, p4.width, p4.height, p4.profile_level,
+                        None,
+                    ))
+                    continue
                 m = parse_mp3(payload)
                 if m is not None:
                     rows.append((
