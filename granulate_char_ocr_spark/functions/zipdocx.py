@@ -1,0 +1,201 @@
+"""ZIP container + DOCX (WordprocessingML) text extraction — the
+office-document leg of main-content extraction.
+
+ZIP per PKWARE APPNOTE.TXT (the published format spec): scan the
+end-of-central-directory record backwards (variable-length trailing
+comment), walk the central directory for names/methods/offsets, slice
+each member past its local header, and inflate raw-deflate members with
+zlib (stored members slice directly). CRC32 is verified on read — a
+corrupt member yields an error, not silent garbage.
+
+DOCX per ECMA-376: a DOCX is a ZIP whose ``word/document.xml`` holds
+the text as ``<w:t>`` runs inside ``<w:p>`` paragraphs. Extraction is
+the same regex-cascade discipline as functions/html.py: drop deleted
+(``<w:delText>``) runs, keep ``<w:t>`` contents, map ``<w:tab/>`` to a
+tab and ``<w:br/>``/paragraph ends to newlines, then decode the XML
+entities. No XML DOM — WordprocessingML from real generators is
+machine-written and regular, and the flatten-not-parse approach is what
+keeps this executor-side cheap.
+
+Malformed input yields ``None`` (same contract as mp3/mp4/h264).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+_EOCD_SIG = b"PK\x05\x06"
+_CEN_SIG = b"PK\x01\x02"
+_LOC_SIG = b"PK\x03\x04"
+_MAX_COMMENT = 1 << 16
+
+
+def zip_entries(data: bytes) -> list[tuple[str, int]] | None:
+    """[(name, uncompressed_size)] from the central directory, or None
+    if no EOCD record is found."""
+    cd = _central_directory(data)
+    if cd is None:
+        return None
+    return [(name, usize) for name, _, _, usize, _, _ in cd]
+
+
+def _central_directory(data: bytes):
+    tail_start = max(0, len(data) - _MAX_COMMENT - 22)
+    eocd = data.rfind(_EOCD_SIG, tail_start)
+    if eocd < 0 or eocd + 22 > len(data):
+        return None
+    _, n_entries, _cd_size, cd_off = struct.unpack_from("<HHII", data, eocd + 8)
+    out = []
+    pos = cd_off
+    for _ in range(n_entries):
+        if pos + 46 > len(data) or data[pos : pos + 4] != _CEN_SIG:
+            return None
+        (method, crc, csize, usize, nlen, elen, clen) = struct.unpack_from(
+            "<H4xIIIHHH", data, pos + 10
+        )
+        (loc_off,) = struct.unpack_from("<I", data, pos + 42)
+        name = data[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        out.append((name, method, csize, usize, crc, loc_off))
+        pos += 46 + nlen + elen + clen
+    return out
+
+
+def zip_read(data: bytes, member: str) -> bytes | None:
+    """One member's decompressed bytes; None if absent/corrupt."""
+    cd = _central_directory(data)
+    if cd is None:
+        return None
+    for name, method, csize, usize, crc, loc_off in cd:
+        if name != member:
+            continue
+        if loc_off + 30 > len(data) or data[loc_off : loc_off + 4] != _LOC_SIG:
+            return None
+        # streamed writers (flag bit 3) zero the LOCAL sizes; the central
+        # directory sizes parsed above are authoritative either way
+        nlen, elen = struct.unpack_from("<HH", data, loc_off + 26)
+        start = loc_off + 30 + nlen + elen
+        raw = data[start : start + csize]
+        try:
+            if method == 0:
+                out = raw[:usize]
+            elif method == 8:
+                out = zlib.decompressobj(-15).decompress(raw, usize)
+            else:
+                return None  # unsupported compression method
+        except zlib.error:
+            return None
+        if len(out) != usize or zlib.crc32(out) & 0xFFFFFFFF != crc:
+            return None
+        return out
+    return None
+
+
+# --- DOCX text --------------------------------------------------------------
+
+_DEL_RE = re.compile(rb"<w:delText\b.*?</w:delText>", re.S)
+_T_RE = re.compile(rb"<w:t(?:\s[^>]*)?>(.*?)</w:t>|<w:tab\s*/>|<w:br\s*/>|</w:p>", re.S)
+
+_ENTITIES = {
+    b"&amp;": b"&", b"&lt;": b"<", b"&gt;": b">",
+    b"&quot;": b'"', b"&apos;": b"'",
+}
+
+
+def _decode_entities(raw: bytes) -> str:
+    for k, v in _ENTITIES.items():
+        raw = raw.replace(k, v)
+    text = raw.decode("utf-8", "replace")
+    return re.sub(
+        r"&#(x[0-9a-fA-F]+|\d+);",
+        lambda m: chr(
+            int(m.group(1)[1:], 16) if m.group(1)[0] in "xX"
+            else int(m.group(1))
+        ),
+        text,
+    )
+
+
+def docx_text(data: bytes) -> str | None:
+    """Paragraph-joined document text, or None if not a DOCX."""
+    xml = zip_read(data, "word/document.xml")
+    if xml is None:
+        return None
+    xml = _DEL_RE.sub(b"", xml)
+    parts: list[str] = []
+    for m in _T_RE.finditer(xml):
+        tok = m.group(0)
+        if tok.startswith(b"<w:t") and not tok.startswith(b"<w:tab"):
+            parts.append(_decode_entities(m.group(1)))
+        elif tok.startswith(b"<w:tab"):
+            parts.append("\t")
+        else:  # <w:br/> or </w:p>
+            parts.append("\n")
+    text = "".join(parts)
+    # trailing paragraph breaks collapse; internal structure is kept
+    return re.sub(r"\n{3,}", "\n\n", text).strip("\n")
+
+
+# --- fixture-builder twin ----------------------------------------------------
+
+
+def zip_build(members: dict[str, bytes], compress: bool = True) -> bytes:
+    """Spec-valid ZIP writer (the test twin of the reader)."""
+    blobs, central = [], []
+    offset = 0
+    for name, payload in members.items():
+        nb = name.encode("utf-8")
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        if compress:
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            raw = c.compress(payload) + c.flush()
+            method = 8
+        else:
+            raw, method = payload, 0
+        loc = (
+            _LOC_SIG
+            + struct.pack(
+                "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(raw),
+                len(payload), len(nb), 0,
+            )
+            + nb + raw
+        )
+        central.append(
+            _CEN_SIG
+            + struct.pack(
+                "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc,
+                len(raw), len(payload), len(nb), 0, 0, 0, 0, 0, offset,
+            )
+            + nb
+        )
+        blobs.append(loc)
+        offset += len(loc)
+    cd = b"".join(central)
+    eocd = _EOCD_SIG + struct.pack(
+        "<HHHHIIH", 0, 0, len(members), len(members), len(cd), offset, 0
+    )
+    return b"".join(blobs) + cd + eocd
+
+
+def docx_build(paragraphs: list[str]) -> bytes:
+    """Minimal ECMA-376 DOCX (document.xml + [Content_Types].xml)."""
+    body = "".join(
+        "<w:p><w:r><w:t xml:space=\"preserve\">"
+        + p.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        + "</w:t></w:r></w:p>"
+        for p in paragraphs
+    )
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>' + body
+        + "</w:body></w:document>"
+    ).encode("utf-8")
+    types = (
+        b'<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+        b'formats.org/package/2006/content-types"/>'
+    )
+    return zip_build(
+        {"[Content_Types].xml": types, "word/document.xml": doc}
+    )

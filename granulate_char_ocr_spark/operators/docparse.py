@@ -307,3 +307,42 @@ def jsonld_metadata(
     from granulate_char_ocr_spark.functions.metadata import jsonld_cols
 
     return df.select(key_col, *jsonld_cols(F.col(html_col)))
+
+
+def docx_texts(
+    df: DataFrame,
+    payload_col: str = "payload",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(key, docx_bytes) -> (key, extracted, n_members): office-document
+    text extraction (functions/zipdocx.py — ZIP central-directory walk +
+    WordprocessingML flatten). Non-DOCX payloads yield NULL extracted
+    (the permissive corpus contract: a crawl's .docx links include
+    mislabeled HTML and truncated downloads); n_members is the ZIP
+    census when the container parses at all."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.zipdocx import (
+            docx_text,
+            zip_entries,
+        )
+
+        for pdf in batches:
+            texts, counts = [], []
+            for p in pdf[payload_col]:
+                data = bytes(p)
+                entries = zip_entries(data)
+                counts.append(len(entries) if entries is not None else None)
+                texts.append(docx_text(data))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "extracted": texts,
+                    "n_members": pd.array(counts, dtype="Int32"),
+                }
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col, payload_col).mapInPandas(
+        fn, schema=f"{key_col} {key_type}, extracted string, n_members int"
+    )
