@@ -199,3 +199,78 @@ def docx_build(paragraphs: list[str]) -> bytes:
     return zip_build(
         {"[Content_Types].xml": types, "word/document.xml": doc}
     )
+
+
+# --- XLSX / ODT (same ZIP reader, sibling XML dialects) ----------------------
+
+_SI_RE = re.compile(rb"<si>(.*?)</si>", re.S)
+_XT_RE = re.compile(rb"<t(?:\s[^>]*)?>(.*?)</t>", re.S)
+_ROW_RE = re.compile(rb"<row[ >].*?</row>", re.S)
+# cells first (self-closing or spanned), THEN fields within each cell —
+# a one-shot alternation could backtrack an empty cell's .*? across the
+# </c> boundary and swallow its neighbor
+_CELL_RE = re.compile(rb"<c\b[^>]*/>|<c\b[^>]*>.*?</c>", re.S)
+_CTYPE_RE = re.compile(rb'\bt="(\w+)"')
+_V_RE = re.compile(rb"<v>(.*?)</v>", re.S)
+_IS_RE = re.compile(rb"<is>(.*?)</is>", re.S)
+
+
+def xlsx_rows(data: bytes, sheet: int = 1) -> list[list[str]] | None:
+    """Row-major cell texts of one worksheet (SpreadsheetML, ECMA-376):
+    shared strings resolved, inline strings flattened, other cell types
+    (numbers, formula results) read from <v> verbatim. None if the blob
+    is not an XLSX with that sheet."""
+    xml = zip_read(data, f"xl/worksheets/sheet{sheet}.xml")
+    if xml is None:
+        return None
+    shared: list[str] = []
+    ss = zip_read(data, "xl/sharedStrings.xml")
+    if ss is not None:
+        for si in _SI_RE.finditer(ss):
+            shared.append(
+                "".join(_decode_entities(t.group(1))
+                        for t in _XT_RE.finditer(si.group(1)))
+            )
+    rows = []
+    for rm in _ROW_RE.finditer(xml):
+        row = []
+        for cm in _CELL_RE.finditer(rm.group(0)):
+            cell = cm.group(0)
+            head = cell.split(b">", 1)[0]
+            tm = _CTYPE_RE.search(head)
+            ctype = tm.group(1) if tm else None
+            im = _IS_RE.search(cell)
+            vm = _V_RE.search(cell)
+            if im is not None:
+                row.append("".join(_decode_entities(t.group(1))
+                                   for t in _XT_RE.finditer(im.group(1))))
+            elif vm is None:
+                row.append("")
+            elif ctype == b"s":
+                try:
+                    row.append(shared[int(vm.group(1))])
+                except (ValueError, IndexError):
+                    row.append("")
+            else:
+                row.append(_decode_entities(vm.group(1)))
+        rows.append(row)
+    return rows
+
+
+_ODT_P_RE = re.compile(rb"<text:[ph]\b[^>]*>(.*?)</text:[ph]>", re.S)
+_ODT_TAG_RE = re.compile(rb"<[^>]+>")
+
+
+def odt_text(data: bytes) -> str | None:
+    """Paragraph/heading text of an OpenDocument text file (ODF
+    content.xml): inline markup flattened, entities decoded."""
+    xml = zip_read(data, "content.xml")
+    if xml is None:
+        return None
+    parts = []
+    for m in _ODT_P_RE.finditer(xml):
+        inner = m.group(1).replace(b"<text:tab/>", b"\t").replace(
+            b"<text:line-break/>", b"\n"
+        )
+        parts.append(_decode_entities(_ODT_TAG_RE.sub(b"", inner)))
+    return "\n".join(p for p in parts if p.strip())

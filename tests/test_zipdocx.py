@@ -81,3 +81,58 @@ def test_docx_texts_operator(spark):
     assert got["d1"]["n_members"] == 2  # [Content_Types].xml + document.xml
     assert got["d2"]["extracted"] is None and got["d2"]["n_members"] == 2
     assert got["d3"]["extracted"] is None and got["d3"]["n_members"] is None
+
+
+def _xlsx(sheet_xml: bytes, shared: list[str] | None = None) -> bytes:
+    members = {"xl/worksheets/sheet1.xml": sheet_xml}
+    if shared is not None:
+        ss = b"".join(
+            b"<si><t>" + s.encode() + b"</t></si>" for s in shared
+        )
+        members["xl/sharedStrings.xml"] = (
+            b"<sst>" + ss + b"</sst>"
+        )
+    return zipdocx.zip_build(members)
+
+
+def test_xlsx_shared_inline_numeric_and_empty_cells():
+    sheet = (
+        b"<worksheet><sheetData>"
+        b'<row r="1">'
+        b'<c r="A1" t="s"><v>0</v></c>'
+        b'<c r="B1"><v>3.14</v></c>'
+        b'<c r="C1" t="inlineStr"><is><t>in&amp;line</t></is></c>'
+        b"</row>"
+        b'<row r="2">'
+        b'<c r="A2"/>'  # empty self-closing cell must NOT swallow B2
+        b'<c r="B2" t="s"><v>1</v></c>'
+        b'<c r="C2"></c>'
+        b"</row>"
+        b"</sheetData></worksheet>"
+    )
+    rows = zipdocx.xlsx_rows(_xlsx(sheet, shared=["alpha", "beta"]))
+    assert rows == [["alpha", "3.14", "in&line"], ["", "beta", ""]]
+
+
+def test_xlsx_missing_sheet_and_bad_shared_index():
+    assert zipdocx.xlsx_rows(b"junk") is None
+    assert zipdocx.xlsx_rows(_xlsx(b"<x/>"), sheet=2) is None
+    sheet = b'<worksheet><row r="1"><c t="s"><v>99</v></c></row></worksheet>'
+    assert zipdocx.xlsx_rows(_xlsx(sheet, shared=["only"])) == [[""]]
+
+
+def test_odt_text():
+    content = (
+        b'<?xml version="1.0"?><office:document-content>'
+        b'<office:body><office:text>'
+        b'<text:h text:style-name="H1">Head</text:h>'
+        b"<text:p>One <text:span>two</text:span>"
+        b"<text:tab/>three&amp;</text:p>"
+        b"<text:p></text:p>"
+        b"<text:p>Last<text:line-break/>line</text:p>"
+        b"</office:text></office:body></office:document-content>"
+    )
+    blob = zipdocx.zip_build({"content.xml": content})
+    assert zipdocx.odt_text(blob) == "Head\nOne two\tthree&\nLast\nline"
+    assert zipdocx.odt_text(b"nope") is None
+    assert zipdocx.odt_text(zipdocx.zip_build({"a": b"b"})) is None
