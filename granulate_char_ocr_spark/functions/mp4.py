@@ -16,10 +16,8 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass
 
-_MAX_DEPTH = 8
-
-# container boxes whose payload is just more boxes
-_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
+# recursion is bounded by the fixed _find() paths (max 4 levels), so no
+# depth guard is needed; iter_boxes never recurses on its own
 
 
 @dataclass
