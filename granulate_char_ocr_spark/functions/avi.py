@@ -100,3 +100,19 @@ def decode_avi_mjpeg(data: bytes) -> list[np.ndarray]:
     """AVI bytes -> decoded frames (uint8 arrays as decode_jpeg returns
     them: (H, W) grayscale or (H, W, 3) RGB)."""
     return [decode_jpeg(p) for p in iter_mjpeg_payloads(data)]
+
+
+def avi_info(data: bytes):
+    """Header-only probe: (width, height, n_frames, duration_s) from the
+    avih main header — no frame decode. None if not RIFF/AVI."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    idx = data.find(b"avih")
+    if idx < 0 or idx + 48 > len(data):
+        return None
+    us_per_frame, _, _, _, n_frames = struct.unpack(
+        "<IIIII", data[idx + 8 : idx + 28]
+    )
+    width, height = struct.unpack("<II", data[idx + 40 : idx + 48])
+    duration = n_frames * us_per_frame / 1e6 if us_per_frame else None
+    return width, height, n_frames, duration

@@ -318,3 +318,34 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     n = len(x) - len(x) % ch
     mono = x[:n].reshape(-1, ch).mean(axis=1)
     return np.clip(np.round(mono), -32768, 32767).astype(np.int16), int(rate)
+
+
+def wav_info(data: bytes):
+    """Header-only probe: (codec_tag, sample_rate, channels, duration_s)
+    from the fmt/fact/data chunk headers — no sample decode (the
+    media_stream_info routing pass). None if not RIFF/WAVE."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data_size = None
+    n_fact = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if tag == b"fmt " and size >= 16:
+            fmt = struct.unpack("<HHIIHH", data[pos + 8 : pos + 24])
+        elif tag == b"fact" and size >= 4:
+            (n_fact,) = struct.unpack("<I", data[pos + 8 : pos + 12])
+        elif tag == b"data":
+            data_size = min(size, max(0, len(data) - pos - 8))
+        pos += 8 + size + (size & 1)
+    if fmt is None:
+        return None
+    codec_tag, channels, rate, _bps, block_align, bits = fmt
+    duration = None
+    if n_fact is not None and rate:
+        duration = n_fact / rate  # compressed codecs: fact is exact
+    elif data_size is not None and rate and channels and bits:
+        duration = data_size / (rate * channels * max(bits, 1) / 8)
+    return codec_tag, rate, channels, duration

@@ -346,3 +346,68 @@ def docx_texts(
     return df.select(key_col, payload_col).mapInPandas(
         fn, schema=f"{key_col} {key_type}, extracted string, n_members int"
     )
+
+
+def archive_members(
+    df: DataFrame,
+    payload_col: str = "payload",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(key, archive_bytes) -> (key, member_name, member_size, member):
+    1-to-N explode of TAR (incl. .tar.gz) and ZIP payloads into member
+    rows — the ingest front of corpus tarballs and office containers.
+    Container kind is sniffed per row (gzip/ustar checksum vs ZIP
+    central directory); non-archives yield zero rows (count them
+    upstream via an anti-join on key, the S4 decode_error convention).
+
+    Scale shape: one Arrow-batched Python stage, no shuffle; member
+    rows inherit the input partitioning, so a downstream router
+    (extension dispatch into the pdf/docx/html/image legs) stays
+    pipeline-local. Arrow's 2 GiB per-cell bound applies to archives as
+    it does to every other payload column — shard bigger tarballs at
+    the source."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions import zipdocx
+        from granulate_char_ocr_spark.functions import tar as tarmod
+
+        for pdf in batches:
+            keys, names, sizes, blobs = [], [], [], []
+            for key, p in zip(pdf[key_col], pdf[payload_col]):
+                data = bytes(p)
+                entries = zipdocx.zip_entries(data)
+                if entries is not None:
+                    pairs = [
+                        (name, zipdocx.zip_read(data, name))
+                        for name, _ in entries
+                    ]
+                else:
+                    pairs = [
+                        (name, payload)
+                        for name, tf, payload in tarmod.iter_tar(data)
+                        if tf != "5"
+                    ]
+                for name, payload in pairs:
+                    if payload is None:
+                        continue  # CRC-corrupt ZIP member: skip
+                    keys.append(key)
+                    names.append(name)
+                    sizes.append(len(payload))
+                    blobs.append(payload)
+            yield pd.DataFrame(
+                {
+                    key_col: keys,
+                    "member_name": names,
+                    "member_size": pd.array(sizes, dtype="Int64"),
+                    "member": blobs,
+                }
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col, payload_col).mapInPandas(
+        fn,
+        schema=(
+            f"{key_col} {key_type}, member_name string, "
+            "member_size long, member binary"
+        ),
+    )

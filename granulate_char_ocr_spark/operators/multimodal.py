@@ -710,16 +710,34 @@ def media_stream_info(media: DataFrame) -> DataFrame:
     media store, so cost is per unique blob."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.avi import avi_info
         from granulate_char_ocr_spark.functions.h264 import parse_h264
         from granulate_char_ocr_spark.functions.mp3 import parse_mp3
         from granulate_char_ocr_spark.functions.mp4 import parse_mp4
+        from granulate_char_ocr_spark.functions.wav import wav_info
 
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload)
-                # strongest signature first: ftyp is unambiguous, the
-                # MP3 sync scan is probabilistic
+                # strongest signatures first: RIFF and ftyp are
+                # unambiguous, the MP3 sync scan is probabilistic
+                w = wav_info(payload)
+                if w is not None:
+                    tag, rate, channels, duration = w
+                    rows.append((
+                        r.media_ref, f"wav/{tag}", duration, rate,
+                        channels, None, None, None, None, None, None,
+                    ))
+                    continue
+                a = avi_info(payload)
+                if a is not None:
+                    aw, ah, n_frames, duration = a
+                    rows.append((
+                        r.media_ref, "avi", duration, None, None, None,
+                        None, aw, ah, None, n_frames,
+                    ))
+                    continue
                 p4 = parse_mp4(payload)
                 if p4 is not None:
                     rows.append((

@@ -197,3 +197,32 @@ def test_media_stream_info_operator(spark):
     assert b["format"] == "h264" and (b["width"], b["height"]) == (1280, 720)
     assert b["profile_level"] == "100@4.1" and b["n_frames"] == 2
     assert got["c.bin"]["format"] is None
+
+
+def test_media_stream_info_routes_wav_and_avi(spark):
+    import numpy as np
+    import pandas as pd
+
+    from granulate_char_ocr_spark.functions.avi import encode_avi_mjpeg
+    from granulate_char_ocr_spark.functions.wav import encode_wav
+    from granulate_char_ocr_spark.operators.multimodal import (
+        media_stream_info,
+    )
+
+    samples = np.zeros(8000, dtype=np.int16)
+    wav = encode_wav(samples, 16000)
+    frames = [np.zeros((16, 16), dtype=np.uint8)] * 3
+    avi = encode_avi_mjpeg(frames, fps=10)
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_ref": ["a.wav", "v.avi"],
+            "payload": [wav, avi],
+        })
+    )
+    got = {r["media_ref"]: r for r in media_stream_info(media).collect()}
+    w = got["a.wav"]
+    assert w["format"].startswith("wav/") and w["sample_rate"] == 16000
+    assert w["channels"] == 1 and abs(w["duration_sec"] - 0.5) < 1e-9
+    v = got["v.avi"]
+    assert v["format"] == "avi" and (v["width"], v["height"]) == (16, 16)
+    assert v["n_frames"] == 3 and abs(v["duration_sec"] - 0.3) < 1e-6

@@ -72,3 +72,27 @@ def test_tar_rejects_garbage_and_truncation():
     # truncated payload: stop cleanly with what's complete
     blob = tar.tar_build({"a": b"1" * 600, "b": b"2"})
     assert tar.tar_entries(blob[:700]) == []  # a's payload incomplete
+
+
+def test_archive_members_operator(spark):
+    import pandas as pd
+
+    from granulate_char_ocr_spark.functions import zipdocx
+    from granulate_char_ocr_spark.operators.docparse import archive_members
+
+    tarball = tar.tar_build({"x/a.txt": b"AA", "b.bin": b"BBB"}, gz=True)
+    zipball = zipdocx.zip_build({"c.txt": b"CCCC"})
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": ["t1", "z1", "n1"],
+            "payload": [tarball, zipball, b"neither"],
+        })
+    )
+    rows = archive_members(docs).collect()
+    got = {(r["doc_id"], r["member_name"]): (r["member_size"], bytes(r["member"]))
+           for r in rows}
+    assert got == {
+        ("t1", "x/a.txt"): (2, b"AA"),
+        ("t1", "b.bin"): (3, b"BBB"),
+        ("z1", "c.txt"): (4, b"CCCC"),
+    }  # the non-archive row yields no members
