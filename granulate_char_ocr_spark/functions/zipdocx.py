@@ -107,14 +107,15 @@ def _decode_entities(raw: bytes) -> str:
     for k, v in _ENTITIES.items():
         raw = raw.replace(k, v)
     text = raw.decode("utf-8", "replace")
-    return re.sub(
-        r"&#(x[0-9a-fA-F]+|\d+);",
-        lambda m: chr(
-            int(m.group(1)[1:], 16) if m.group(1)[0] in "xX"
-            else int(m.group(1))
-        ),
-        text,
-    )
+
+    def _chr(m: re.Match) -> str:
+        g = m.group(1)
+        cp = int(g[1:], 16) if g[0] in "xX" else int(g)
+        # out-of-range references (\"&#x110000;\") pass through verbatim
+        # instead of raising mid-operator
+        return chr(cp) if cp <= 0x10FFFF else m.group(0)
+
+    return re.sub(r"&#(x[0-9a-fA-F]+|\d+);", _chr, text)
 
 
 def docx_text(data: bytes) -> str | None:

@@ -63,6 +63,12 @@ def test_docx_rejects_non_docx():
     assert zipdocx.docx_text(zipdocx.zip_build({"other.xml": b"<x/>"})) is None
 
 
+def test_out_of_range_numeric_entity_passes_through():
+    xml = b"<w:p><w:r><w:t>a&#x110000;b&#9999999999;c</w:t></w:r></w:p>"
+    blob = zipdocx.zip_build({"word/document.xml": xml})
+    assert zipdocx.docx_text(blob) == "a&#x110000;b&#9999999999;c"
+
+
 def test_docx_texts_operator(spark):
     import pandas as pd
 
