@@ -411,3 +411,51 @@ def archive_members(
             "member_size long, member binary"
         ),
     )
+
+
+def xlsx_tables(
+    df: DataFrame,
+    payload_col: str = "payload",
+    key_col: str = "doc_id",
+    sheet: int = 1,
+) -> DataFrame:
+    """(key, xlsx_bytes) -> (key, row_idx, cells, n_cells): spreadsheet
+    rows recovered as structured data (functions/zipdocx.xlsx_rows —
+    shared/inline strings resolved, numbers verbatim), the SpreadsheetML
+    sibling of html_tables. Non-XLSX payloads yield zero rows (count
+    them upstream via an anti-join on key). Arrow-batched mapInPandas,
+    rows inherit the input partitioning."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from granulate_char_ocr_spark.functions.zipdocx import xlsx_rows
+
+        for pdf in batches:
+            keys, idxs, cells, ns = [], [], [], []
+            for key, p in zip(pdf[key_col], pdf[payload_col]):
+                rows = xlsx_rows(bytes(p), sheet=sheet)
+                if rows is None:
+                    continue
+                for i, row in enumerate(rows):
+                    keys.append(key)
+                    idxs.append(i)
+                    cells.append(row)
+                    ns.append(len(row))
+            yield pd.DataFrame(
+                {
+                    key_col: keys,
+                    "row_idx": pd.array(idxs, dtype="Int32"),
+                    # object dtype: equal-length rows would otherwise
+                    # infer a 2-D block Arrow can't convert
+                    "cells": pd.Series(cells, dtype=object),
+                    "n_cells": pd.array(ns, dtype="Int32"),
+                }
+            )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col, payload_col).mapInPandas(
+        fn,
+        schema=(
+            f"{key_col} {key_type}, row_idx int, "
+            "cells array<string>, n_cells int"
+        ),
+    )

@@ -142,3 +142,31 @@ def test_odt_text():
     assert zipdocx.odt_text(blob) == "Head\nOne two\tthree&\nLast\nline"
     assert zipdocx.odt_text(b"nope") is None
     assert zipdocx.odt_text(zipdocx.zip_build({"a": b"b"})) is None
+
+
+def test_xlsx_tables_operator(spark):
+    import pandas as pd
+
+    from granulate_char_ocr_spark.operators.docparse import xlsx_tables
+
+    sheet = (
+        b"<worksheet><sheetData>"
+        b'<row r="1"><c t="s"><v>0</v></c><c><v>7</v></c></row>'
+        b'<row r="2"><c t="s"><v>1</v></c><c><v>8.5</v></c></row>'
+        b"</sheetData></worksheet>"
+    )
+    blob = _xlsx(sheet, shared=["name", "other"])
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": ["x1", "bad"],
+            "payload": [blob, b"not xlsx"],
+        })
+    )
+    got = sorted(
+        (r["doc_id"], r["row_idx"], list(r["cells"]), r["n_cells"])
+        for r in xlsx_tables(docs).collect()
+    )
+    assert got == [
+        ("x1", 0, ["name", "7"], 2),
+        ("x1", 1, ["other", "8.5"], 2),
+    ]
