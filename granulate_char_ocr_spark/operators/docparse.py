@@ -314,16 +314,19 @@ def docx_texts(
     payload_col: str = "payload",
     key_col: str = "doc_id",
 ) -> DataFrame:
-    """(key, docx_bytes) -> (key, extracted, n_members): office-document
+    """(key, office_bytes) -> (key, extracted, n_members): word-processor
     text extraction (functions/zipdocx.py — ZIP central-directory walk +
-    WordprocessingML flatten). Non-DOCX payloads yield NULL extracted
-    (the permissive corpus contract: a crawl's .docx links include
-    mislabeled HTML and truncated downloads); n_members is the ZIP
-    census when the container parses at all."""
+    WordprocessingML flatten, falling back to the ODF content.xml
+    flatten, so both .docx and .odt route through one operator).
+    Unrecognized payloads yield NULL extracted (the permissive corpus
+    contract: a crawl's office links include mislabeled HTML and
+    truncated downloads); n_members is the ZIP census when the
+    container parses at all."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from granulate_char_ocr_spark.functions.zipdocx import (
             docx_text,
+            odt_text,
             zip_entries,
         )
 
@@ -333,7 +336,8 @@ def docx_texts(
                 data = bytes(p)
                 entries = zip_entries(data)
                 counts.append(len(entries) if entries is not None else None)
-                texts.append(docx_text(data))
+                t = docx_text(data)
+                texts.append(t if t is not None else odt_text(data))
             yield pd.DataFrame(
                 {
                     key_col: pdf[key_col],

@@ -170,3 +170,18 @@ def test_xlsx_tables_operator(spark):
         ("x1", 0, ["name", "7"], 2),
         ("x1", 1, ["other", "8.5"], 2),
     ]
+
+
+def test_docx_texts_operator_handles_odt(spark):
+    import pandas as pd
+
+    from granulate_char_ocr_spark.operators.docparse import docx_texts
+
+    odt = zipdocx.zip_build(
+        {"content.xml": b"<text:p>Open Document</text:p>"}
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["o1"], "payload": [odt]})
+    )
+    row = docx_texts(docs).collect()[0]
+    assert row["extracted"] == "Open Document" and row["n_members"] == 1
