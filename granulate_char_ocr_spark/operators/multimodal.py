@@ -694,6 +694,59 @@ STREAM_INFO_SCHEMA = (
 )
 
 
+def _image_geometry(data: bytes):
+    """Header-only (format, width, height) for the still-image codecs —
+    the router must not pay entropy decode to learn a JPEG's size.
+    PNG IHDR / JPEG SOFn marker walk / GIF screen descriptor / BMP
+    BITMAPINFOHEADER / TIFF tag 256+257 walk; None when not an image."""
+    import struct
+
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+            w, h = struct.unpack_from(">II", data, 16)
+            return "png", w, h
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", data, 6)
+            return "gif", w, h
+        if data[:2] == b"BM" and len(data) >= 26:
+            w, h = struct.unpack_from("<ii", data, 18)
+            return "bmp", w, abs(h)
+        if data[:2] == b"\xff\xd8":  # JPEG: walk markers to SOFn
+            pos = 2
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    return None
+                marker = data[pos + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC
+                ):
+                    h, w = struct.unpack_from(">HH", data, pos + 5)
+                    return "jpeg", w, h
+                (seg,) = struct.unpack_from(">H", data, pos + 2)
+                pos += 2 + seg
+            return None
+        if data[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF: first IFD
+            bo = "<" if data[:2] == b"II" else ">"
+            (ifd,) = struct.unpack_from(bo + "I", data, 4)
+            (n,) = struct.unpack_from(bo + "H", data, ifd)
+            w = h = None
+            for i in range(n):
+                e = ifd + 2 + 12 * i
+                tag, typ = struct.unpack_from(bo + "HH", data, e)
+                if tag in (256, 257):
+                    v = struct.unpack_from(
+                        bo + ("H" if typ == 3 else "I"), data, e + 8
+                    )[0]
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+            return ("tiff", w, h) if w and h else None
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
 def media_stream_info(media: DataFrame) -> DataFrame:
     """(media_ref, payload) -> typed stream metadata for the two codecs
     whose FULL decode is stubbed in-sandbox: MP3 frame-header walk
@@ -720,8 +773,17 @@ def media_stream_info(media: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload)
-                # strongest signatures first: RIFF and ftyp are
-                # unambiguous, the MP3 sync scan is probabilistic
+                # strongest signatures first: image magics, RIFF and
+                # ftyp are unambiguous, the MP3 sync scan is
+                # probabilistic
+                img = _image_geometry(payload)
+                if img is not None:
+                    fmt, iw, ih = img
+                    rows.append((
+                        r.media_ref, fmt, None, None, None, None, None,
+                        iw, ih, None, None,
+                    ))
+                    continue
                 w = wav_info(payload)
                 if w is not None:
                     tag, rate, channels, duration = w

@@ -226,3 +226,35 @@ def test_media_stream_info_routes_wav_and_avi(spark):
     v = got["v.avi"]
     assert v["format"] == "avi" and (v["width"], v["height"]) == (16, 16)
     assert v["n_frames"] == 3 and abs(v["duration_sec"] - 0.3) < 1e-6
+
+
+def test_media_stream_info_routes_images(spark):
+    import pandas as pd
+
+    from granulate_char_ocr_spark.functions.bmp import encode_bmp
+    from granulate_char_ocr_spark.functions.gif import encode_gif
+    from granulate_char_ocr_spark.functions.jpeg import encode_jpeg
+    from granulate_char_ocr_spark.functions.png import encode_png
+    from granulate_char_ocr_spark.functions.tiff import encode_tiff
+    from granulate_char_ocr_spark.operators.multimodal import (
+        media_stream_info,
+    )
+
+    img = (np.arange(24 * 40, dtype=np.uint8) % 251).reshape(24, 40)
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_ref": ["i.png", "i.jpg", "i.gif", "i.bmp", "i.tif"],
+            "payload": [
+                encode_png(img), encode_jpeg(img),
+                encode_gif(img % 16, np.arange(48, dtype=np.uint8)
+                           .reshape(16, 3)),
+                encode_bmp(img), encode_tiff(img),
+            ],
+        })
+    )
+    got = {r["media_ref"]: r for r in media_stream_info(media).collect()}
+    for ref, fmt in [("i.png", "png"), ("i.jpg", "jpeg"),
+                     ("i.gif", "gif"), ("i.bmp", "bmp"), ("i.tif", "tiff")]:
+        row = got[ref]
+        assert row["format"] == fmt, (ref, row["format"])
+        assert (row["width"], row["height"]) == (40, 24), ref
