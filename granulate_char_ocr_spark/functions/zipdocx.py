@@ -27,6 +27,8 @@ import struct
 import zlib
 
 _EOCD_SIG = b"PK\x05\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
+_EOCD64_SIG = b"PK\x06\x06"
 _CEN_SIG = b"PK\x01\x02"
 _LOC_SIG = b"PK\x03\x04"
 _MAX_COMMENT = 1 << 16
@@ -47,6 +49,18 @@ def _central_directory(data: bytes):
     if eocd < 0 or eocd + 22 > len(data):
         return None
     _, n_entries, _cd_size, cd_off = struct.unpack_from("<HHII", data, eocd + 8)
+    # ZIP64 (APPNOTE §4.3.14-15): saturated EOCD fields redirect through
+    # the EOCD64 locator (fixed 20 bytes immediately before the EOCD) to
+    # the EOCD64 record, whose 8-byte counts are authoritative. Archives
+    # >4 GiB or >65 535 members are routine at crawl-bundle scale.
+    if n_entries == 0xFFFF or cd_off == 0xFFFFFFFF or _cd_size == 0xFFFFFFFF:
+        loc = eocd - 20
+        if loc < 0 or data[loc : loc + 4] != _EOCD64_LOC_SIG:
+            return None
+        (rec_off,) = struct.unpack_from("<Q", data, loc + 8)
+        if rec_off + 56 > len(data) or data[rec_off : rec_off + 4] != _EOCD64_SIG:
+            return None
+        n_entries, _cd_size, cd_off = struct.unpack_from("<QQQ", data, rec_off + 32)
     out = []
     pos = cd_off
     for _ in range(n_entries):
@@ -57,9 +71,44 @@ def _central_directory(data: bytes):
         )
         (loc_off,) = struct.unpack_from("<I", data, pos + 42)
         name = data[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        if 0xFFFFFFFF in (usize, csize, loc_off):
+            usize, csize, loc_off = _zip64_extra(
+                data[pos + 46 + nlen : pos + 46 + nlen + elen],
+                usize, csize, loc_off,
+            )
+            if loc_off is None:
+                return None
         out.append((name, method, csize, usize, crc, loc_off))
         pos += 46 + nlen + elen + clen
     return out
+
+
+def _zip64_extra(extra: bytes, usize: int, csize: int, loc_off: int):
+    """Resolve 0xFFFFFFFF-saturated central-directory fields from the
+    ZIP64 extended-information extra field (header id 0x0001). Fields
+    appear in fixed order — usize, csize, loc_off — but ONLY the
+    saturated ones are present (APPNOTE §4.5.3)."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        hid, hlen = struct.unpack_from("<HH", extra, pos)
+        body = extra[pos + 4 : pos + 4 + hlen]
+        if hid == 0x0001:
+            need = 8 * ((usize == 0xFFFFFFFF) + (csize == 0xFFFFFFFF)
+                        + (loc_off == 0xFFFFFFFF))
+            if len(body) < need:
+                return None, None, None
+            off = 0
+            if usize == 0xFFFFFFFF:
+                (usize,) = struct.unpack_from("<Q", body, off)
+                off += 8
+            if csize == 0xFFFFFFFF:
+                (csize,) = struct.unpack_from("<Q", body, off)
+                off += 8
+            if loc_off == 0xFFFFFFFF:
+                (loc_off,) = struct.unpack_from("<Q", body, off)
+            return usize, csize, loc_off
+        pos += 4 + hlen
+    return None, None, None
 
 
 def zip_read(data: bytes, member: str) -> bytes | None:
@@ -97,14 +146,17 @@ def zip_read(data: bytes, member: str) -> bytes | None:
 _DEL_RE = re.compile(rb"<w:delText\b.*?</w:delText>", re.S)
 _T_RE = re.compile(rb"<w:t(?:\s[^>]*)?>(.*?)</w:t>|<w:tab\s*/>|<w:br\s*/>|</w:p>", re.S)
 
-_ENTITIES = {
-    b"&amp;": b"&", b"&lt;": b"<", b"&gt;": b">",
+# the four predefined XML 1.0 §4.6 entities minus &amp;, which decodes
+# LAST (same contract as functions/html.py) so escaped entities such as
+# "&amp;lt;" yield the literal "&lt;" — never a double decode
+_ENTITIES_PRE = {
+    b"&lt;": b"<", b"&gt;": b">",
     b"&quot;": b'"', b"&apos;": b"'",
 }
 
 
 def _decode_entities(raw: bytes) -> str:
-    for k, v in _ENTITIES.items():
+    for k, v in _ENTITIES_PRE.items():
         raw = raw.replace(k, v)
     text = raw.decode("utf-8", "replace")
 
@@ -115,7 +167,10 @@ def _decode_entities(raw: bytes) -> str:
         # instead of raising mid-operator
         return chr(cp) if cp <= 0x10FFFF else m.group(0)
 
-    return re.sub(r"&#(x[0-9a-fA-F]+|\d+);", _chr, text)
+    # numeric references run before &amp; so "&amp;#65;" stays the
+    # literal "&#65;" rather than decoding to "A"
+    text = re.sub(r"&#(x[0-9a-fA-F]+|\d+);", _chr, text)
+    return text.replace("&amp;", "&")
 
 
 def docx_text(data: bytes) -> str | None:
@@ -154,10 +209,14 @@ def zip_build(members: dict[str, bytes], compress: bool = True) -> bytes:
             method = 8
         else:
             raw, method = payload, 0
+        # flag bit 11 (EFS) declares the name UTF-8 — without it other
+        # readers (stdlib zipfile included) decode names as cp437
+        # (caught by the stdlib cross-validation, test_stdlib_interop)
+        flags = 0x0800
         loc = (
             _LOC_SIG
             + struct.pack(
-                "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(raw),
+                "<HHHHHIIIHH", 20, flags, method, 0, 0, crc, len(raw),
                 len(payload), len(nb), 0,
             )
             + nb + raw
@@ -165,7 +224,7 @@ def zip_build(members: dict[str, bytes], compress: bool = True) -> bytes:
         central.append(
             _CEN_SIG
             + struct.pack(
-                "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc,
+                "<HHHHHHIIIHHHHHII", 20, 20, flags, method, 0, 0, crc,
                 len(raw), len(payload), len(nb), 0, 0, 0, 0, 0, offset,
             )
             + nb

@@ -506,6 +506,11 @@ def _audio_samples(r) -> tuple[np.ndarray, float]:
     sample_rate)."""
     from granulate_char_ocr_spark.functions.wav import decode_wav
 
+    if r.payload is None:
+        # NULL payload: zero samples at a valid rate — the featurizer
+        # and VAD emit an empty/zero-duration row instead of raising
+        rate = float(r.sample_rate) if r.sample_rate else 16000.0
+        return np.zeros(0, dtype=np.float64), rate
     codec = r.codec
     if codec == "auto":
         head = bytes(r.payload[:12])
@@ -716,13 +721,27 @@ def _image_geometry(data: bytes):
             while pos + 4 <= len(data):
                 if data[pos] != 0xFF:
                     return None
+                # legal 0xFF fill bytes may precede any marker
+                # (T.81 B.1.1.2) and TEM/RSTn are standalone — same
+                # walk discipline as exif_from_jpeg (ADVICE r4)
+                while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+                    pos += 1
+                if pos + 4 > len(data):
+                    return None
                 marker = data[pos + 1]
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                if marker in (0xDA, 0xD9):  # scan data / EOI: no SOF seen
+                    return None
                 if 0xC0 <= marker <= 0xCF and marker not in (
                     0xC4, 0xC8, 0xCC
                 ):
                     h, w = struct.unpack_from(">HH", data, pos + 5)
                     return "jpeg", w, h
                 (seg,) = struct.unpack_from(">H", data, pos + 2)
+                if seg < 2:
+                    return None
                 pos += 2 + seg
             return None
         if data[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF: first IFD
@@ -772,6 +791,12 @@ def media_stream_info(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                # NULL payloads keep their row with format NULL — the
+                # stated contract; sibling operators guard the same way
+                # (ADVICE r4)
+                if r.payload is None:
+                    rows.append((r.media_ref, None) + (None,) * 9)
+                    continue
                 payload = bytes(r.payload)
                 # strongest signatures first: image magics, RIFF and
                 # ftyp are unambiguous, the MP3 sync scan is

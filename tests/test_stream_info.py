@@ -258,3 +258,64 @@ def test_media_stream_info_routes_images(spark):
         row = got[ref]
         assert row["format"] == fmt, (ref, row["format"])
         assert (row["width"], row["height"]) == (40, 24), ref
+
+
+def test_media_stream_info_null_payload_keeps_row(spark):
+    # ADVICE r4: a NULL payload must keep its row with format NULL (the
+    # decode_error-surfacing convention), not fail the task
+    import pandas as pd
+
+    from granulate_char_ocr_spark.operators.multimodal import (
+        media_stream_info,
+    )
+
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_ref": ["gone.bin", "ok.mp3"],
+            "payload": [None, mp3.build_frame() * 3],
+        })
+    )
+    got = {r["media_ref"]: r for r in media_stream_info(media).collect()}
+    assert got["gone.bin"]["format"] is None
+    assert got["gone.bin"]["width"] is None
+    assert got["ok.mp3"]["format"] == "mp3v1L3"
+
+
+def test_image_geometry_jpeg_fill_bytes_and_standalone_markers():
+    # ADVICE r4: legal 0xFF fill bytes / standalone TEM-RST markers
+    # between segments must not eject a JPEG from the image route
+    import struct
+
+    from granulate_char_ocr_spark.operators.multimodal import (
+        _image_geometry,
+    )
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"xx"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", 24, 40
+    ) + b"\x01\x01\x11\x00"
+    # fill bytes before a marker, plus a standalone TEM (0xFF01)
+    jpeg = b"\xff\xd8" + app0 + b"\xff\xff\xff" + b"\xff\x01" + sof0
+    assert _image_geometry(jpeg) == ("jpeg", 40, 24)
+    # EOI before any SOF: not a decodable image geometry
+    assert _image_geometry(b"\xff\xd8\xff\xd9") is None
+
+
+def test_audio_features_null_payload_zero_duration(spark):
+    import pandas as pd
+
+    from granulate_char_ocr_spark.operators.multimodal import (
+        audio_features, audio_segments,
+    )
+
+    audio = spark.createDataFrame(
+        pd.DataFrame({
+            "media_ref": ["null.wav"],
+            "codec": ["auto"],
+            "sample_rate": [16000],
+            "payload": [None],
+        })
+    )
+    rows = audio_features(audio).collect()
+    assert len(rows) == 1 and rows[0]["duration_sec"] == 0.0
+    assert audio_segments(audio).collect() == []

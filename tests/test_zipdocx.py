@@ -63,6 +63,16 @@ def test_docx_rejects_non_docx():
     assert zipdocx.docx_text(zipdocx.zip_build({"other.xml": b"<x/>"})) is None
 
 
+def test_escaped_entities_decode_once_amp_last():
+    # &amp; decodes LAST (functions/html.py contract): an escaped entity
+    # yields its literal text, never its referent (ADVICE r4)
+    blob = zipdocx.docx_build(["x &lt; y", "a &#65; b", "q &amp; r"])
+    assert zipdocx.docx_text(blob) == "x &lt; y\na &#65; b\nq &amp; r"
+    xml = b"<w:p><w:r><w:t>&amp;lt;|&amp;#65;|&amp;amp;|&#65;</w:t></w:r></w:p>"
+    blob = zipdocx.zip_build({"word/document.xml": xml})
+    assert zipdocx.docx_text(blob) == "&lt;|&#65;|&amp;|A"
+
+
 def test_out_of_range_numeric_entity_passes_through():
     xml = b"<w:p><w:r><w:t>a&#x110000;b&#9999999999;c</w:t></w:r></w:p>"
     blob = zipdocx.zip_build({"word/document.xml": xml})
