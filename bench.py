@@ -17,12 +17,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Gate-demoted queries stay benched (resolved via getattr fallback) so the
+# per-round board keeps comparable deltas across rotations. Order note
+# (VERDICT r4 item 1/3): the heavy COMPOSITION queries (clean_corpus_manifest,
+# web_corpus_manifest) run EARLY in their group rather than at the tail of the
+# pass — r4's board recorded 9.15 s for a 0.74 s-solo query purely from
+# end-of-session drift — and _GC_BREATHER queries get a JVM GC + pause first.
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
+    "sessionize_events",
+    "rank_orders_per_customer",
+    "rollup_order_priority",
+    "anti_join_inactive_customers",
+    "confusion_matrix_docs",
     "asof_last_purchase_events",
     "tfidf_top_terms_docs",
     "decontaminate_docs",
+    "clean_corpus_manifest",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -34,6 +46,7 @@ BENCH_QUERIES = [
     "ocr_extract_compressed",
     "ocr_extract_noisy",
     "ocr_extract_multirow",
+    "media_stream_info_store",
     "lang_id_docs",
     "bpe_token_count_docs",
     "mm_audio_features",
@@ -44,19 +57,28 @@ BENCH_QUERIES = [
     "dsir_select_docs",
     "pdf_extract_docs",
     "warc_extract_docs",
+    "web_corpus_manifest",
     "markdown_convert_docs",
     "page_metadata_docs",
     "html_table_rows_docs",
     "url_filter_docs",
     "crawl_diff_docs",
+    "crawl_schedule_docs",
     "robots_filter_docs",
-    "web_corpus_manifest",
     "link_graph_hosts",
     "pagerank_hosts",
     "vocab_kmv_docs",
     "winnow_fingerprints_docs",
-    "clean_corpus_manifest",
 ]
+
+# JVM full-GC + breather before the heavy composition/decode queries: their
+# recorded time must reflect the plan, not the heap state the previous 20
+# queries left behind (VERDICT r4 "what's wrong" #1).
+_GC_BREATHER = {
+    "clean_corpus_manifest",
+    "web_corpus_manifest",
+    "ocr_extract_compressed",
+}
 
 # OCR corpus size for the headline throughput number at each sf tier
 OCR_DOCS = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 8000}
@@ -154,8 +176,15 @@ def main() -> None:
     n_chars, n_media_spans = int(agg["chars"]), int(agg["media_spans"])
 
     # --- operator surface (best of 2) ----------------------------------------
+    import gc
+
     for name in BENCH_QUERIES:
-        fn = driver_queries.QUERIES[name]
+        # gate-demoted queries resolve to their module-level function
+        fn = driver_queries.QUERIES.get(name, getattr(driver_queries, name))
+        if name in _GC_BREATHER:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
         times[name] = round(_timed(lambda: _count(fn(spark, sf_dir))), 3)
 
     # total over the MEASURED surface only: '_'-prefixed keys are one-time

@@ -169,11 +169,11 @@ def agg_colsum_events(spark, sf_dir):
     )
 
 
-# (sessionize_events left the 50-entry gate window in r4 for
-# web_corpus_manifest: the W1 gaps-and-islands shape stays gate-visible
-# via pack_sequences_docs' running-sum sharding and asof's ordered
-# windows, and the exact parity stays pinned by
-# tests/test_crawl.py::test_sessionize_events against the oracle below.)
+# (sessionize_events rotated BACK into the gate window in r5 — the W1
+# family's freshest ⊕ row was two rounds old, the rotation-policy
+# trigger written into PARITY.md; it had left in r4 for
+# web_corpus_manifest. The parity twin
+# tests/test_crawl.py::test_sessionize_events stays.)
 SESSIONIZE_ORACLE = """
     WITH d AS (
       SELECT user_id, epoch_ms(ts) AS ms,
@@ -186,6 +186,7 @@ SESSIONIZE_ORACLE = """
     """
 
 
+@q("sessionize_events", SESSIONIZE_ORACLE)
 def sessionize_events(spark, sf_dir):
     """Gaps-and-islands sessionization — the reference's run-length
     segmentation scan re-expressed relationally (SURVEY §2.5 W1/W4)."""
@@ -263,18 +264,16 @@ def cascade_case_lineitem(spark, sf_dir):
     )
 
 
-# (confusion_matrix_docs left the 50-entry gate window in r4 for
-# robots_filter_docs: the A8 pairwise grouped count stays gate-visible
-# via ocr_eval_metrics (lineage.evaluate's char-level expected↔got
-# compare) and url_filter_docs'/quality_filter_docs' grouped outputs,
-# and the exact parity stays pinned by
-# tests/test_crawl.py::test_confusion_matrix_docs against the oracle
-# below.)
+# (confusion_matrix_docs rotated BACK into the gate window in r5 per
+# the PARITY.md policy — the A8 family's freshest ⊕ row was two rounds
+# old; it had left in r4 for robots_filter_docs. The parity twin
+# tests/test_crawl.py::test_confusion_matrix_docs stays.)
 CONFUSION_MATRIX_ORACLE = (
     "SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source"
 )
 
 
+@q("confusion_matrix_docs", CONFUSION_MATRIX_ORACLE)
 def confusion_matrix_docs(spark, sf_dir):
     """Pairwise grouped count — the expected→recognized confusion matrix
     shape (SURVEY §2.4 A8)."""
@@ -283,23 +282,30 @@ def confusion_matrix_docs(spark, sf_dir):
     )
 
 
-# (anti_join_inactive_customers left the 50-entry gate window in r4 for
-# crawl_diff_docs: E1 difference semantics stay gate-visible via
-# crawl_diff_docs' 'removed'/'added' legs (full-outer null sides) and
-# decontaminate_docs' hit-exclusion, and the exact left-anti parity
-# stays pinned by tests/test_crawl.py::test_anti_join_inactive_customers
-# against the oracle below. It was also the weakest gate row: 0 rows at
-# the sf0.01 compare tier — every customer has orders there.)
+# (anti_join_inactive_customers rotated BACK into the gate window in r5
+# per the PARITY.md policy (it had left in r4 for crawl_diff_docs), and
+# was strengthened while doing so: the r1-r3 variant was the board's
+# weakest row — 0 rows at the sf0.01 compare tier, every customer has
+# orders there — so the anti-difference now runs against the HIGH-VALUE
+# order slice (o_totalprice > 400 000): 202 customers lack one at
+# sf0.01, making the E1 row value-bearing. Same left-anti plan shape,
+# pre-filtered build side.)
 ANTI_JOIN_ORACLE = """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000.0)
     """
 
 
+@q("anti_join_inactive_customers", ANTI_JOIN_ORACLE)
 def anti_join_inactive_customers(spark, sf_dir):
-    """Left-anti join (SURVEY §2.7 E1 missing-chars difference)."""
+    """Left-anti join (SURVEY §2.7 E1 missing-chars difference):
+    customers with no high-value order."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000.0
+    )
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -325,11 +331,10 @@ def semi_join_active_customers(spark, sf_dir):
     ).select("c_custkey", "c_acctbal")
 
 
-# (rank_orders_per_customer left the 50-entry gate window in r4 for the
-# curation family: W5 per-group top-k stays gate-visible via
-# q3_top_revenue_orders / ann_cosine_topk / tfidf_top_terms_docs, and the
-# exact window parity stays pinned by tests/test_plans.py against the
-# oracle below.)
+# (rank_orders_per_customer rotated BACK into the gate window in r5 per
+# the PARITY.md policy — the W5 family's freshest ⊕ row was two rounds
+# old; it had left in r4 for the curation family. The parity twin in
+# tests/test_plans.py stays.)
 RANK_ORDERS_ORACLE = """
     SELECT custkey, orderkey, totalprice, rnk FROM (
       SELECT o_custkey AS custkey, o_orderkey AS orderkey,
@@ -340,6 +345,7 @@ RANK_ORDERS_ORACLE = """
     """
 
 
+@q("rank_orders_per_customer", RANK_ORDERS_ORACLE)
 def rank_orders_per_customer(spark, sf_dir):
     """Per-group top-k ranking window (SURVEY §2.5 W5)."""
     o = _t(spark, sf_dir, "orders")
@@ -659,11 +665,10 @@ def events_per_day(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
-# (rollup_order_priority left the 50-entry gate window in r4 for the
-# quality-LM family: it was an engine-beyond-reference extra (the reference
-# has no grouping sets), multi-level aggregation stays gate-visible via
-# q1/corpus_stats, and the ROLLUP parity stays pinned by
-# tests/test_plans.py against the oracle below.)
+# (rollup_order_priority rotated BACK into the gate window in r5 per
+# the PARITY.md policy — its freshest ⊕ row was two rounds old; it had
+# left in r4 for the quality-LM family. The parity twin in
+# tests/test_plans.py stays.)
 ROLLUP_PRIORITY_ORACLE = """
     SELECT coalesce(o_orderpriority, 'ALL') AS priority,
            coalesce(o_orderstatus, 'ALL') AS status,
@@ -672,6 +677,7 @@ ROLLUP_PRIORITY_ORACLE = """
     """
 
 
+@q("rollup_order_priority", ROLLUP_PRIORITY_ORACLE)
 def rollup_order_priority(spark, sf_dir):
     """Hierarchical rollup aggregate (free Catalyst win noted in SURVEY §2.4;
     the reference has no grouping sets — this is the engine going beyond)."""
@@ -1082,9 +1088,14 @@ def _cosine_sql_expr(a: str, b: str) -> str:
     return f"round({dot} / ({na} * {nb}), 5)"
 
 
-@q(
-    "ann_cosine_topk",
-    f"""
+# (ann_cosine_topk left the 50-entry gate window in r5 — the r5
+# rotation's near-duplicate-shape retirement (VERDICT r4 item 2): the
+# brute-force and IVF variants share the rank/sim output shape, and
+# ann_ivf_multiprobe_topk keeps the family's gate row (it additionally
+# pins the cell-join recall path). Exact parity stays pinned by
+# tests/test_ann_recall.py::test_ann_cosine_topk_parity against the
+# oracle below.)
+ANN_COSINE_ORACLE = f"""
     WITH pairs AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
              {_cosine_sql_expr('q.embedding', 'e.embedding')} AS sim
@@ -1094,8 +1105,9 @@ def _cosine_sql_expr(a: str, b: str) -> str:
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY sim DESC, neighbor_id) AS rank
       FROM pairs) t WHERE rank <= 5
-    """,
-)
+    """
+
+
 def ann_cosine_topk(spark, sf_dir):
     """Exact brute-force top-k, gemm formulation: one BLAS matmul per Arrow
     batch against the broadcast query matrix (r1's per-pair interpreted HOF
@@ -1472,13 +1484,18 @@ def warc_extract_docs(spark, sf_dir):
     return html_main_texts(html_rows)
 
 
-@q(
-    "markdown_convert_docs",
-    # blocks are list_filter'd then joined with one blank line — an
-    # empty/whitespace-only body paragraph vanishes on BOTH sides (the
-    # converter's \n{3,} collapse merges the hole; a plain concat oracle
-    # would keep four newlines and falsely mismatch)
-    r"""
+# (markdown_convert_docs left the 50-entry gate window in r5 — the
+# near-duplicate-shape retirement within the five-entry HTML family
+# (VERDICT r4 item 2): the codegen regex-cascade shape stays
+# gate-visible via html_main_content_docs and html_table_rows_docs.
+# Exact parity stays pinned by
+# tests/test_markdown.py::test_markdown_convert_docs_parity against the
+# oracle below.
+# Oracle note: blocks are list_filter'd then joined with one blank
+# line — an empty/whitespace-only body paragraph vanishes on BOTH sides
+# (the converter's \n{3,} collapse merges the hole; a plain concat
+# oracle would keep four newlines and falsely mismatch).)
+MARKDOWN_CONVERT_ORACLE = r"""
     SELECT doc_id,
            array_to_string(list_filter([
              '# Doc ' || CAST(doc_id AS VARCHAR),
@@ -1491,8 +1508,9 @@ def warc_extract_docs(spark, sf_dir):
                || ') & `raw`.'
            ], s -> s <> ''), chr(10) || chr(10)) AS markdown
     FROM documents
-    """,
-)
+    """
+
+
 def markdown_convert_docs(spark, sf_dir):
     """HTML → Markdown render (r4): each document becomes a structured
     page (heading, body paragraph, metadata list with bold/italic
@@ -1628,9 +1646,16 @@ def url_filter_docs(spark, sf_dir):
     )
 
 
-@q(
-    "crawl_diff_docs",
-    """
+# (crawl_diff_docs left the 50-entry gate window in r5 — the
+# near-duplicate-shape retirement within the temporal-window family
+# (VERDICT r4 item 2): lag/full-outer change detection stays
+# gate-visible via asof_last_purchase_events, and the diff's
+# status-classification output is consumed — and therefore
+# value-checked — by the NEW crawl_schedule_docs gate entry's priority
+# weights. Exact parity stays pinned by
+# tests/test_crawl.py::test_crawl_diff_docs_parity against the oracle
+# below.)
+CRAWL_DIFF_ORACLE = """
     WITH old AS (
       SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, text AS content
       FROM documents WHERE doc_id % 10 <> 0),
@@ -1646,8 +1671,9 @@ def url_filter_docs(spark, sf_dir):
                 ELSE 'changed' END AS status,
            length(o.content) AS old_len, length(n.content) AS new_len
     FROM old o FULL OUTER JOIN new n ON o.url = n.url
-    """,
-)
+    """
+
+
 def crawl_diff_docs(spark, sf_dir):
     """Incremental-crawl snapshot diff (r4): two synthetic snapshots of
     the corpus (pages added, removed, edited) classified by ONE
@@ -1671,6 +1697,79 @@ def crawl_diff_docs(spark, sf_dir):
         .alias("content"),
     )
     return snapshot_diff(old, new)
+
+
+@q(
+    "crawl_schedule_docs",
+    """
+    WITH f AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+             'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+             doc_id % 40 AS k, doc_id
+      FROM documents),
+    ranks AS (
+      SELECT 'h' || CAST(k AS VARCHAR) AS host,
+             CAST(k + 1 AS DOUBLE) / 128 AS rank
+      FROM (SELECT DISTINCT k FROM f WHERE k < 30)),
+    d AS (
+      SELECT url,
+             CASE WHEN doc_id % 7 = 0 THEN 'removed'
+                  WHEN doc_id % 3 = 0 THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM f WHERE doc_id % 10 <> 0),
+    scored AS (
+      SELECT f.url, f.host,
+             coalesce(r.rank, CAST(1e-6 AS DOUBLE)) *
+             (CASE WHEN d.status = 'removed' THEN CAST(0.0 AS DOUBLE)
+                   WHEN d.status = 'changed' THEN CAST(0.8 AS DOUBLE)
+                   WHEN d.status = 'unchanged' THEN CAST(0.05 AS DOUBLE)
+                   ELSE CAST(1.0 AS DOUBLE) END) AS priority
+      FROM f LEFT JOIN ranks r USING (host) LEFT JOIN d USING (url))
+    SELECT url, host, round(priority, 6) AS priority FROM (
+      SELECT *, row_number() OVER (PARTITION BY host
+                 ORDER BY priority DESC, url) AS rn
+      FROM scored WHERE priority > 0) t
+    WHERE rn <= 5
+    """,
+)
+def crawl_schedule_docs(spark, sf_dir):
+    """Crawl-maintenance composition (VERDICT r4 item 9 — the first
+    end-to-end DuckDB check of authority × change × budget): a frontier
+    synthesized from the documents table joins broadcast host authority
+    (hosts ≥ 30 are rank-less — the newly-discovered default_rank leg),
+    joins the snapshot-diff statuses ('removed' pages leave the
+    schedule, doc_id%10 rows are never-seen → full weight), and is
+    capped at 5 URLs/host by the politeness window
+    (operators/crawl.crawl_schedule). Two exchanges over the frontier
+    regardless of corpus size: one url-key diff join, one host-key
+    window; the rank join broadcasts."""
+    from granulate_char_ocr_spark.operators.crawl import crawl_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    k = F.pmod("doc_id", F.lit(40))
+    host = F.concat(F.lit("h"), k.cast("string"))
+    frontier = docs.select(url.alias("url"), host.alias("host"))
+    ranks = (
+        docs.select(k.alias("k"))
+        .distinct()
+        .filter(F.col("k") < 30)
+        .select(
+            F.concat(F.lit("h"), F.col("k").cast("string")).alias("host"),
+            ((F.col("k") + 1).cast("double") / F.lit(128.0)).alias("rank"),
+        )
+    )
+    diff = docs.filter(F.pmod("doc_id", F.lit(10)) != 0).select(
+        url.alias("url"),
+        F.when(F.pmod("doc_id", F.lit(7)) == 0, "removed")
+        .when(F.pmod("doc_id", F.lit(3)) == 0, "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    sched = crawl_schedule(frontier, ranks, diff, per_host_budget=5)
+    return sched.select(
+        "url", "host", F.round("priority", 6).alias("priority")
+    )
 
 
 # robots.txt corpus for robots_filter_docs: one file per named host,
@@ -2280,9 +2379,13 @@ def quality_score_docs(spark, sf_dir):
     return textstats.quality_score(_t(spark, sf_dir, "documents"))
 
 
-@q(
-    "repetition_signals_docs",
-    """
+# (repetition_signals_docs left the 50-entry gate window in r5 — the
+# near-duplicate-shape retirement within the per-doc text-stats family
+# (VERDICT r4 item 2): the HOF n-gram/aggregate shape stays gate-visible
+# via charlm_perplexity_docs and quality_filter_docs. Exact parity stays
+# pinned by tests/test_textstats_repetition.py::
+# test_repetition_signals_docs_parity against the oracle below.)
+REPETITION_SIGNALS_ORACLE = """
     WITH base AS (
       SELECT doc_id, greatest(length(text), 1) AS n_chars,
              len(string_split(text, ' ')) AS n_tokens,
@@ -2322,8 +2425,9 @@ def quality_score_docs(spark, sf_dir):
     LEFT JOIN (SELECT doc_id, cov FROM tops WHERE n = 3 AND rn = 1) t3
       USING (doc_id)
     LEFT JOIN dup5 d USING (doc_id)
-    """,
-)
+    """
+
+
 def repetition_signals_docs(spark, sf_dir):
     """Gopher repetition filters (top-n-gram / duplicate-n-gram char
     fractions — the curation rules every LLM corpus pipeline applies
@@ -2505,15 +2609,20 @@ _MOJIBAKE_SUFFIX_SQL = """CASE doc_id % 4
         ELSE '' END"""
 
 
-@q(
-    "fix_mojibake_docs",
-    f"""
+# (fix_mojibake_docs left the 50-entry gate window in r5 — the
+# near-duplicate-shape retirement within the per-row-projection family
+# (VERDICT r4 item 2): the zero-exchange codegen-repair shape stays
+# gate-visible via pii_redact_docs. Exact parity stays pinned by
+# tests/test_mojibake.py::test_fix_mojibake_docs_parity against the
+# oracle below.)
+FIX_MOJIBAKE_ORACLE = f"""
     SELECT doc_id,
            text || {_MOJIBAKE_SUFFIX_SQL} AS repaired,
            (doc_id % 3 = 0 AND doc_id % 4 <> 3) AS was_repaired
     FROM documents
-    """,
-)
+    """
+
+
 def fix_mojibake_docs(spark, sf_dir):
     """Mojibake repair (r4): UTF-8-read-as-cp1252 corruption is applied
     to every third document (functions/mojibake.mojibake_expr) and the
@@ -2580,9 +2689,14 @@ def decontaminate_docs(spark, sf_dir):
     )
 
 
-@q(
-    "pack_sequences_docs",
-    """
+# (pack_sequences_docs left the 50-entry gate window in r5 for the
+# rotated-back relational cohort: the shard-partitioned running-sum
+# window shape stays gate-visible via sessionize_events' lag window and
+# rank_orders_per_customer's row_number (both ⊕ again this round).
+# Exact parity stays pinned by
+# tests/test_curation.py::test_pack_sequences_docs_parity against the
+# oracle below.)
+PACK_SEQUENCES_ORACLE = """
     WITH sized AS (
       SELECT doc_id, doc_id % 16 AS shard,
              len(string_split(text, ' ')) AS n_tokens
@@ -2598,8 +2712,9 @@ def decontaminate_docs(spark, sf_dir):
            CAST(floor(cum_before / 256.0) AS BIGINT) AS pack_id,
            CAST(cum_before % 256 AS BIGINT) AS pack_offset
     FROM packed
-    """,
-)
+    """
+
+
 def pack_sequences_docs(spark, sf_dir):
     """GPT-style training-sequence packing: concat docs in doc_id order
     per shard, slice into 256-token sequences, report each doc's pack
@@ -2831,7 +2946,15 @@ def _winnow_sql(k: int = 5, w: int = 4) -> str:
     """
 
 
-@q("winnow_fingerprints_docs", _winnow_sql())
+# (winnow_fingerprints_docs left the 50-entry gate window in r5 — it
+# was the board's largest compare (44 075 rows at sf0.01) and its
+# explode-then-window shape stays gate-visible via tfidf_top_terms_docs
+# and vocab_kmv_docs. Exact parity stays pinned by
+# tests/test_textstats_repetition.py::test_winnow_fingerprints_parity
+# against the oracle below.)
+WINNOW_ORACLE = _winnow_sql()
+
+
 def winnow_fingerprints_docs(spark, sf_dir):
     """Winnowed k-gram rolling-hash fingerprints (MOSS primitive)."""
     return textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
@@ -3020,6 +3143,26 @@ _GOLDEN_AUDIO = _os.path.join(
 )
 
 
+def _stream_fingerprint() -> str:
+    """Content key of the stream-info golden: the mixed-store generator
+    alone — the golden is generator ground truth (construction
+    parameters via published container math), NOT a parser twin, so a
+    probe change that breaks agreement must FAIL the gate rather than
+    regenerate the golden."""
+    import hashlib as _hashlib
+
+    base = _os.path.dirname(_os.path.abspath(__file__))
+    h = _hashlib.md5()
+    with open(_os.path.join(base, "sources", "synthetic.py"), "rb") as f:
+        h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+_GOLDEN_STREAM = _os.path.join(
+    _GOLDEN_DIR, f"stream_truth_{_stream_fingerprint()}.parquet"
+)
+
+
 def _ensure_goldens() -> None:
     """Materialize the golden parquets the oracle SQL reads (idempotent;
     filenames carry the generator fingerprint, so a stale golden from an
@@ -3030,6 +3173,7 @@ def _ensure_goldens() -> None:
         _GOLDEN_FP,
         _os.path.basename(_GOLDEN_BPE),
         _os.path.basename(_GOLDEN_AUDIO),
+        _os.path.basename(_GOLDEN_STREAM),
     )
     for old in _glob.glob(_os.path.join(_GOLDEN_DIR, "*.parquet")):
         if not any(fp in _os.path.basename(old) for fp in live_fps):
@@ -3179,6 +3323,50 @@ def _ensure_audio_golden() -> None:
 
 
 _ensure_audio_golden()
+
+
+def _ensure_stream_golden() -> None:
+    """Generator ground truth of the mixed-stream store: the expected
+    metadata columns are the CONSTRUCTION parameters (spec math — frame
+    counts × samples-per-frame / rate, mvhd ticks / timescale, avih
+    microseconds-per-frame, SPS macroblock geometry), written once per
+    generator fingerprint. Independent of the probe parsers the gate
+    query runs."""
+    if _os.path.exists(_GOLDEN_STREAM):
+        return
+    import pyarrow as _pa
+
+    from granulate_char_ocr_spark.sources.synthetic import (
+        stream_media_pandas,
+        write_parquet_atomic,
+    )
+
+    truth = stream_media_pandas().drop(columns=["payload"])
+    write_parquet_atomic(
+        _pa.Table.from_pandas(
+            truth,
+            schema=_pa.schema(
+                [
+                    ("media_ref", _pa.string()),
+                    ("format", _pa.string()),
+                    ("duration_sec", _pa.float64()),
+                    ("sample_rate", _pa.int32()),
+                    ("channels", _pa.int32()),
+                    ("bitrate_kbps", _pa.float64()),
+                    ("vbr", _pa.bool_()),
+                    ("width", _pa.int32()),
+                    ("height", _pa.int32()),
+                    ("profile_level", _pa.string()),
+                    ("n_frames", _pa.int32()),
+                ]
+            ),
+            preserve_index=False,
+        ),
+        _GOLDEN_STREAM,
+    )
+
+
+_ensure_stream_golden()
 
 ORACLES["bpe_token_count_docs"] = rf"""
     SELECT d.doc_id,
@@ -3338,6 +3526,46 @@ def mm_audio_features(spark, sf_dir):
         F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias(
             "mel_sum"
         ),
+    )
+
+
+@q(
+    "media_stream_info_store",
+    f"""
+    SELECT media_ref, format, duration_sec, sample_rate, channels,
+           bitrate_kbps,
+           coalesce(CAST(vbr AS INTEGER), -1) AS vbr_flag,
+           width, height, profile_level, n_frames
+    FROM '{_GOLDEN_STREAM}'
+    """,
+)
+def media_stream_info_store(spark, sf_dir):
+    """Stream-probe routing pass (VERDICT r4 item 6 — the probes' first
+    gate row): MP3 frame-header walk, H.264 SPS parse, MP4 box walk,
+    WAV/AVI RIFF probes and the still-image geometry router over the
+    mixed synthetic store, INCLUDING unrecognized-noise and NULL-payload
+    rows (which must keep their row with format NULL). Oracle: the
+    store generator's own construction parameters (golden parquet) —
+    ground truth the parsers never see. One Arrow-batched mapInPandas
+    stage, zero shuffles; at 100 TB this runs over the distinct media
+    store so cost is per unique blob."""
+    from granulate_char_ocr_spark.operators import multimodal
+    from granulate_char_ocr_spark.sources.synthetic import (
+        stream_media_pandas,
+    )
+
+    pdf = stream_media_pandas()[["media_ref", "payload"]]
+    media = spark.createDataFrame(
+        pdf, schema="media_ref string, payload binary"
+    )
+    info = multimodal.media_stream_info(media)
+    # nullable booleans hash differently across the pandas bridge
+    # (None vs NaN) — project the tri-state as an int on both sides
+    return info.select(
+        "media_ref", "format", "duration_sec", "sample_rate", "channels",
+        "bitrate_kbps",
+        F.coalesce(F.col("vbr").cast("int"), F.lit(-1)).alias("vbr_flag"),
+        "width", "height", "profile_level", "n_frames",
     )
 
 

@@ -235,3 +235,35 @@ class _BitWriter:
                 b = (b << 1) | bits[i + j]
             out.append(b)
         return bytes(out)
+
+
+def build_sps(
+    profile: int = 66,
+    level: int = 30,
+    w_mbs: int = 20,
+    h_units: int = 15,
+    crop: tuple[int, int, int, int] | None = None,
+) -> bytes:
+    """Spec-built SPS NAL (ITU-T H.264 §7.3.2.1) — the fixture-builder
+    twin of parse_sps: progressive (frame_mbs_only=1), geometry
+    ``w_mbs×16`` by ``h_units×16`` minus optional crop. Used by the
+    synthetic mixed-media store whose gate golden carries these same
+    generation parameters as ground truth."""
+    w = _BitWriter()
+    w.u(profile, 8).u(0, 8).u(level, 8).ue(0)
+    if profile in _HIGH_PROFILES:
+        w.ue(1)  # chroma 4:2:0
+        w.ue(0).ue(0).u(0, 1).u(0, 1)
+    w.ue(4)  # log2_max_frame_num_minus4
+    w.ue(0).ue(4)  # poc_type=0, log2_max_poc_lsb
+    w.ue(1).u(0, 1)  # max_num_ref_frames, gaps flag
+    w.ue(w_mbs - 1).ue(h_units - 1)
+    w.u(1, 1)  # frame_mbs_only_flag (progressive)
+    w.u(1, 1)  # direct_8x8
+    if crop:
+        w.u(1, 1)
+        for v in crop:
+            w.ue(v)
+    else:
+        w.u(0, 1)
+    return bytes([0x67]) + w.tobytes()

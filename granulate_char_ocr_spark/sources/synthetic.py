@@ -796,3 +796,218 @@ def audio_store_spark(spark):
         )
 
     return _memoized_persist(spark, ("audio", N_AUDIO_CLIPS), build)
+
+
+# --- mixed-stream media store (media_stream_info gate fixture) ---------------
+#
+# Every clip carries GENERATOR ground truth: the expected metadata row is
+# computed from the generation parameters via the published container math
+# (frame-length formulas, mvhd ticks/timescale, avih microseconds-per-frame,
+# SPS macroblock geometry) — independent of the byte-walking probe parsers
+# the media_stream_info operator runs, so the gate compares parser output
+# against what the store was BUILT to contain.
+
+N_STREAM_CLIPS = 48
+
+_MP3_KBPS = {9: 128, 10: 160, 11: 192, 12: 224}
+_MP3_SR = {0: 44100, 1: 48000, 2: 32000}
+
+
+def _mp3_expected(frame_kbps: list[int], sr: int, spf: int,
+                  version: str, channels: int, vbr: bool) -> dict:
+    """Spec math (ISO 11172-3): duration from samples/rate, mean bitrate
+    duration-weighted over the nominal per-frame rates."""
+    n = len(frame_kbps)
+    total_samples = n * spf
+    dur = total_samples / sr
+    total_bits = sum(k * 1000 * spf for k in frame_kbps)
+    mean_kbps = (total_bits / sr) / dur / 1000
+    return {
+        "format": f"mp3v{version}L3",
+        "duration_sec": round(dur, 6),
+        "sample_rate": sr,
+        "channels": channels,
+        "bitrate_kbps": round(mean_kbps, 3),
+        "vbr": vbr,
+        "n_frames": n,
+    }
+
+
+def _stream_mp4(ticks: int, w: int, h: int, rate: int, ch: int,
+                with_sps: bool) -> tuple[bytes, dict]:
+    """Minimal ISO-BMFF movie (ftyp + moov with one video and one audio
+    trak) via the spec box builder; expected metadata = the construction
+    parameters."""
+    import struct as _struct
+
+    from granulate_char_ocr_spark.functions import h264 as _h264
+    from granulate_char_ocr_spark.functions.mp4 import box
+
+    mvhd = box(b"mvhd", b"\x00" * 12 + _struct.pack(">II", 1000, ticks)
+               + b"\x00" * 76)
+    tkhd = box(b"tkhd", b"\x00" * 76 + _struct.pack(">II", w << 16, h << 16))
+    entry = bytearray(78)
+    _struct.pack_into(">HH", entry, 24, w, h)
+    profile_level = None
+    if with_sps:
+        # SPS geometry matches the container geometry (w, h multiples
+        # of 16) so the avcC override is exercised without divergence
+        sps = _h264.build_sps(profile=100, level=41,
+                              w_mbs=w // 16, h_units=h // 16)
+        avcc = bytes([1, 100, 0, 41, 0xFF, 0xE1]) + _struct.pack(
+            ">H", len(sps)) + sps
+        avc1 = box(b"avc1", bytes(entry) + box(b"avcC", avcc))
+        profile_level = "100@4.1"
+    else:
+        avc1 = box(b"avc1", bytes(entry))
+    mp4a = bytearray(28)
+    _struct.pack_into(">H", mp4a, 16, ch)
+    _struct.pack_into(">I", mp4a, 24, rate << 16)
+
+    def trak(handler: bytes, ent: bytes, tk: bytes = b"") -> bytes:
+        stbl = box(b"stbl", box(b"stsd", b"\x00" * 4
+                                + _struct.pack(">I", 1) + ent))
+        hdlr = box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12)
+        return box(b"trak", tk + box(b"mdia", hdlr + box(b"minf", stbl)))
+
+    moov = box(b"moov", mvhd + trak(b"vide", avc1, tkhd)
+               + trak(b"soun", box(b"mp4a", bytes(mp4a))))
+    payload = box(b"ftyp", b"isom" + b"\x00" * 8) + moov
+    expected = {
+        "format": "mp4/isom",
+        "duration_sec": ticks / 1000,
+        "sample_rate": rate,
+        "channels": ch,
+        "width": w,
+        "height": h,
+        "profile_level": profile_level,
+    }
+    return payload, expected
+
+
+def render_stream_clip(i: int) -> tuple[bytes | None, dict]:
+    """(payload, expected-metadata dict) for mixed-store index ``i`` —
+    pure function of i. Variant cycle: MP3 CBR / MP3 VBR+MPEG-2 / WAV /
+    AVI / MP4 / H.264 Annex-B / still image / garbage-or-NULL."""
+    from granulate_char_ocr_spark.functions import h264 as _h264
+    from granulate_char_ocr_spark.functions import mp3 as _mp3
+    from granulate_char_ocr_spark.functions.avi import encode_avi_mjpeg
+    from granulate_char_ocr_spark.functions.bmp import encode_bmp
+    from granulate_char_ocr_spark.functions.gif import encode_gif
+    from granulate_char_ocr_spark.functions.jpeg import encode_jpeg
+    from granulate_char_ocr_spark.functions.png import encode_png
+    from granulate_char_ocr_spark.functions.tiff import encode_tiff
+    from granulate_char_ocr_spark.functions.wav import encode_wav
+
+    none_row = {
+        "format": None, "duration_sec": None, "sample_rate": None,
+        "channels": None, "bitrate_kbps": None, "vbr": None,
+        "width": None, "height": None, "profile_level": None,
+        "n_frames": None,
+    }
+    v = i % 8
+    if v == 0:  # MP3, constant bitrate, MPEG-1 Layer III
+        bi = 9 + (i // 8) % 4
+        si = (i // 8) % 3
+        ch = 2 if i % 16 < 8 else 1
+        n = 3 + (i // 8) % 5
+        frame = _mp3.build_frame(version_id=3, layer=3, bitrate_idx=bi,
+                                 sr_idx=si, channels=ch)
+        exp = _mp3_expected([_MP3_KBPS[bi]] * n, _MP3_SR[si], 1152,
+                            "1", ch, False)
+        return frame * n, {**none_row, **exp}
+    if v == 1:  # MP3: MPEG-2 half-rate, alternating bitrates (VBR)
+        n = 4 + (i // 8) % 3
+        kbps = [64 if j % 2 == 0 else 80 for j in range(n)]
+        frames = b"".join(
+            _mp3.build_frame(version_id=2, layer=3,
+                             bitrate_idx=8 if j % 2 == 0 else 9, sr_idx=0)
+            for j in range(n)
+        )
+        exp = _mp3_expected(kbps, 22050, 576, "2", 2, True)
+        return frames, {**none_row, **exp}
+    if v == 2:  # WAV, 16-bit mono PCM
+        rate = 16000 if i % 16 < 8 else 8000
+        n = rate // 4 + 320 * (i // 8)
+        t = np.arange(n, dtype=np.float64) / rate
+        samples = np.round(
+            8000.0 * np.sin(2 * np.pi * 220.0 * (1 + i % 5) * t)
+        ).astype(np.int16)
+        payload = encode_wav(samples, rate)
+        duration = (2 * n) / (rate * 1 * 16 / 8)  # wav spec byte math
+        return payload, {
+            **none_row, "format": "wav/1", "duration_sec": duration,
+            "sample_rate": rate, "channels": 1,
+        }
+    if v == 3:  # AVI MJPEG
+        k = 2 + (i // 8) % 3
+        fps = 10 if i % 16 < 8 else 25
+        w, h = (32, 24) if i % 16 < 8 else (16, 16)
+        frames = [
+            ((np.arange(h * w, dtype=np.uint8) * (j + 1 + i)) % 251)
+            .reshape(h, w)
+            for j in range(k)
+        ]
+        payload = encode_avi_mjpeg(frames, fps=fps)
+        us = 1_000_000 // fps
+        return payload, {
+            **none_row, "format": "avi", "duration_sec": k * us / 1e6,
+            "width": w, "height": h, "n_frames": k,
+        }
+    if v == 4:  # MP4 container
+        ticks = 2500 + 125 * i
+        w, h = (320, 240) if i % 16 < 8 else (640, 368)
+        rate = 48000 if i % 16 < 8 else 44100
+        payload, exp = _stream_mp4(ticks, w, h, rate,
+                                   2 if i % 16 < 8 else 1, i % 16 < 8)
+        return payload, {**none_row, **exp}
+    if v == 5:  # raw H.264 Annex-B
+        profile, level = (66, 30) if i % 16 < 8 else (100, 41)
+        w_mbs, h_units = (20, 15) if i % 16 < 8 else (80, 45)
+        n_slices = 1 + (i // 8) % 4
+        sps = _h264.build_sps(profile=profile, level=level,
+                              w_mbs=w_mbs, h_units=h_units)
+        payload = b"\x00\x00\x00\x01" + sps
+        for j in range(n_slices):
+            payload += b"\x00\x00\x01" + bytes(
+                [0x65 if j == 0 else 0x41]) + bytes([1 + j, 2, 3, 4])
+        return payload, {
+            **none_row, "format": "h264",
+            "width": w_mbs * 16, "height": h_units * 16,
+            "profile_level": f"{profile}@{level / 10:.1f}",
+            "n_frames": n_slices,
+        }
+    if v == 6:  # still image, codec cycling
+        w, h = 40, 24
+        img = ((np.arange(h * w, dtype=np.uint8) * (1 + i)) % 251).reshape(
+            h, w
+        )
+        codec = (i // 8) % 5
+        if codec == 0:
+            payload, fmt = encode_png(img), "png"
+        elif codec == 1:
+            payload, fmt = encode_jpeg(img), "jpeg"
+        elif codec == 2:
+            payload, fmt = encode_gif(
+                img % 16, np.arange(48, dtype=np.uint8).reshape(16, 3)
+            ), "gif"
+        elif codec == 3:
+            payload, fmt = encode_bmp(img), "bmp"
+        else:
+            payload, fmt = encode_tiff(img), "tiff"
+        return payload, {**none_row, "format": fmt, "width": w, "height": h}
+    # v == 7: unrecognized payloads — NULL payload or deterministic noise
+    if i % 16 == 7:
+        return None, dict(none_row)
+    rng = np.random.default_rng(1000 + i)
+    return rng.bytes(256), dict(none_row)
+
+
+def stream_media_pandas() -> pd.DataFrame:
+    """(media_ref, payload) store plus the generator ground truth in
+    ``expected_*`` columns (golden-twin side)."""
+    rows = []
+    for i in range(N_STREAM_CLIPS):
+        payload, exp = render_stream_clip(i)
+        rows.append({"media_ref": f"strm_{i:04d}", "payload": payload, **exp})
+    return pd.DataFrame(rows)

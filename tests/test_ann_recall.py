@@ -87,3 +87,18 @@ def test_embedding_near_pairs_recall(spark, exact):
     assert got <= pairs  # every reported pair is a true near-pair (exact verify)
     rec = len(got & pairs) / len(pairs)
     assert rec >= 0.50, f"near-pair recall fell to {rec:.3f}"
+
+
+def test_ann_cosine_topk_parity(spark):
+    """Brute-force cosine top-k (left the 50-entry gate in r5 for its
+    IVF sibling — VERDICT r4 item 2 near-duplicate retirement): exact
+    DuckDB parity stays pinned here."""
+    from parity import assert_parity
+
+    from granulate_char_ocr_spark import driver_queries
+
+    assert_parity(
+        spark,
+        driver_queries.ann_cosine_topk,
+        driver_queries.ANN_COSINE_ORACLE,
+    )

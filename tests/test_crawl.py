@@ -292,7 +292,7 @@ def test_crawl_diff_docs_parity(spark):
     sf = "/root/testdata/sf0.001"
     got = {
         tuple(r)
-        for r in driver_queries.QUERIES["crawl_diff_docs"](
+        for r in driver_queries.crawl_diff_docs(
             spark, sf
         ).collect()
     }
@@ -848,4 +848,19 @@ def test_resolve_redirects_port_protocol_relative_and_recrawl(spark):
     assert all(
         r.final_url == "https://c.example/s" and r.n_hops == 1
         for r in rows["https://c.example/r"]
+    )
+
+
+def test_crawl_diff_docs_parity(spark):
+    """Snapshot diff (left the 50-entry gate in r5; its status output is
+    value-checked downstream by crawl_schedule_docs' weights): exact
+    DuckDB parity."""
+    from parity import assert_parity
+
+    from granulate_char_ocr_spark import driver_queries
+
+    assert_parity(
+        spark,
+        driver_queries.crawl_diff_docs,
+        driver_queries.CRAWL_DIFF_ORACLE,
     )

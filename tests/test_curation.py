@@ -193,7 +193,9 @@ def test_tfidf_broadcasts_df_side(spark):
 def test_gate_entries_run_nonempty(spark, name):
     from granulate_char_ocr_spark import driver_queries as dq
 
-    df = dq.QUERIES[name](spark, "/root/testdata/sf0.001")
+    # gate-demoted queries (r5 rotation) resolve to the module function
+    fn = dq.QUERIES.get(name, getattr(dq, name))
+    df = fn(spark, "/root/testdata/sf0.001")
     assert df.count() > 0
 
 
@@ -346,3 +348,17 @@ def test_dedup_boilerplate_lines_duckdb_parity(spark):
     }
     assert got == want
     assert sum(v[1] for v in got.values()) > 0  # removal non-vacuous
+
+
+def test_pack_sequences_docs_parity(spark):
+    """Sequence packing (left the 50-entry gate in r5 for the rotated-
+    back relational cohort): exact DuckDB parity."""
+    from parity import assert_parity
+
+    from granulate_char_ocr_spark import driver_queries
+
+    assert_parity(
+        spark,
+        driver_queries.pack_sequences_docs,
+        driver_queries.PACK_SEQUENCES_ORACLE,
+    )

@@ -86,7 +86,7 @@ def test_markdown_convert_docs_parity(spark):
     sf = "/root/testdata/sf0.001"
     got = {
         (r.doc_id, r.markdown)
-        for r in driver_queries.QUERIES["markdown_convert_docs"](
+        for r in driver_queries.markdown_convert_docs(
             spark, sf
         ).collect()
     }
@@ -125,3 +125,17 @@ def test_cascade_case_lineitem(spark):
         for r in con.execute(driver_queries.CASCADE_CASE_ORACLE).fetchall()
     }
     assert got == want
+
+
+def test_markdown_convert_docs_parity(spark):
+    """HTML→Markdown gate query (left the 50-entry gate in r5 within the
+    HTML family's near-duplicate retirement): exact DuckDB parity."""
+    from parity import assert_parity
+
+    from granulate_char_ocr_spark import driver_queries
+
+    assert_parity(
+        spark,
+        driver_queries.markdown_convert_docs,
+        driver_queries.MARKDOWN_CONVERT_ORACLE,
+    )

@@ -147,3 +147,17 @@ def test_repair_mojibake_operator_schema(spark):
     # pure projection: no exchange in the plan
     plan = repair_mojibake(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_fix_mojibake_docs_parity(spark):
+    """Mojibake repair gate query (left the 50-entry gate in r5 within
+    the per-row-projection family): exact DuckDB parity."""
+    from parity import assert_parity
+
+    from granulate_char_ocr_spark import driver_queries
+
+    assert_parity(
+        spark,
+        driver_queries.fix_mojibake_docs,
+        driver_queries.FIX_MOJIBAKE_ORACLE,
+    )

@@ -105,3 +105,31 @@ def test_plan_stays_jvm_side(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
                 "BroadcastNestedLoopJoin"):
         assert bad not in plan, bad
+
+
+def test_repetition_signals_docs_parity(spark):
+    """Gopher repetition signals (left the 50-entry gate in r5; shape
+    stays gate-visible via charlm/quality): exact DuckDB parity."""
+    from parity import assert_parity
+
+    from granulate_char_ocr_spark import driver_queries
+
+    assert_parity(
+        spark,
+        driver_queries.repetition_signals_docs,
+        driver_queries.REPETITION_SIGNALS_ORACLE,
+    )
+
+
+def test_winnow_fingerprints_parity(spark):
+    """Winnowed fingerprints (left the 50-entry gate in r5 — it was the
+    board's largest compare): exact DuckDB parity."""
+    from parity import assert_parity
+
+    from granulate_char_ocr_spark import driver_queries
+
+    assert_parity(
+        spark,
+        driver_queries.winnow_fingerprints_docs,
+        driver_queries.WINNOW_ORACLE,
+    )
