@@ -8,8 +8,14 @@ item 3 — a 1.5-style cross-reference STREAM plus an object stream
 both outputs. The extractor walks every stream object, inflates
 FlateDecode streams, and collects Tj/TJ/' strings in operator order
 (one emitted line per text-positioning group), decoding literal-string
-escapes (\\, \(, \), \n, \r, \t, octal) and both string encodings the
-spec defines (UTF-16BE with BOM, else PDFDocEncoding ~ Latin-1). For
+escapes (\\, \(, \), \n, \r, \t, octal), hex strings, and both string
+encodings the spec defines (UTF-16BE with BOM, else PDFDocEncoding ~
+Latin-1). Subset-embedded fonts (VERDICT r4 item 4) are handled through
+their /ToUnicode CMaps (§9.10.3): font resources resolve to their CMap
+streams (codespacerange width, bfchar, bfrange in both destination
+forms), Tf switches the active map, and glyph-coded show strings map
+back to text — the route professionally-produced PDFs require; fonts
+without /ToUnicode keep the default decode. For
 1.5 files the /XRef stream is decoded (W-tuple entries, /Index runs,
 PNG row predictors via the shared png._unfilter) and /ObjStm streams
 are expanded, which also resolves indirect '/Length n 0 R' references
@@ -56,8 +62,10 @@ def _encode_pdf_string(s: str) -> bytes:
     return bytes(out)
 
 
-def _decode_pdf_string(raw: bytes) -> str:
-    """PDF literal-string body (between parens, escapes intact) -> text."""
+def _unescape_pdf_string(raw: bytes) -> bytes:
+    """PDF literal-string body (between parens, escapes intact) -> the
+    raw string bytes (escapes resolved, encoding NOT yet applied — a
+    CMap-encoded show string maps these bytes as glyph codes)."""
     out = bytearray()
     i, n = 0, len(raw)
     while i < n:
@@ -84,10 +92,32 @@ def _decode_pdf_string(raw: bytes) -> str:
         else:
             out += c
             i += 1
-    data = bytes(out)
+    return bytes(out)
+
+
+def _pdf_text(data: bytes) -> str:
+    """String bytes -> text per ISO 32000-1 §7.9.2: UTF-16BE when the
+    BOM leads, else PDFDocEncoding (~ Latin-1)."""
     if data[:2] == b"\xfe\xff":
         return data[2:].decode("utf-16-be", errors="replace")
     return data.decode("latin-1")
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    """PDF literal-string body (between parens, escapes intact) -> text."""
+    return _pdf_text(_unescape_pdf_string(raw))
+
+
+def _hex_string_bytes(raw: bytes) -> bytes:
+    """Hex-string body (between < >, whitespace allowed) -> bytes; an
+    odd final digit is padded with 0 (ISO 32000-1 §7.3.4.3)."""
+    h = re.sub(rb"[^0-9A-Fa-f]", b"", raw)
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii"))
+    except ValueError:
+        return b""
 
 
 def _content_stream(lines: list[str]) -> bytes:
@@ -225,6 +255,98 @@ def _assemble_single(content: bytes, object_streams: bool) -> bytes:
     return bytes(out)
 
 
+def _tounicode_cmap(chars: list[str]) -> bytes:
+    """Characters (code = 1-based index) -> a spec-shaped ToUnicode
+    CMap: consecutive-codepoint runs as bfrange (start-code form),
+    singletons as bfchar — the mix subset-font generators emit."""
+    runs: list[tuple[int, int, int]] = []  # (lo_code, hi_code, start_cp)
+    for i, ch in enumerate(chars):
+        code, cp = i + 1, ord(ch)
+        if (
+            runs
+            and cp <= 0xFFFF
+            and runs[-1][1] == code - 1
+            and runs[-1][2] + (code - 1 - runs[-1][0]) == cp - 1
+            and (cp & 0xFF) != 0  # a range may not cross its last byte
+        ):
+            lo, _, start = runs[-1]
+            runs[-1] = (lo, code, start)
+        else:
+            runs.append((code, code, cp))
+
+    def u16(cp: int) -> bytes:
+        return chr(cp).encode("utf-16-be").hex().upper().encode()
+
+    bfchar = [
+        b"<%04X> <%s>" % (lo, u16(start))
+        for lo, hi, start in runs
+        if lo == hi
+    ]
+    bfrange = [
+        b"<%04X> <%04X> <%s>" % (lo, hi, u16(start))
+        for lo, hi, start in runs
+        if lo != hi
+    ]
+    parts = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    if bfchar:
+        parts += [b"%d beginbfchar" % len(bfchar), *bfchar, b"endbfchar"]
+    if bfrange:
+        parts += [b"%d beginbfrange" % len(bfrange), *bfrange, b"endbfrange"]
+    parts += [
+        b"endcmap",
+        b"CMap currentdict /CMap defineresource pop",
+        b"end end",
+    ]
+    return b"\n".join(parts)
+
+
+def encode_pdf_cid(lines: list[str]) -> bytes:
+    """Text lines -> a single-page PDF the way professional generators
+    write it: a subset-embedded Type0 (/Identity-H) font whose show
+    strings are 2-byte GLYPH CODES in hex strings, readable only
+    through the font's Flate-compressed /ToUnicode CMap (VERDICT r4
+    item 4). The writer twin of the _tounicode_fontmap reader."""
+    chars = sorted({c for line in lines for c in line})
+    code_of = {c: i + 1 for i, c in enumerate(chars)}
+    ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append(b"0 -14 Td")
+        hexstr = b"".join(b"%04X" % code_of[c] for c in line)
+        ops.append(b"<" + hexstr + b"> Tj")
+    ops.append(b"ET")
+    content = zlib.compress(b"\n".join(ops))
+    cmap = zlib.compress(_tounicode_cmap(chars))
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+FakeSans "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+        b"/ToUnicode 7 0 R >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /AAAAAA+FakeSans "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap)
+        + cmap
+        + b"\nendstream",
+    ]
+    return _assemble_classic(objs)
+
+
 def _fmt_num(v: float) -> bytes:
     """PDF numeric operand: integers bare, reals with trailing zeros
     trimmed (4-decimal precision is exact for layout coordinates)."""
@@ -358,7 +480,9 @@ _WHITESPACE = b"\x00\t\n\x0c\r "
 def _tokenize_content(body: bytes):
     """Content-stream tokens in order: ('str', raw-escaped-bytes) for
     literal strings (escape-aware, balanced unescaped parens per the
-    spec), ('op', token) for everything else. Comments skipped."""
+    spec), ('hex', raw-hex-digits) for <...> hex strings (the encoding
+    subset-font generators emit for glyph-coded shows), ('op', token)
+    for everything else. Comments skipped."""
     tokens = []
     i, n = 0, len(body)
     while i < n:
@@ -386,9 +510,25 @@ def _tokenize_content(body: bytes):
                 i += 1
             tokens.append(("str", body[start : i - 1]))
             continue
+        if b == 0x3C and not (i + 1 < n and body[i + 1] == 0x3C):
+            # < hex string (a lone '<'; '<<' is the dict-open token)
+            end = body.find(b">", i + 1)
+            if end < 0:
+                end = n
+            tokens.append(("hex", body[i + 1 : end]))
+            i = end + 1
+            continue
         # operator / number / name / bracket token
         start = i
-        if b in _DELIMS:
+        if b == 0x2F:  # / begins a NAME token: consume regular chars
+            i += 1
+            while (
+                i < n
+                and body[i] not in _WHITESPACE
+                and body[i] not in _DELIMS
+            ):
+                i += 1
+        elif b in _DELIMS:
             i += 1
             if b in (0x3C, 0x3E) and i < n and body[i] == b:  # << >>
                 i += 1
@@ -403,34 +543,67 @@ def _tokenize_content(body: bytes):
     return tokens
 
 
-def _extract_lines(body: bytes, lines: list[str]) -> None:
+def _show_text(kind: str, raw: bytes, cmap) -> str:
+    """One show-string operand -> text: glyph codes through the active
+    font's /ToUnicode CMap when it has one, else the §7.9.2 default
+    (UTF-16BE-BOM / PDFDocEncoding)."""
+    data = (
+        _hex_string_bytes(raw) if kind == "hex" else _unescape_pdf_string(raw)
+    )
+    if cmap is None:
+        return _pdf_text(data)
+    width, mapping = cmap
+    out = []
+    for j in range(0, len(data) - width + 1, width):
+        code = int.from_bytes(data[j : j + width], "big")
+        out.append(mapping.get(code, "�"))
+    return "".join(out)
+
+
+def _extract_lines(
+    body: bytes, lines: list[str], fontmap: dict[bytes, tuple] | None = None
+) -> None:
     """Walk one content stream's tokens: strings shown by Tj / ' / " / TJ
     accumulate into the current line; Td/TD/T* start a new one (and so
     do ' and " themselves — ISO 32000-1 Table 107 defines them as
-    move-to-next-line THEN show)."""
+    move-to-next-line THEN show). ``fontmap`` carries each font
+    resource's /ToUnicode CMap; Tf switches the active one."""
     parts: list[str] = []
-    strings: list[bytes] = []  # operand stack of pending strings
+    strings: list[tuple[str, bytes]] = []  # operand stack of pending strings
+    names: list[bytes] = []  # pending name operands (for Tf)
+    cmap = None
+
+    def dec(s: tuple[str, bytes]) -> str:
+        return _show_text(s[0], s[1], cmap)
+
     for kind, tok in _tokenize_content(body):
-        if kind == "str":
-            strings.append(tok)
+        if kind in ("str", "hex"):
+            strings.append((kind, tok))
             continue
-        if tok in (b"Tj", b"'", b'"'):
+        if tok.startswith(b"/"):
+            names.append(tok[1:])
+            continue
+        if tok == b"Tf":
+            if names and fontmap:
+                cmap = fontmap.get(names[-1])
+            names = []
+        elif tok in (b"Tj", b"'", b'"'):
             if tok != b"Tj" and parts:
                 lines.append("".join(parts))
                 parts = []
             if strings:
-                parts.append(_decode_pdf_string(strings[-1]))
-            strings = []
+                parts.append(dec(strings[-1]))
+            strings, names = [], []
         elif tok == b"TJ":  # array form: all pending strings, in order
-            parts.extend(_decode_pdf_string(s) for s in strings)
-            strings = []
+            parts.extend(dec(s) for s in strings)
+            strings, names = [], []
         elif tok in (b"Td", b"TD", b"T*", b"BT"):
             if parts:
                 lines.append("".join(parts))
             parts = []
-            strings = []
+            strings, names = [], []
         elif tok == b"ET":
-            strings = []
+            strings, names = [], []
     if parts:
         lines.append("".join(parts))
 
@@ -589,22 +762,153 @@ def _length_of(d: bytes, objmap: dict[int, bytes], data: bytes) -> int | None:
     return None
 
 
+# --- /ToUnicode CMaps (subset-embedded fonts) --------------------------------
+# Professionally-produced PDFs subset-embed fonts and show GLYPH-INDEXED
+# strings; the font's /ToUnicode CMap (ISO 32000-1 §9.10.3) is the only
+# route back to text. Parsed here: codespacerange (code width), bfchar
+# pairs, and bfrange in both destination forms (start-code and array).
+
+_HEX_TOK = re.compile(rb"<([0-9A-Fa-f \t\r\n]*)>")
+
+
+def _parse_cmap(payload: bytes) -> tuple[int, dict[int, str]] | None:
+    """ToUnicode CMap stream -> (code byte-width, {code -> text}).
+    Destination hex is UTF-16BE (surrogate pairs → supplementary
+    planes; multi-char destinations → ligature expansions)."""
+    width = None
+    m = re.search(
+        rb"begincodespacerange(.*?)endcodespacerange", payload, re.S
+    )
+    if m:
+        lows = _HEX_TOK.findall(m.group(1))
+        if lows:
+            width = len(_hex_string_bytes(lows[0]))
+    mapping: dict[int, str] = {}
+
+    def dst_text(h: bytes) -> str:
+        return _hex_string_bytes(h).decode("utf-16-be", errors="replace")
+
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", payload, re.S):
+        toks = _HEX_TOK.findall(sec.group(1))
+        for j in range(0, len(toks) - 1, 2):
+            src = _hex_string_bytes(toks[j])
+            width = width or len(src)
+            mapping[int.from_bytes(src, "big")] = dst_text(toks[j + 1])
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", payload, re.S):
+        body = sec.group(1)
+        pos = 0
+        while True:
+            lo_m = _HEX_TOK.search(body, pos)
+            hi_m = _HEX_TOK.search(body, lo_m.end()) if lo_m else None
+            if lo_m is None or hi_m is None:
+                break
+            lo_b = _hex_string_bytes(lo_m.group(1))
+            width = width or len(lo_b)
+            lo = int.from_bytes(lo_b, "big")
+            hi = int.from_bytes(_hex_string_bytes(hi_m.group(1)), "big")
+            pos = hi_m.end()
+            # array destination: [ <d0> <d1> ... ], one per code
+            arr_m = re.match(rb"\s*\[", body[pos:])
+            if arr_m:
+                close = body.find(b"]", pos)
+                if close < 0:
+                    break
+                dsts = _HEX_TOK.findall(body[pos:close])
+                for k, d in enumerate(dsts):
+                    if lo + k <= hi:
+                        mapping[lo + k] = dst_text(d)
+                pos = close + 1
+                continue
+            d_m = _HEX_TOK.search(body, pos)
+            if d_m is None:
+                break
+            base = int.from_bytes(_hex_string_bytes(d_m.group(1)), "big")
+            n_dst = max(len(_hex_string_bytes(d_m.group(1))), 2)
+            for k in range(hi - lo + 1):
+                mapping[lo + k] = (
+                    (base + k).to_bytes(n_dst, "big").decode(
+                        "utf-16-be", errors="replace"
+                    )
+                )
+            pos = d_m.end()
+    if width is None or not mapping:
+        return None
+    return width, mapping
+
+
+def _object_body(
+    data: bytes, num: int, objmap: dict[int, bytes]
+) -> bytes | None:
+    """Object ``num``'s body: ObjStm-packed (objmap) or top-level."""
+    if num in objmap:
+        return objmap[num]
+    m = re.search(
+        rb"(?:^|[^0-9])%d\s+0\s+obj\b(.*?)endobj" % num, data, re.S
+    )
+    return m.group(1) if m else None
+
+
+def _tounicode_fontmap(
+    data: bytes, objmap: dict[int, bytes]
+) -> dict[bytes, tuple[int, dict[int, str]]]:
+    """{font resource name -> parsed CMap} for every font whose dict
+    carries /ToUnicode: resource /Font bindings resolved to font
+    objects, the indirect CMap stream inflated and parsed. Best-effort —
+    a font this cannot resolve simply falls back to the §7.9.2 default
+    string decode (the pre-r5 behavior, correct for unencoded fonts)."""
+    out: dict[bytes, tuple[int, dict[int, str]]] = {}
+    for res in re.finditer(rb"/Font\s*<<(.*?)>>", data, re.S):
+        for b in re.finditer(rb"/(\w+)\s+(\d+)\s+0\s+R", res.group(1)):
+            name, fnum = b.group(1), int(b.group(2))
+            if name in out:
+                continue
+            font = _object_body(data, fnum, objmap)
+            if font is None:
+                continue
+            tu = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", font)
+            if tu is None:
+                continue
+            obj = _object_body(data, int(tu.group(1)), objmap)
+            if obj is None:
+                continue
+            sm = _STREAM_RE.search(obj)
+            if sm is None:
+                continue
+            try:
+                d = sm.group("dict")
+                payload = _inflate(d, _stream_body(sm, obj, _direct_length(d)))
+                cmap = _parse_cmap(payload)
+            except (ValueError, zlib.error):
+                continue
+            if cmap is not None:
+                out[name] = cmap
+    return out
+
+
 def _decode_pdf_streams(data: bytes) -> list[list[str]]:
     """Shared walk: per text-content stream, the extracted lines, in
     document order. One content stream per page is the dominant layout
     (and this module's writer guarantees it)."""
     per_stream: list[list[str]] = []
-    for body in _text_stream_bodies(data):
+    bodies, fontmap = _text_streams_and_fonts(data)
+    for body in bodies:
         lines: list[str] = []
-        _extract_lines(body, lines)
+        _extract_lines(body, lines, fontmap)
         if lines:  # a BT/ET block with no text ops is not a text page —
             per_stream.append(lines)  # keeps pages/flat-join parity exact
     return per_stream
 
 
 def _text_stream_bodies(data: bytes) -> list[bytes]:
-    """All inflated BT-bearing content-stream bodies, document order
-    (the shared front half of line- and run-extraction)."""
+    """All inflated BT-bearing content-stream bodies, document order."""
+    return _text_streams_and_fonts(data)[0]
+
+
+def _text_streams_and_fonts(
+    data: bytes,
+) -> tuple[list[bytes], dict[bytes, tuple]]:
+    """(content-stream bodies, font-name → ToUnicode CMap) — the shared
+    front half of line- and run-extraction."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("PDF: bad header")
     if b"/Encrypt" in data:
@@ -628,7 +932,7 @@ def _text_stream_bodies(data: bytes) -> list[bytes]:
             bodies.append(body)
     if not bodies:
         raise ValueError("PDF: no text content stream found")
-    return bodies
+    return bodies, _tounicode_fontmap(data, objmap)
 
 
 def decode_pdf_text(data: bytes) -> str:
@@ -669,36 +973,43 @@ _LINE_TOL = 1.0  # pt; runs within this y-band are one line
 
 
 def _extract_runs(
-    body: bytes, runs: list[tuple[float, float, float, str]]
+    body: bytes,
+    runs: list[tuple[float, float, float, str]],
+    fontmap: dict[bytes, tuple] | None = None,
 ) -> None:
     """Walk one content stream tracking the text LINE matrix; append
     (x, y, font_size, text) per show operator. Consecutive shows without
     repositioning share a position and stay in emission order (the sort
     below is stable). Kerning offsets inside TJ arrays are ignored —
-    sub-glyph spacing, not layout."""
+    sub-glyph spacing, not layout. Tf also switches the active
+    /ToUnicode CMap (``fontmap``) for glyph-coded shows."""
     m = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
     size, leading = 12.0, 0.0
+    cmap = None
     nums: list[float] = []
-    strings: list[bytes] = []
+    strings: list[tuple[str, bytes]] = []
+    names: list[bytes] = []
 
     def translate(tx: float, ty: float) -> None:
         m[4] = tx * m[0] + ty * m[2] + m[4]
         m[5] = tx * m[1] + ty * m[3] + m[5]
 
-    def show(parts: list[bytes]) -> None:
-        text = "".join(_decode_pdf_string(s) for s in parts)
+    def show(parts: list[tuple[str, bytes]]) -> None:
+        text = "".join(_show_text(k, s, cmap) for k, s in parts)
         if text:
             runs.append((m[4], m[5], size, text))
 
     for kind, tok in _tokenize_content(body):
-        if kind == "str":
-            strings.append(tok)
+        if kind in ("str", "hex"):
+            strings.append((kind, tok))
             continue
         if tok == b"BT":
             m[:] = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
         elif tok == b"Tf":
             if nums:
                 size = nums[-1]
+            if names and fontmap:
+                cmap = fontmap.get(names[-1])
         elif tok == b"Tm":
             if len(nums) >= 6:
                 m[:] = nums[-6:]
@@ -721,15 +1032,18 @@ def _extract_runs(
                 show([strings[-1]])
         elif tok == b"TJ":
             show(strings)
-        elif tok.startswith(b"/") or tok in (b"[", b"]"):
-            continue  # operand (name / array bracket): keep the stack
+        elif tok.startswith(b"/"):
+            names.append(tok[1:])
+            continue  # operand (name): keep the stack
+        elif tok in (b"[", b"]"):
+            continue  # array bracket operand: keep the stack
         else:
             try:
                 nums.append(float(tok))
                 continue
             except ValueError:
                 pass  # some other operator: fall through to clear
-        nums, strings = [], []
+        nums, strings, names = [], [], []
 
 
 def _reading_order(runs: list[tuple[float, float, float, str]]) -> list[str]:
@@ -772,8 +1086,9 @@ def decode_pdf_runs(data: bytes) -> list[tuple[float, float, str]]:
     """PDF bytes -> positioned text runs (x, y, text) in draw order,
     all content streams flattened."""
     runs: list[tuple[float, float, float, str]] = []
-    for body in _text_stream_bodies(data):
-        _extract_runs(body, runs)
+    bodies, fontmap = _text_streams_and_fonts(data)
+    for body in bodies:
+        _extract_runs(body, runs, fontmap)
     return [(x, y, t) for x, y, _, t in runs]
 
 
@@ -781,9 +1096,10 @@ def decode_pdf_layout_pages(data: bytes) -> list[str]:
     """Per-page text in READING order (see _reading_order); streams with
     no shown text omitted, mirroring decode_pdf_text_pages."""
     pages = []
-    for body in _text_stream_bodies(data):
+    bodies, fontmap = _text_streams_and_fonts(data)
+    for body in bodies:
         runs: list[tuple[float, float, float, str]] = []
-        _extract_runs(body, runs)
+        _extract_runs(body, runs, fontmap)
         if runs:
             pages.append("\n".join(_reading_order(runs)))
     return pages

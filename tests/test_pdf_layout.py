@@ -10,6 +10,7 @@ import zlib
 
 import pytest
 
+from granulate_char_ocr_spark.functions import pdf
 from granulate_char_ocr_spark.functions.pdf import (
     _assemble_single,
     decode_pdf_layout_pages,
@@ -158,3 +159,125 @@ def test_pdf_texts_layout_operator(spark):
     assert got == {"cols": TWO_COL_READING, "plain": "just one line"}
     draw = {r["doc_id"]: r["extracted"] for r in pdf_texts(df).collect()}
     assert draw["cols"] == "".join(t for _, _, t in TWO_COL)
+
+
+# --- /ToUnicode CMap decoding (VERDICT r4 item 4) ----------------------------
+
+
+def test_cid_font_roundtrip_all_paths():
+    lines = [
+        "Hello CMap world",
+        "naïve — café €2 中文 😀",  # BMP + supplementary plane
+        "ligature ﬃ expands",
+    ]
+    blob = pdf.encode_pdf_cid(lines)
+    want = "\n".join(lines)
+    assert pdf.decode_pdf_text(blob) == want
+    assert pdf.decode_pdf_text_layout(blob) == want
+    assert pdf.decode_pdf_text_pages(blob) == [want]
+
+
+def _cid_pdf_with_cmap(cmap_body: bytes, hex_show: bytes) -> bytes:
+    """Hand-assembled CID PDF around an arbitrary CMap body — the
+    fixtures the writer twin cannot produce (array-form bfrange, 1-byte
+    codespace, malformed CMaps)."""
+    import zlib
+
+    content = zlib.compress(
+        b"BT\n/F1 12 Tf\n72 720 Td\n<" + hex_show + b"> Tj\nET"
+    )
+    cmap = zlib.compress(cmap_body)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/BaseFont /X+F /DescendantFonts [6 0 R] /ToUnicode 7 0 R >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X+F >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap)
+        + cmap + b"\nendstream",
+    ]
+    return pdf._assemble_classic(objs)
+
+
+def test_bfrange_array_destination_form():
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+        b"endcodespacerange\n1 beginbfrange\n"
+        b"<0001> <0003> [<0058> <0059005A> <0041>]\n"  # X, YZ, A
+        b"endbfrange\nendcmap"
+    )
+    blob = _cid_pdf_with_cmap(cmap, b"000100020003")
+    assert pdf.decode_pdf_text(blob) == "XYZA"
+
+
+def test_one_byte_codespace_and_unmapped_replacement():
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<00> <FF>\n"
+        b"endcodespacerange\n2 beginbfchar\n<41> <0061>\n<42> <0062>\n"
+        b"endbfchar\nendcmap"
+    )
+    blob = _cid_pdf_with_cmap(cmap, b"414243")  # C (0x43) unmapped
+    assert pdf.decode_pdf_text(blob) == "ab�"
+
+
+def test_malformed_cmap_falls_back_to_default_decode():
+    # an empty/broken CMap must not raise — the font falls back to the
+    # pre-r5 §7.9.2 decode (glyph bytes read as PDFDocEncoding)
+    blob = _cid_pdf_with_cmap(b"begincmap nothing here endcmap", b"4142")
+    assert pdf.decode_pdf_text(blob) == "\x41\x42"
+
+
+def test_mixed_fonts_cmap_and_plain():
+    """Tf switches the active CMap; a plain font in the same stream
+    keeps the default string decode."""
+    import zlib
+
+    cmap_body = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+        b"endcodespacerange\n1 beginbfchar\n<0007> <0051>\nendbfchar\n"
+        b"endcmap"
+    )
+    content = zlib.compress(
+        b"BT\n/F1 12 Tf\n72 720 Td\n<0007> Tj\n"
+        b"0 -14 Td\n/F2 12 Tf\n(plain) Tj\nET"
+    )
+    cmap = zlib.compress(cmap_body)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R /F2 6 0 R >> >> "
+        b"/Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/BaseFont /X+F /DescendantFonts [8 0 R] /ToUnicode 7 0 R >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap)
+        + cmap + b"\nendstream",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X+F >>",
+    ]
+    blob = pdf._assemble_classic(objs)
+    assert pdf.decode_pdf_text(blob) == "Q\nplain"
+
+
+def test_tounicode_writer_emits_bfranges():
+    # consecutive alphabet → the writer must use the bfrange form (the
+    # reader's range path is then under the round-trip, not just bfchar)
+    blob = pdf.encode_pdf_cid(["abcdefgh", "XYZ"])
+    # find + inflate the CMap stream and check its shape
+    import re
+    import zlib
+
+    cm = None
+    for m in pdf._STREAM_RE.finditer(blob):
+        body = zlib.decompress(pdf._stream_body(m, blob,
+                                                pdf._direct_length(m.group("dict"))))
+        if b"begincmap" in body:
+            cm = body
+    assert cm is not None and b"beginbfrange" in cm
+    assert pdf.decode_pdf_text(blob) == "abcdefgh\nXYZ"
