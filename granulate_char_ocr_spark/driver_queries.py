@@ -1051,9 +1051,11 @@ def dedup_clusters_lsh(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
-def _embedding_cosine_pairs_sql(dims: int = 4) -> str:
-    # hamming(l.cell, r.cell) <= 1: the 1-flip multi-probe candidate rule
-    # (r4) — identical to the Spark side's own-cell + sign_dims flip probes
+def _embedding_cosine_pairs_sql(dims: int = 4, rings: int = 2) -> str:
+    # hamming(l.cell, r.cell) <= rings: the multi-probe candidate rule —
+    # identical to the Spark side's own-cell + ≤rings sign-flip probes.
+    # rings=2 is the r5 operating point (recall 0.92 vs 0.56 at ring 1
+    # on the sf0.01 truth set, BENCH/BASELINE.md §3).
     expr = _cosine_sql_expr("l.embedding", "r.embedding")
     ham = " + ".join(
         f"CASE WHEN substr(l.cell, {i + 1}, 1) != substr(r.cell, {i + 1}, 1) "
@@ -1067,7 +1069,7 @@ def _embedding_cosine_pairs_sql(dims: int = 4) -> str:
             FROM embeddings) l
       JOIN (SELECT vec_id, embedding, {_cell_sql('embeddings')} AS cell
             FROM embeddings) r
-        ON ({ham}) <= 1 AND l.vec_id < r.vec_id) t
+        ON ({ham}) <= {rings} AND l.vec_id < r.vec_id) t
     WHERE sim >= 0.4
     """
 
@@ -1183,9 +1185,11 @@ def sample_stratified_docs(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (semantic dedup leg). UNCAPPED
     (r1's vec_id<500 cap removed): candidates come from the IVF sign-cell
-    equi-join on both engines — no cross join in either plan."""
+    equi-join on both engines — no cross join in either plan. The gate
+    pins probe_rings=2, the measured dedup operating point (VERDICT r4
+    item 7: recall 0.92 vs 0.56 at ring 1, same join shape)."""
     return dedup.embedding_near_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, probe_rings=2
     )
 
 

@@ -196,7 +196,10 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def embedding_near_pairs(
-    embeddings: DataFrame, threshold: float = 0.4, sign_dims: int = 4
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    sign_dims: int = 4,
+    probe_rings: int = 1,
 ) -> DataFrame:
     """(vec_a, vec_b, sim): embedding-cosine near-duplicate pairs — the
     semantic-dedup leg, scale formulation.
@@ -204,19 +207,28 @@ def embedding_near_pairs(
     Candidates come from a MULTI-PROBE equi-join on the IVF sign-cell
     (the sign pattern of the first ``sign_dims`` components, the same
     fixed quantizer as operators/similarity.ivf_topk): the left side
-    explodes over its own cell plus the ``sign_dims`` one-bit-flip
-    probes, so any pair whose cells differ in at most one sign is a
-    candidate — and matches exactly once (hamming 0 hits the own-cell
-    probe, hamming 1 exactly one flip), so no pair dedup is needed. The
-    all-pairs cross join of r1 is gone; probe fan-out multiplies only
-    the key-sized left side, not the join output. Exact cosine then
-    verifies each candidate; per-vector norms are hoisted before the
-    join. Like any LSH/IVF pass this is APPROXIMATE: pairs differing in
-    two or more leading signs are not candidates. Measured recall vs the
-    exact all-pairs answer on the sf0.01 embeddings (500×64, threshold
-    0.4): 0.56 with 1-flip probing (was 0.20 single-probe), pinned by
-    tests/test_ann_recall.py. The DuckDB oracle encodes the identical
-    hamming<=1 cell restriction, so the gate check stays exact.
+    explodes over its own cell plus every cell within ``probe_rings``
+    sign flips, so any pair whose cells differ in at most
+    ``probe_rings`` signs is a candidate — and matches exactly once
+    (the pair's hamming distance selects a unique probe), so no pair
+    dedup is needed. The all-pairs cross join of r1 is gone; probe
+    fan-out multiplies only the key-sized left side, not the join
+    output. Exact cosine then verifies each candidate; per-vector norms
+    are hoisted before the join. Like any LSH/IVF pass this is
+    APPROXIMATE: pairs differing in more than ``probe_rings`` leading
+    signs are not candidates. Measured recall vs the exact all-pairs
+    answer on the sf0.01 embeddings (500×64, threshold 0.4), pinned by
+    tests/test_ann_recall.py:
+
+        rings=1  recall 0.559   5 probes  (r4's operating point)
+        rings=2  recall 0.915  11 probes  (r5 gate operating point)
+        rings=3  recall 1.000  15 probes
+
+    The per-vector probe count is sum_{r<=rings} C(sign_dims, r); at
+    production scale sign_dims grows with the corpus so each cell holds
+    an exponentially smaller slice while the ring mechanism is
+    unchanged. The DuckDB oracle encodes the identical hamming <= rings
+    cell restriction, so the gate check stays exact.
     """
     from granulate_char_ocr_spark.operators.similarity import (
         COSINE_EXPR,
@@ -228,7 +240,8 @@ def embedding_near_pairs(
     celled = with_cell(with_norm(embeddings), sign_dims)
     l = (
         celled.withColumn(
-            "probe", F.explode(F.expr(probe_cells_expr(sign_dims)))
+            "probe",
+            F.explode(F.expr(probe_cells_expr(sign_dims, probe_rings))),
         )
         .alias("l")
     )

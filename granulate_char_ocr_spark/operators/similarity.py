@@ -169,23 +169,30 @@ def with_cell(embeddings: DataFrame, sign_dims: int) -> DataFrame:
     return embeddings.withColumn("cell", F.expr(_cell_expr("", sign_dims)))
 
 
-def probe_cells_expr(sign_dims: int) -> str:
-    """array(own cell, the ``sign_dims`` one-bit-flip cells) — the
+def probe_cells_expr(sign_dims: int, rings: int = 1) -> str:
+    """array(own cell + every cell within ``rings`` sign flips) — the
     multi-probe candidate set shared by ivf_topk_multiprobe and
-    dedup.embedding_near_pairs."""
-    own = _cell_expr("", sign_dims)
-    flipped = []
-    for i in range(sign_dims):
-        bits = " || ".join(
+    dedup.embedding_near_pairs. rings=1 adds the ``sign_dims`` one-flip
+    cells; rings=2 also adds the C(sign_dims, 2) two-flip cells (the
+    recall/cost trade measured in BENCH/BASELINE.md §3)."""
+    from itertools import combinations
+
+    def cell_with_flips(flips: tuple[int, ...]) -> str:
+        return " || ".join(
             (
                 f"case when element_at(embedding, {j + 1}) >= 0 then '0' else '1' end"
-                if j == i
+                if j in flips
                 else f"case when element_at(embedding, {j + 1}) >= 0 then '1' else '0' end"
             )
             for j in range(sign_dims)
         )
-        flipped.append(bits)
-    return "array(" + ", ".join([own, *flipped]) + ")"
+
+    probes = [_cell_expr("", sign_dims)]
+    for r in range(1, rings + 1):
+        probes.extend(
+            cell_with_flips(f) for f in combinations(range(sign_dims), r)
+        )
+    return "array(" + ", ".join(probes) + ")"
 
 
 def ivf_topk_multiprobe(

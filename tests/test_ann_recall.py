@@ -2,9 +2,10 @@
 item 7): measured against the exact all-pairs answer on the sf0.01
 embeddings (500 x 64). The inputs and algorithms are deterministic, so
 recall is a fixed number — the floors below sit just under the measured
-values (multi-probe IVF top-k 0.54, multi-probe near-pairs 0.56,
-single-probe top-k 0.20) and exist to catch regressions in the
-quantizer/probing logic, not to absorb randomness."""
+values (multi-probe IVF top-k 0.54, single-probe top-k 0.20; near-pairs
+by probe ring: 0.559 / 0.915 / 1.000 for rings 1/2/3) and exist to
+catch regressions in the quantizer/probing logic, not to absorb
+randomness."""
 
 import duckdb
 import numpy as np
@@ -75,18 +76,30 @@ def test_brute_force_topk_is_exact(spark, exact):
     assert rec == 1.0, f"exact gemm top-k recall {rec:.3f}"
 
 
-def test_embedding_near_pairs_recall(spark, exact):
+def test_embedding_near_pairs_recall_by_ring(spark, exact):
+    """The probe-ring ladder (VERDICT r4 item 7): measured on the sf0.01
+    truth set — ring 1: 0.559, ring 2: 0.915 (the gate operating point),
+    ring 3: 1.000. Floors sit just under the measured values; every ring
+    must strictly improve on the previous and never report a false
+    pair."""
     from granulate_char_ocr_spark.operators import dedup
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    got = {
-        (r["vec_a"], r["vec_b"])
-        for r in dedup.embedding_near_pairs(emb, threshold=THRESHOLD).collect()
-    }
     pairs = exact[1]
-    assert got <= pairs  # every reported pair is a true near-pair (exact verify)
-    rec = len(got & pairs) / len(pairs)
-    assert rec >= 0.50, f"near-pair recall fell to {rec:.3f}"
+    floors = {1: 0.50, 2: 0.85, 3: 1.0}
+    prev = -1.0
+    for rings, floor in floors.items():
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in dedup.embedding_near_pairs(
+                emb, threshold=THRESHOLD, probe_rings=rings
+            ).collect()
+        }
+        assert got <= pairs  # exact verify: no false pairs at any ring
+        rec = len(got & pairs) / len(pairs)
+        assert rec >= floor, f"ring {rings} recall fell to {rec:.3f}"
+        assert rec > prev, f"ring {rings} did not improve: {rec:.3f}"
+        prev = rec
 
 
 def test_ann_cosine_topk_parity(spark):

@@ -83,7 +83,7 @@ def test_spark_matches_duckdb_oracle(spark):
     con = duckdb.connect()
     con.register("documents", pdf)
     want = (
-        con.execute(driver_queries.ORACLES["repetition_signals_docs"])
+        con.execute(driver_queries.REPETITION_SIGNALS_ORACLE)
         .df()
         .sort_values("doc_id")
         .reset_index(drop=True)

@@ -44,7 +44,12 @@ N_DOCS = int(os.environ.get("SCALING_DOCS", "80000"))
 # scale that fixed cost is noise, and at 40k docs it alone cost 0.09 of
 # measured efficiency
 N_DOCS_COMPRESSED = int(os.environ.get("SCALING_DOCS_COMPRESSED", "80000"))
-PROFILES = os.environ.get("SCALING_PROFILES", "raw,compressed").split(",")
+# web-tier profile (VERDICT r4 item 8): pages, grouped into WARC files
+N_PAGES_WARC = int(os.environ.get("SCALING_PAGES_WARC", "80000"))
+PAGES_PER_WARC = int(os.environ.get("SCALING_PAGES_PER_WARC", "500"))
+PROFILES = os.environ.get(
+    "SCALING_PROFILES", "raw,compressed,warc"
+).split(",")
 CORES = tuple(
     int(c) for c in os.environ.get("SCALING_CORES", "2,8").split(",")
 )
@@ -198,6 +203,101 @@ def one_round_compressed(cores: int, corpus_dir: str) -> dict:
     return {"n_docs": n_docs, "salted_sec": t, "dedup_sec": t}
 
 
+def write_warc_corpus(corpus_dir: str, n_pages: int) -> None:
+    """The web-tier scaling corpus (VERDICT r4 item 8): ``n_pages``
+    deterministic boilerplate-wrapped HTML pages (~2 KB each, escaped
+    entities included so the decode path does real work), packed
+    ``PAGES_PER_WARC`` per Common Crawl-layout WARC file on the
+    executors (docparse.build_warc_files — per-record gzip members),
+    written once and reused across rounds and core levels."""
+    from pyspark.sql import functions as F
+
+    from granulate_char_ocr_spark.operators.docparse import build_warc_files
+    from granulate_char_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="gcos-scaling-warc-gen", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    par = spark.sparkContext.defaultParallelism
+    # deterministic word-salad body: ~80 pseudo-sentences per page from
+    # id arithmetic — varied content, no RNG (resume-safe, reproducible)
+    body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(79)),
+            lambda k: F.concat(
+                F.lit("token"),
+                F.pmod(F.col("id") * 31 + k * 7, F.lit(9973)).cast("string"),
+                F.lit(" &amp; word"),
+                F.pmod(F.col("id") + k * 13, F.lit(997)).cast("string"),
+                F.lit("."),
+            ),
+        ),
+    )
+    page = F.concat(
+        F.lit(
+            "<html><head><title>t</title><style>p{color:#000}</style></head>"
+            '<body><nav><a href="/">Home</a> | <a href="/a">A</a></nav><p>'
+        ),
+        body,
+        F.lit("</p><footer>&#169; corp</footer></body></html>"),
+    )
+    pages = spark.range(0, n_pages, 1, par * 4).select(
+        (F.col("id") / PAGES_PER_WARC).cast("int").alias("file_id"),
+        F.format_string("https://corpus.example/p/%d", F.col("id")).alias(
+            "url"
+        ),
+        page.alias("html"),
+    )
+    build_warc_files(pages).select("file_id", "payload").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(corpus_dir, "warc_files.parquet"))
+    spark.stop()
+
+
+def one_round_warc(cores: int, corpus_dir: str) -> dict:
+    """The WARC-ingest pipeline at one core level: record explode
+    (mapInPandas over file payloads), response/200 filter,
+    charset-sniffed body decode, pure-codegen boilerplate strip — the
+    fetch-leg stages the web tier runs per crawled page. The unit of
+    parallelism is the WARC FILE, exactly the cluster-scale layout."""
+    from pyspark.sql import functions as F
+
+    from granulate_char_ocr_spark.operators.docparse import (
+        decode_bodies,
+        html_main_texts,
+        warc_records,
+    )
+    from granulate_char_ocr_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"gcos-scaling-warc-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    files = spark.read.parquet(os.path.join(corpus_dir, "warc_files.parquet"))
+
+    def pipeline(src):
+        recs = warc_records(src).filter(
+            (F.col("rec_type") == "response") & (F.col("http_status") == 200)
+        )
+        texts = decode_bodies(
+            recs.select("url", "body", "content_type"),
+            key_col="url",
+        )
+        return html_main_texts(texts, html_col="text", key_col="url").where(
+            F.length("main_text") > 0
+        )
+
+    # per-session warm: worker pool + codegen on one file
+    pipeline(files.limit(1)).count()
+    t0 = time.perf_counter()
+    n_pages = pipeline(files).count()
+    t = time.perf_counter() - t0
+    spark.stop()
+    return {"n_docs": n_pages, "salted_sec": t, "dedup_sec": t}
+
+
 def _collect(run_fn, corpus_dir: str) -> list[dict]:
     samples: dict[int, list[dict]] = {c: [] for c in CORES}
     for _ in range(ROUNDS):
@@ -288,6 +388,26 @@ def main() -> None:
                     "every payload sniff-decoded through decode_media_store "
                     "before the kernel stage — codec work proportional to "
                     "corpus size"
+                ),
+            }
+        )
+
+    if "warc" in PROFILES:
+        warc_dir = f"/tmp/gcos_scaling_warc_{N_PAGES_WARC}"
+        if not os.path.exists(os.path.join(warc_dir, "warc_files.parquet")):
+            write_warc_corpus(warc_dir, N_PAGES_WARC)
+        warc_runs = _collect(one_round_warc, warc_dir)
+        out.update(
+            {
+                "warc_runs": warc_runs,
+                "warc_efficiency": _efficiency(warc_runs),
+                "warc_workload": (
+                    "WARC-ingest profile (VERDICT r4 item 8): record "
+                    "explode over per-record-gzip WARC files + charset "
+                    "decode + pure-codegen boilerplate strip, "
+                    f"{PAGES_PER_WARC} pages/file — the web tier's "
+                    "fetch-leg compute, file-parallel like the cluster "
+                    "layout"
                 ),
             }
         )
