@@ -44,8 +44,12 @@ N_DOCS = int(os.environ.get("SCALING_DOCS", "80000"))
 # scale that fixed cost is noise, and at 40k docs it alone cost 0.09 of
 # measured efficiency
 N_DOCS_COMPRESSED = int(os.environ.get("SCALING_DOCS_COMPRESSED", "80000"))
-# web-tier profile (VERDICT r4 item 8): pages, grouped into WARC files
-N_PAGES_WARC = int(os.environ.get("SCALING_PAGES_WARC", "80000"))
+# web-tier profile (VERDICT r4 item 8): pages, grouped into WARC files.
+# 320k pages, not 80k: the fetch-leg is so cheap per page (~0.24 core-ms)
+# that at 80k the ~1.5 s fixed job cost alone capped measured efficiency
+# at 0.71 (T2=10.9 s held only ~19 core-s of work) — same fixed-cost
+# lesson as the compressed profile at 40k docs
+N_PAGES_WARC = int(os.environ.get("SCALING_PAGES_WARC", "320000"))
 PAGES_PER_WARC = int(os.environ.get("SCALING_PAGES_PER_WARC", "500"))
 PROFILES = os.environ.get(
     "SCALING_PROFILES", "raw,compressed,warc"
@@ -289,8 +293,13 @@ def one_round_warc(cores: int, corpus_dir: str) -> dict:
             F.length("main_text") > 0
         )
 
-    # per-session warm: worker pool + codegen on one file
-    pipeline(files.limit(1)).count()
+    # per-session warm: codegen + the FULL Python worker pool — limit(1)
+    # would collapse to one task and warm one worker, leaving the other
+    # cores' fork + pandas import inside the measured run (at 8 cores
+    # that alone showed up as seconds of "fixed" cost)
+    pipeline(
+        files.where(F.col("file_id") < cores).repartition(cores)
+    ).count()
     t0 = time.perf_counter()
     n_pages = pipeline(files).count()
     t = time.perf_counter() - t0
