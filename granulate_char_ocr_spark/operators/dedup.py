@@ -195,41 +195,19 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     return summed.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-def embedding_near_pairs(
+def _embedding_near_pairs_hof(
     embeddings: DataFrame,
     threshold: float = 0.4,
     sign_dims: int = 4,
     probe_rings: int = 1,
 ) -> DataFrame:
-    """(vec_a, vec_b, sim): embedding-cosine near-duplicate pairs — the
-    semantic-dedup leg, scale formulation.
-
-    Candidates come from a MULTI-PROBE equi-join on the IVF sign-cell
-    (the sign pattern of the first ``sign_dims`` components, the same
-    fixed quantizer as operators/similarity.ivf_topk): the left side
-    explodes over its own cell plus every cell within ``probe_rings``
-    sign flips, so any pair whose cells differ in at most
-    ``probe_rings`` signs is a candidate — and matches exactly once
-    (the pair's hamming distance selects a unique probe), so no pair
-    dedup is needed. The all-pairs cross join of r1 is gone; probe
-    fan-out multiplies only the key-sized left side, not the join
-    output. Exact cosine then verifies each candidate; per-vector norms
-    are hoisted before the join. Like any LSH/IVF pass this is
-    APPROXIMATE: pairs differing in more than ``probe_rings`` leading
-    signs are not candidates. Measured recall vs the exact all-pairs
-    answer on the sf0.01 embeddings (500×64, threshold 0.4), pinned by
-    tests/test_ann_recall.py:
-
-        rings=1  recall 0.559   5 probes  (r4's operating point)
-        rings=2  recall 0.915  11 probes  (r5 gate operating point)
-        rings=3  recall 1.000  15 probes
-
-    The per-vector probe count is sum_{r<=rings} C(sign_dims, r); at
-    production scale sign_dims grows with the corpus so each cell holds
-    an exponentially smaller slice while the ring mechanism is
-    unchanged. The DuckDB oracle encodes the identical hamming <= rings
-    cell restriction, so the gate check stays exact.
-    """
+    """Reference formulation of :func:`embedding_near_pairs` (the pure-SQL
+    multi-probe cell equi-join + per-pair Catalyst HOF cosine). Kept as the
+    cross-check twin the blocked kernel is pinned against
+    (tests/test_dedup_ops.py) — the r6 kernel must emit the IDENTICAL pair
+    set and sims. Do not call on large corpora: the per-candidate
+    interpreted HOF dot product made this the r5 board's worst entry by far
+    (242 s of a 354 s board at sf1.0)."""
     from granulate_char_ocr_spark.operators.similarity import (
         COSINE_EXPR,
         probe_cells_expr,
@@ -258,6 +236,165 @@ def embedding_near_pairs(
             F.round(F.expr(COSINE_EXPR), 5).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
+    )
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    sign_dims: int = 4,
+    probe_rings: int = 1,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """(vec_a, vec_b, sim): embedding-cosine near-duplicate pairs — the
+    semantic-dedup leg.
+
+    SEMANTICS (frozen by the DuckDB oracle, identical to r5): a pair is
+    emitted iff its IVF sign-cells (sign pattern of the first
+    ``sign_dims`` components — the similarity.ivf_topk quantizer) differ
+    in at most ``probe_rings`` signs AND round(cosine, 5) >= threshold,
+    where cosine is the float64 sequential-sum dot product over the
+    float32 components divided by the two sequential-sum norms — the
+    exact arithmetic of the Catalyst HOF expression
+    (similarity.COSINE_EXPR). Recall ladder vs the exact all-pairs
+    answer (sf0.01, 500x64, threshold 0.4; tests/test_ann_recall.py):
+    rings=1 0.559, rings=2 0.915 (the gate operating point), rings=3
+    1.000.
+
+    EXECUTION (the r6 optimization — guide §4.2, "hand whole batches to
+    vectorized native libraries"): at sign_dims=4 / rings=2 the cell
+    constraint keeps 11/16 of ALL pairs, so candidate verification is
+    effectively an all-pairs cosine — r5 evaluated it with the per-pair
+    interpreted HOF inside the probe equi-join (242 s at sf1.0, 2.4 s/M
+    pairs). This formulation computes the same values at NumPy rate:
+    vectors are grouped round-robin (vec_id % n_blocks) into blocks, the
+    tiny (bl, br) block-pair relation (bl <= br) broadcast-joins each
+    side's vector arrays, and a mapInPandas kernel evaluates each block
+    pair as tiled rank-1-update accumulation in float64 — the SAME
+    per-element operation order as the HOF (acc_d = acc_{d-1} + x_d*y_d),
+    so sims are bit-identical, pinned against the retained HOF twin by
+    tests/test_dedup_ops.py. Rounding uses the fast float emulation as a
+    prefilter with a one-grid-step margin, then exact
+    Decimal(shortest-repr) HALF_UP — Spark's BigDecimal.valueOf round —
+    on the few survivors.
+
+    Scale shape: the block-pair relation has nb(nb+1)/2 rows; each task
+    is one bounded block pair (work N^2 d / nb^2, accumulator tiled to
+    ~4 MB), so nb grows with the corpus to keep tasks constant-cost.
+    Only block KEYS shuffle (the fat vector arrays ride one broadcast
+    per side); past broadcastable corpus size, shard by IVF cell first
+    and run the kernel per shard — the quadratic candidate set is
+    inherent to the pinned 4-bit quantizer, not to this execution.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    nb = n_blocks or max(16, spark.sparkContext.defaultParallelism)
+    blocks = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("b", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int"))
+        .groupBy("b")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("v")
+        )
+        .select("b", F.col("v.vec_id").alias("ids"), F.col("v.embedding").alias("embs"))
+    )
+    pairs = spark.createDataFrame(
+        [(bl, br) for bl in range(nb) for br in range(bl, nb)], "bl int, br int"
+    ).repartition(nb * 8, "bl", "br")
+    joined = pairs.join(
+        F.broadcast(
+            blocks.select(
+                F.col("b").alias("bl"),
+                F.col("ids").alias("lids"),
+                F.col("embs").alias("lembs"),
+            )
+        ),
+        "bl",
+    ).join(
+        F.broadcast(
+            blocks.select(
+                F.col("b").alias("br"),
+                F.col("ids").alias("rids"),
+                F.col("embs").alias("rembs"),
+            )
+        ),
+        "br",
+    )
+    thr, sd, rings = float(threshold), sign_dims, probe_rings
+
+    def kernel(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        quantum = Decimal(1).scaleb(-5)
+        pop = np.array([bin(i).count("1") for i in range(1 << sd)])
+        weights = (1 << np.arange(sd)).astype(np.int64)
+
+        def exact_round5(v: float) -> float:
+            # Spark's round(double, 5): BigDecimal.valueOf == shortest
+            # decimal repr, then HALF_UP — repr() is the same shortest repr
+            return float(Decimal(repr(v)).quantize(quantum, rounding=ROUND_HALF_UP))
+
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            same_block = pdf["bl"].to_numpy() == pdf["br"].to_numpy()
+            for lids, lembs, rids, rembs, same in zip(
+                pdf["lids"], pdf["lembs"], pdf["rids"], pdf["rembs"], same_block
+            ):
+                la = np.asarray(lids, dtype=np.int64)
+                ra = np.asarray(rids, dtype=np.int64)
+                A32, B32 = np.stack(lembs), np.stack(rembs)
+                A, Bm = A32.astype(np.float64), B32.astype(np.float64)
+                ca = (A32[:, :sd] >= 0).astype(np.int64) @ weights
+                cb = (B32[:, :sd] >= 0).astype(np.int64) @ weights
+                ham_ok = pop[ca[:, None] ^ cb[None, :]] <= rings
+                na = np.zeros(len(A))
+                for d in range(A.shape[1]):  # sequential-sum norm (HOF order)
+                    na += A[:, d] * A[:, d]
+                na = np.sqrt(na)
+                nrm_b = np.zeros(len(Bm))
+                for d in range(Bm.shape[1]):
+                    nrm_b += Bm[:, d] * Bm[:, d]
+                nrm_b = np.sqrt(nrm_b)
+                for ls in range(0, len(A), 256):
+                    At, lat = A[ls : ls + 256], la[ls : ls + 256]
+                    for rs in range(0, len(Bm), 2048):
+                        Bt = Bm[rs : rs + 2048]
+                        acc = np.zeros((len(At), len(Bt)))
+                        tmp = np.empty_like(acc)
+                        for d in range(At.shape[1]):  # HOF order per element
+                            np.multiply(At[:, d, None], Bt[None, :, d], out=tmp)
+                            acc += tmp
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            sim = acc / (
+                                na[ls : ls + 256, None] * nrm_b[None, rs : rs + 2048]
+                            )
+                        fast = np.sign(sim) * np.floor(np.abs(sim) * 1e5 + 0.5) / 1e5
+                        mask = ham_ok[ls : ls + 256, rs : rs + 2048] & (
+                            fast >= thr - 1.5e-5
+                        )
+                        if same:
+                            mask &= lat[:, None] < ra[None, rs : rs + 2048]
+                        for i, j in zip(*np.nonzero(mask)):
+                            sv = exact_round5(float(sim[i, j]))
+                            if sv >= thr:
+                                ai, bj = int(lat[i]), int(ra[rs + j])
+                                if ai > bj:
+                                    ai, bj = bj, ai
+                                out_a.append(ai)
+                                out_b.append(bj)
+                                out_s.append(sv)
+            yield pd.DataFrame(
+                {
+                    "vec_a": pd.Series(out_a, dtype="int64"),
+                    "vec_b": pd.Series(out_b, dtype="int64"),
+                    "sim": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    return joined.mapInPandas(
+        kernel, schema="vec_a bigint, vec_b bigint, sim double"
     )
 
 

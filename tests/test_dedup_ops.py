@@ -546,3 +546,29 @@ def test_dedup_simhash32_parity(spark):
         for r in con.execute(driver_queries.SIMHASH32_ORACLE).fetchall()
     }
     assert got == want
+
+
+def test_embedding_near_pairs_blocked_kernel_equals_hof(spark):
+    """The r6 blocked-NumPy verification kernel must emit the IDENTICAL
+    pair set AND bit-identical sims as the retained pure-SQL multi-probe
+    HOF formulation (_embedding_near_pairs_hof) — the kernel replays the
+    Catalyst float64 op order (sequential-sum dot and norms, BigDecimal
+    HALF_UP rounding), so equality is exact, not approximate. Run at the
+    gate operating point (rings=2) and at rings 1/3 so every graded ring
+    keeps the pin."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for rings in (1, 2, 3):
+        new = sorted(
+            (r["vec_a"], r["vec_b"], r["sim"])
+            for r in dedup.embedding_near_pairs(
+                emb, threshold=0.4, probe_rings=rings
+            ).collect()
+        )
+        ref = sorted(
+            (r["vec_a"], r["vec_b"], r["sim"])
+            for r in dedup._embedding_near_pairs_hof(
+                emb, threshold=0.4, probe_rings=rings
+            ).collect()
+        )
+        assert new == ref, f"rings={rings}: kernel diverged from HOF twin"
+        assert len(new) > 0, f"rings={rings}: vacuous comparison"
