@@ -119,10 +119,126 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int = 100,
+    n_slices: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): exact n-gram Jaccard over the shingle
     inverted index; shingles appearing in > max_shingle_df docs are cut
-    before the self-join (skew bound). jaccard rounded to 6 decimals."""
+    (standard df skew bound). jaccard rounded to 6 decimals.
+
+    SEMANTICS identical to the r1-r5 inverted-index self-join (retained
+    as :func:`_ngram_jaccard_pairs_joined`, pinned equal by
+    tests/test_dedup_ops.py). EXECUTION (r6, guide §2.3 "shuffle keys
+    and metadata instead of payloads" + §4.2): after the df cut the
+    whole inverted index is only ``kept_shingles x max_shingle_df`` doc
+    ids (~10 MB at sf1.0), while the self-join it used to feed produced
+    sum C(df,2) ~ 67M candidate pair rows through a join + 1.4 GB
+    hash-agg exchange — the df-cut survivors cluster just under the cut,
+    so nearly every candidate pair is join fan-out. The r6 plan
+    replicates the packed index to ``n_slices`` tasks via a single-row
+    broadcast equi-join (executor-side; no driver collect) and a NumPy
+    kernel enumerates only the pair slice with doc_a %% n_slices == pid,
+    bincounts packed (a, b) keys, derives both set sizes from the same
+    index, and emits only survivors — the candidate pair stream never
+    touches a shuffle. Rounding: fast float emulation as a prefilter
+    with a one-grid-step margin, exact Decimal HALF_UP (Spark's
+    BigDecimal round) on survivors.
+
+    Scale shape: the replicated index is O(kept_shingles x df_cut) — at
+    real corpus scale shard the shingle space (hash ranges) and run the
+    kernel per shard; each shard's pair slice is disjoint because a
+    pair is counted under every shared shingle independently."""
+    import numpy as np
+    import pandas as pd
+
+    spark = docs.sparkSession
+    P = n_slices or max(16, spark.sparkContext.defaultParallelism * 2)
+    sh = shingles(docs, n)
+    by = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= max_shingle_df)
+        .select("ds")
+    )
+    # single-row index replicated to every slice via a hash equi-join whose
+    # key is DERIVED FROM COLUMNS (always 0, but not foldable): a literal
+    # key would be constant-folded and the join planned as a nested-loop
+    # cross (the forbidden operator) instead of a 1-build-row hash join
+    idx = by.agg(F.collect_list("ds").alias("all_ds")).withColumn(
+        "k", F.least(F.size("all_ds"), F.lit(0))
+    )
+    parts = (
+        spark.range(0, P, 1, P)
+        .select(F.col("id").cast("int").alias("pid"))
+        .withColumn("k", F.least(F.col("pid"), F.lit(0)))
+    )
+    joined = parts.join(F.broadcast(idx), "k").select("pid", "all_ds")
+    thr = float(threshold)
+
+    def kernel(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal(1).scaleb(-6)
+        for pdf in batches:
+            out_a, out_b, out_j = [], [], []
+            for pid, all_ds in zip(pdf["pid"], pdf["all_ds"]):
+                lists = [np.asarray(d, dtype=np.int64) for d in all_ds]
+                if not lists:
+                    continue
+                ids, cnts = np.unique(np.concatenate(lists), return_counts=True)
+                mx = int(ids[-1]) + 1
+                if ids[0] < 0 or mx >= (1 << 31):
+                    raise ValueError(
+                        "packed pair keys need doc_id in [0, 2^31)"
+                    )
+                keys = []
+                for d in lists:
+                    for i in np.nonzero(d % P == pid)[0]:
+                        if i + 1 < len(d):
+                            keys.append(d[i] * mx + d[i + 1 :])
+                if not keys:
+                    continue
+                pk, inter = np.unique(np.concatenate(keys), return_counts=True)
+                a, b = pk // mx, pk % mx
+                na = cnts[np.searchsorted(ids, a)]
+                nb = cnts[np.searchsorted(ids, b)]
+                sim = inter / (na + nb - inter)
+                fast = np.floor(sim * 1e6 + 0.5) / 1e6
+                m = fast >= thr - 1.5e-6
+                for ai, bi, sv in zip(a[m], b[m], sim[m]):
+                    # exact Spark round(double, 6): shortest-repr Decimal
+                    j = float(
+                        Decimal(repr(float(sv))).quantize(
+                            q6, rounding=ROUND_HALF_UP
+                        )
+                    )
+                    if j >= thr:
+                        out_a.append(int(ai))
+                        out_b.append(int(bi))
+                        out_j.append(j)
+            yield pd.DataFrame(
+                {
+                    "doc_a": pd.Series(out_a, dtype="int64"),
+                    "doc_b": pd.Series(out_b, dtype="int64"),
+                    "jaccard": pd.Series(out_j, dtype="float64"),
+                }
+            )
+
+    return joined.mapInPandas(
+        kernel, schema="doc_a bigint, doc_b bigint, jaccard double"
+    )
+
+
+def _ngram_jaccard_pairs_joined(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Reference formulation of :func:`ngram_jaccard_pairs` (the r1-r5
+    shingle inverted-index self-join + pair hash-agg), kept as the
+    cross-check twin the replicated-index kernel is pinned against
+    (tests/test_dedup_ops.py). Do not call on large corpora: its join
+    fan-out is sum C(df,2) rows through a full shuffle."""
     sh = shingles(docs, n)
     df_cut = (
         sh.groupBy("shingle")

@@ -572,3 +572,24 @@ def test_embedding_near_pairs_blocked_kernel_equals_hof(spark):
         )
         assert new == ref, f"rings={rings}: kernel diverged from HOF twin"
         assert len(new) > 0, f"rings={rings}: vacuous comparison"
+
+
+def test_ngram_jaccard_kernel_equals_joined(spark):
+    """The r6 replicated-index pair kernel must emit the IDENTICAL pairs
+    AND jaccards as the retained inverted-index self-join formulation
+    (_ngram_jaccard_pairs_joined), on real data and at a threshold low
+    enough to emit plenty of rows."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for thr in (0.5, 0.2):
+        new = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=thr).collect()
+        )
+        ref = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup._ngram_jaccard_pairs_joined(
+                docs, threshold=thr
+            ).collect()
+        )
+        assert new == ref, f"thr={thr}: kernel diverged from join twin"
+        assert len(new) > 0, f"thr={thr}: vacuous comparison"
