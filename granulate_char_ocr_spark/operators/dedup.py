@@ -596,36 +596,65 @@ def hamming_near_pairs(
     pigeonhole, 0 false positives by verification). The shiftright is
     arithmetic, but the chunk mask keeps only the low ``width`` bits,
     so sign extension from a set bit 63 cannot leak into chunk values.
+
+    r6 execution notes (guide §2.4 "remove shuffles outright"): a pair
+    agreeing on several chunks used to be deduped by a ``.distinct()``
+    over the full pair stream (a 2.2M-row exchange + aggregate at
+    sf1.0); instead each pair is now emitted exactly once, under its
+    FIRST agreeing chunk (join keeps only matches where every earlier
+    chunk differs — the same unique-probe rule as the embedding
+    multi-probe join). And the self-join is hinted shuffle_hash rather
+    than letting the small side broadcast: both sides then plan the
+    identical exchange and ReusedExchange computes the upstream hash
+    aggregation ONCE instead of twice.
     """
     n_chunks = max_hd + 1
     base, rem = divmod(bits, n_chunks)
-    chunk_cols, offset = [], 0
+    chunk_vals, offset = [], 0
     for i in range(n_chunks):
         width = base + (1 if i < rem else 0)
         # a full-width (64-bit) chunk takes the hash verbatim: its mask
         # (1<<64)-1 would overflow signed bigint and parse as DECIMAL
-        chunk_val = (
+        chunk_vals.append(
             f"shiftright({hash_col}, {offset})"
             if width >= 64
             else f"(shiftright({hash_col}, {offset}) & {(1 << width) - 1})"
         )
-        chunk_cols.append(
-            F.struct(
-                F.lit(i).alias("chunk_id"),
-                F.expr(chunk_val).alias("chunk_val"),
-            )
-        )
         offset += width
+    chunk_cols = [
+        F.struct(F.lit(i).alias("chunk_id"), F.expr(v).alias("chunk_val"))
+        for i, v in enumerate(chunk_vals)
+    ]
     banded = hashed.select(
-        id_col, hash_col, F.explode(F.array(*chunk_cols)).alias("c")
-    ).select(id_col, hash_col, "c.chunk_id", "c.chunk_val")
+        id_col,
+        hash_col,
+        *[F.expr(v).alias(f"_ch{i}") for i, v in enumerate(chunk_vals)],
+        F.explode(F.array(*chunk_cols)).alias("c"),
+    ).select(
+        id_col,
+        hash_col,
+        *[f"_ch{i}" for i in range(n_chunks)],
+        "c.chunk_id",
+        "c.chunk_val",
+    )
     l, r = banded.alias("l"), banded.alias("r")
+    # emit each pair once: under its first agreeing chunk (all earlier
+    # chunks must differ), replacing the post-join distinct
+    first_agree = F.lit(True)
+    for i in range(1, n_chunks):
+        differs = F.lit(True)
+        for j in range(i):
+            differs = differs & (F.col(f"l._ch{j}") != F.col(f"r._ch{j}"))
+        first_agree = F.when(F.col("l.chunk_id") == i, differs).otherwise(
+            first_agree
+        )
     return (
         l.join(
-            r,
+            r.hint("shuffle_hash"),
             (F.col("l.chunk_id") == F.col("r.chunk_id"))
             & (F.col("l.chunk_val") == F.col("r.chunk_val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            & first_agree,
         )
         .withColumn(
             "hd",
@@ -637,7 +666,6 @@ def hamming_near_pairs(
             F.col(f"r.{id_col}").alias("id_b"),
             "hd",
         )
-        .distinct()
     )
 
 
