@@ -2525,7 +2525,9 @@ def dsir_select_docs(spark, sf_dir):
     from granulate_char_ocr_spark.operators.sampling import dsir_select
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    sel = dsir_select(docs, docs.where(F.col("lang") == "en"), k=100)
+    sel = dsir_select(
+        docs, None, k=100, target_predicate=F.col("lang") == "en"
+    )
     return sel.select("doc_id", "n_grams", "log_weight", "sample_key")
 
 

@@ -99,7 +99,11 @@ def temperature_resample(
 
 
 def _hashed_grams(
-    df: DataFrame, key_col: str, text_col: str, buckets: int
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    buckets: int,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(key, bucket): one row per unigram/bigram OCCURRENCE (counts matter
     for DSIR's bag model), each hashed into ``buckets`` via _draw32. The
@@ -115,19 +119,25 @@ def _hashed_grams(
         .withColumn("_toks", F.split(F.col(text_col), " "))
         .select(
             key_col,
+            *carry_cols,
             F.explode(F.expr(f"concat({uni}, {bi})")).alias("_g"),
         )
         .where(F.length("_g") > 0)
-        .select(key_col, (_draw32(F.col("_g")) % buckets).alias("bucket"))
+        .select(
+            key_col,
+            *carry_cols,
+            (_draw32(F.col("_g")) % buckets).alias("bucket"),
+        )
     )
 
 
 def dsir_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     key_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 1024,
+    target_predicate=None,
 ) -> DataFrame:
     """(key, n_grams, log_weight): DSIR importance weights (Xie et al.
     2023, 'Data Selection for Language Models via Importance Resampling').
@@ -140,17 +150,53 @@ def dsir_weights(
     Scale shape: both models are AT MOST ``buckets`` rows regardless of
     corpus size (partial-aggregated counts), so the model join broadcasts;
     scoring is one gram explosion whose per-doc sum collapses map-side.
-    The raw corpus itself is never shuffled at full width."""
-    g_raw = _hashed_grams(raw, key_col, text_col, buckets)
-    ct = _hashed_grams(target, key_col, text_col, buckets).groupBy(
-        "bucket"
-    ).agg(F.count("*").alias("_ct"))
-    cr = g_raw.groupBy("bucket").agg(F.count("*").alias("_cr"))
+    The raw corpus itself is never shuffled at full width.
+
+    r6 execution notes (guide §2.4 "remove shuffles outright" / §5):
+    the gram-occurrence stream feeds both the raw model and the
+    scoring aggregate, and r5's plan re-exploded and re-md5-hashed the
+    raw corpus once per consumer (twice; three times counting the
+    separate target explosion) because column pruning makes the
+    branches' subtrees differ and defeats exchange reuse. The stream
+    is now materialized ONCE with an in-query eager localCheckpoint
+    (recomputed from parquet on every invocation — nothing persists
+    across runs) and every consumer reads it. When the target corpus
+    is a predicate slice of ``raw`` (pass ``target_predicate``;
+    ``target`` may then be None), the target model derives from the
+    SAME stream via a flag column, and both model count columns come
+    out of one aggregation — a target-only bucket can then not exist,
+    so the former full-outer model join collapses into that aggregate.
+    Per-doc scoring still sums _lr per OCCURRENCE, so the numerics are
+    exactly r5's; predicate-path == generic-path is pinned by
+    tests/test_dsir.py.
+    """
+    if target is None and target_predicate is None:
+        raise ValueError("need a target DataFrame or a target_predicate")
+    if target_predicate is not None:
+        raw = raw.withColumn(
+            "_is_tgt", F.coalesce(target_predicate, F.lit(False))
+        )
+        g_raw = _hashed_grams(
+            raw, key_col, text_col, buckets, carry_cols=("_is_tgt",)
+        ).localCheckpoint(eager=True)
+        mc = g_raw.groupBy("bucket").agg(
+            F.count("*").alias("_cr"),
+            F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_ct"),
+        )
+    else:
+        g_raw = _hashed_grams(raw, key_col, text_col, buckets).localCheckpoint(
+            eager=True
+        )
+        ct = _hashed_grams(target, key_col, text_col, buckets).groupBy(
+            "bucket"
+        ).agg(F.count("*").alias("_ct"))
+        cr = g_raw.groupBy("bucket").agg(F.count("*").alias("_cr"))
+        mc = ct.join(cr, "bucket", "full_outer")
     # corpus-total gram counts as empty-partition window sums over the
     # joined model (<= buckets rows, each bucket once — a single-partition
     # window over a model-sized frame, NOT a nested-loop scalar cross-join)
     w_all = Window.partitionBy()
-    model = ct.join(cr, "bucket", "full_outer").select(
+    model = mc.select(
         "bucket",
         (
             F.log(
@@ -180,11 +226,12 @@ def dsir_weights(
 
 def dsir_select(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     key_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 1024,
+    target_predicate=None,
 ) -> DataFrame:
     """The resampling half of DSIR: Gumbel-top-k sampling WITHOUT
     replacement, proportional to the importance weight — sample_key =
@@ -197,8 +244,16 @@ def dsir_select(
     Scale shape: the top-k runs on the SLIM (key, weight) table — a
     TakeOrderedAndProject, no full sort — and only the k winners join
     back to ``raw`` (broadcast), so the full-width corpus never enters a
-    shuffle or a sort."""
-    w = dsir_weights(raw, target, key_col, text_col, buckets)
+    shuffle or a sort.
+
+    ``target_predicate`` (r6): when the target corpus is a predicate
+    slice of ``raw``, pass the predicate instead of a target DataFrame
+    and the weights derive everything from ONE gram explosion (see
+    dsir_weights)."""
+    w = dsir_weights(
+        raw, target, key_col, text_col, buckets,
+        target_predicate=target_predicate,
+    )
     u = (_draw32(F.col(key_col)) + 0.5) / F.lit(4294967296.0)
     winners = (
         w.withColumn(

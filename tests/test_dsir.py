@@ -111,3 +111,34 @@ def test_dsir_select_duckdb_parity(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_dsir_predicate_path_equals_generic_path(spark):
+    """The r6 single-explosion predicate path must produce exactly the
+    same selection (ids, counts, weights, sample keys) as the generic
+    two-corpus path over the equivalent filtered DataFrame."""
+    from pyspark.sql import functions as F
+
+    from granulate_char_ocr_spark.operators.sampling import dsir_select
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    cols = ["doc_id", "n_grams", "log_weight", "sample_key"]
+    pred = sorted(
+        tuple(r)
+        for r in dsir_select(
+            docs, None, k=100, target_predicate=F.col("lang") == "en"
+        )
+        .select(*cols)
+        .collect()
+    )
+    generic = sorted(
+        tuple(r)
+        for r in dsir_select(
+            docs, docs.where(F.col("lang") == "en"), k=100
+        )
+        .select(*cols)
+        .collect()
+    )
+    assert pred == generic and len(pred) == 100
