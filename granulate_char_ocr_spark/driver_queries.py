@@ -775,11 +775,23 @@ def vocab_kmv_docs(spark, sf_dir):
             ).alias("g"),
         )
     )
-    exact = grams.groupBy("lang").agg(
-        F.count("*").alias("n_bigrams"),
-        F.countDistinct("g").alias("vocab_exact"),
+    # r6 (guide §2.3 "aggregate before you shuffle"): collapse occurrences
+    # to per-(lang, gram) counts ONCE and hang both consumers off it — the
+    # exact branch's countDistinct ran its own (lang, g) distinct pass and
+    # the sketch branch re-exploded the corpus (branch pruning defeats
+    # exchange reuse), so the explosion + gram shuffle happened twice.
+    # The checkpoint is in-query (recomputed every invocation); the sketch
+    # now also md5-hashes only distinct grams instead of every occurrence.
+    lg = (
+        grams.groupBy("lang", "g")
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=True)
     )
-    kmv = sketches.kmv_distinct(grams, ["lang"], "g", k=64)
+    exact = lg.groupBy("lang").agg(
+        F.sum("_c").alias("n_bigrams"),
+        F.count("*").alias("vocab_exact"),
+    )
+    kmv = sketches.kmv_distinct(lg, ["lang"], "g", k=64)
     return exact.join(kmv, "lang")
 
 

@@ -426,8 +426,81 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
     consecutive gram hashes keeps its minimum; the distinct kept hashes are
     the document's fingerprints. Guarantees: any shared substring of length
     >= k + w - 1 produces at least one shared fingerprint. Docs shorter than
-    that emit none (documented edge). Pure column expressions — one
-    explode, no UDF, exact DuckDB oracle."""
+    that emit none (documented edge).
+
+    r6 execution (guide §4.2): the former pure-expression plan md5-hashed
+    every gram OCCURRENCE (~17M tiny-string md5 + hex-conv expressions at
+    sf1.0) even though the char-gram vocabulary is tiny; the Arrow kernel
+    memoizes gram→hash per task (each distinct gram is hashed once per
+    task), takes window minima via one vectorized sliding-window view, and
+    keeps the identical hash definition, so the output row set is
+    unchanged — pinned against the retained expression twin
+    (_winnow_fingerprints_expr) by
+    tests/test_textstats_repetition.py. Python-side
+    normalization mirrors the Catalyst expressions exactly: strip(' ')
+    (trim), ASCII \\s+ collapse (Java's default \\s class), then lower."""
+    import pandas as pd
+
+    from granulate_char_ocr_spark.operators.skew import widen_narrow_scan
+
+    def fn(batches):
+        import re
+        from hashlib import md5
+
+        import numpy as np
+
+        ws = re.compile(r"\s+", re.ASCII)
+        memo: dict = {}
+
+        def h(g: str) -> int:
+            v = memo.get(g)
+            if v is None:
+                v = int(md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                memo[g] = v
+            return v
+
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                s = ws.sub(" ", text.strip(" ")).lower()
+                n = len(s)
+                if n - k + 1 < w:  # fewer than w gram hashes -> no windows
+                    continue
+                if len(memo) > 4_000_000:  # bound per-task memo growth
+                    memo.clear()
+                hs = np.fromiter(
+                    (h(s[i : i + k]) for i in range(n - k + 1)),
+                    dtype=np.int64,
+                    count=n - k + 1,
+                )
+                mins = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+                )
+                ids.extend([doc_id] * len(mins))
+                fps.append(mins)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fp": (
+                        np.concatenate(fps)
+                        if fps
+                        else pd.Series([], dtype="int64")
+                    ),
+                }
+            )
+
+    return widen_narrow_scan(docs.select("doc_id", "text")).mapInPandas(
+        fn, schema="doc_id bigint, fp bigint"
+    )
+
+
+def _winnow_fingerprints_expr(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
+    """Reference formulation of :func:`winnow_fingerprints` (the r1-r5
+    pure-column-expression plan), kept as the cross-check twin the Arrow
+    kernel is pinned against (tests/test_textstats_repetition.py) and as the DuckDB-
+    oracle-shaped build."""
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     grams = (
         f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)), "

@@ -133,3 +133,41 @@ def test_winnow_fingerprints_parity(spark):
         driver_queries.winnow_fingerprints_docs,
         driver_queries.WINNOW_ORACLE,
     )
+
+
+def test_winnow_kernel_equals_expression_twin(spark):
+    """The r6 memoized Arrow kernel must emit the identical (doc_id, fp)
+    set as the retained pure-expression formulation, including the
+    whitespace/trim/lower normalization edge cases."""
+    from granulate_char_ocr_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick\tbrown  fox   jumps over the lazy dog"),
+            (2, "  leading and trailing spaces padded out here  "),
+            (3, "short"),          # < k + w - 1 after norm -> no rows
+            (4, None),             # null text -> no rows
+            (5, "ABCDEFGH ABCDEFGH abcdefgh"),   # case folding
+            (6, "xy\fz\rw\nv tttttttt"),   # ASCII whitespace-class members
+        ],
+        "doc_id long, text string",
+    )
+    new = sorted(
+        (r["doc_id"], r["fp"])
+        for r in textstats.winnow_fingerprints(docs).collect()
+    )
+    ref = sorted(
+        (r["doc_id"], r["fp"])
+        for r in textstats._winnow_fingerprints_expr(docs).collect()
+    )
+    assert new == ref and len(new) > 0
+    parquet = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new2 = sorted(
+        (r["doc_id"], r["fp"])
+        for r in textstats.winnow_fingerprints(parquet).collect()
+    )
+    ref2 = sorted(
+        (r["doc_id"], r["fp"])
+        for r in textstats._winnow_fingerprints_expr(parquet).collect()
+    )
+    assert new2 == ref2 and len(new2) > 0
