@@ -2162,7 +2162,15 @@ def web_corpus_manifest(spark, sf_dir):
         ).alias("url"),
         "text",
     )
-    allr = base.unionByName(mirror)
+    # r6 (guide §4.4's duplication mechanism, expression flavor): without a
+    # barrier, CollapseProject + filter-pushdown alias substitution inline
+    # the synthetic-URL CASE expression into every URL rule, the keep
+    # filter, the canonicalization and the dedup window key — the frontier
+    # URL was being recomputed ~20x per row (url_quality alone: 2.7 s vs
+    # 0.9 s over a materialized frontier at sf1.0). Materialize the
+    # frontier once per invocation; at scale the frontier is a read table
+    # and this barrier is the scan itself.
+    allr = base.unionByName(mirror).localCheckpoint(eager=True)
     kept = url_quality(allr, keep_cols=("doc_id", "text")).filter("keep")
     rules = robots_rules(
         spark.createDataFrame(
