@@ -64,6 +64,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Widened table scan for queries whose pre-exchange stage does heavy
+    per-row work: the driver's single-row-group parquet scans as ONE task,
+    serializing regex/markup/scoring stages on one core (the CLAUDE.md
+    narrow-scan gotcha; guide §2.5 input skew). widen_narrow_scan is a
+    no-op whenever the scan already has >= cores partitions — i.e. at any
+    real corpus size. Applied per-query from the r6 A/B (sf1.0, min-of-3
+    noop): charlm 36.7->4.7 s, repetition 18.0->5.3 s, markdown 7.0->0.8,
+    quality 6.9->0.9, html_main 5.5->0.8, html_table 4.6->0.9, page_meta
+    2.8->0.7, lang_id 2.5->0.7, link_graph 2.1->1.3, mojibake 1.7->0.4,
+    tfidf 3.0->2.7, clean_manifest 3.1->2.2. NOT applied where the A/B
+    showed the extra exchange losing (pagerank's iterative supersteps,
+    warc_extract, crawl_diff/schedule, robots, bpe).
+    """
+    from granulate_char_ocr_spark.operators.skew import widen_narrow_scan
+
+    return widen_narrow_scan(_t(spark, sf_dir, name))
+
+
 def q(name: str, sql: str | None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -534,7 +553,7 @@ def quality_filter_docs(spark, sf_dir):
     doc_id%4 adds a bullet + terminal punctuation / a lorem+brace tail /
     a trailing ellipsis. min_kept_lines=1 because the injected
     punctuation can only land on each doc's final chunk-line."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tw(spark, sf_dir, "documents").select("doc_id", "text")
     m2, m4 = F.col("doc_id") % 2, F.col("doc_id") % 4
     t2 = F.when(m2 == 0, F.concat("text", F.lit(" the of and"))).otherwise(
         F.col("text")
@@ -819,8 +838,15 @@ def pdf_extract_docs(spark, sf_dir):
     on the single-column Td docs layout order equals draw order
     (tests/test_pdf_layout.py pins it)."""
     from granulate_char_ocr_spark.operators.docparse import pdf_texts
+    from granulate_char_ocr_spark.operators.skew import widen_narrow_scan
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # r6: the driver's documents.parquet is a single row group, so without
+    # widening BOTH Python stages (PDF build and parse) ran as one task on
+    # one core (guide §2.5 input skew; the CLAUDE.md narrow-scan gotcha) —
+    # 5.8 s serial vs ~1 s spread at sf1.0
+    docs = widen_narrow_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def build(batches):
         from granulate_char_ocr_spark.functions.pdf import (
@@ -1264,7 +1290,7 @@ def _lang_id_sql() -> str:
 
 @q("lang_id_docs", _lang_id_sql())
 def lang_id_docs(spark, sf_dir):
-    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+    return textstats.lang_id(_tw(spark, sf_dir, "documents"))
 
 
 # (token_count_docs was folded into bpe_token_count_docs in r3 — that
@@ -1374,7 +1400,7 @@ def html_main_content_docs(spark, sf_dir):
         html_main_contents,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     page = F.concat(
         F.lit(_DOM_PREFIX), escape_text(F.col("text")), F.lit(_DOM_SUFFIX)
     )
@@ -1432,7 +1458,7 @@ def html_table_rows_docs(spark, sf_dir):
     from granulate_char_ocr_spark.functions.html import escape_text
     from granulate_char_ocr_spark.operators.docparse import html_tables
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     page = F.concat(
         F.lit(_TBL_PREFIX),
         escape_text(F.col("text")),
@@ -1540,7 +1566,7 @@ def markdown_convert_docs(spark, sf_dir):
         html_to_markdown,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     page = F.concat(
         F.lit(
@@ -1986,7 +2012,7 @@ def page_metadata_docs(spark, sf_dir):
         page_metadata_cols,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     did = F.col("doc_id")
     ds = did.cast("string")
     m4 = F.pmod(did, F.lit(4))
@@ -2278,7 +2304,7 @@ def link_graph_hosts(spark, sf_dir):
     explode -> hash aggregate; zero joins, zero UDFs."""
     from granulate_char_ocr_spark.operators.graph import link_edges
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     did, src_i, dst1, dst2, sink = _lg_parts()
     anchors = F.concat(
         F.lit('<a class="x" href="HTTPS://H'),
@@ -2457,7 +2483,7 @@ def repetition_signals_docs(spark, sf_dir):
     fractions — the curation rules every LLM corpus pipeline applies
     next to quality_score's length/stopword heuristics). One explode +
     doc_id-keyed aggregations, no UDF — operators/textstats.py."""
-    return textstats.repetition_signals(_t(spark, sf_dir, "documents"))
+    return textstats.repetition_signals(_tw(spark, sf_dir, "documents"))
 
 
 @q(
@@ -2492,7 +2518,7 @@ def charlm_perplexity_docs(spark, sf_dir):
     LM with add-one smoothing trained on the corpus itself, per-doc
     perplexity. The model is ≤27³ rows at any corpus size so both model
     joins broadcast — operators/textstats.py:charlm_perplexity."""
-    return textstats.charlm_perplexity(_t(spark, sf_dir, "documents"))
+    return textstats.charlm_perplexity(_tw(spark, sf_dir, "documents"))
 
 
 _DSIR_GRAMS_SQL = """
@@ -2659,7 +2685,7 @@ def fix_mojibake_docs(spark, sf_dir):
     Zero exchanges: one scan, one projection."""
     from granulate_char_ocr_spark.functions.mojibake import mojibake_expr
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     d = F.col("doc_id")
     m4 = F.pmod(d, F.lit(4))
     suffix = (
@@ -2776,7 +2802,7 @@ def tfidf_top_terms_docs(spark, sf_dir):
     operator docstring). Vocabulary-sized df table broadcasts back —
     operators/curation.py."""
     return curation.tfidf_top_terms(
-        _t(spark, sf_dir, "documents"), k=5
+        _tw(spark, sf_dir, "documents"), k=5
     )
 
 
@@ -3019,7 +3045,7 @@ def clean_corpus_manifest(spark, sf_dir):
     from granulate_char_ocr_spark.operators.dedup import exact_dedup
     from granulate_char_ocr_spark.operators.sampling import stratified_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     scored = textstats.quality_score(docs).select("doc_id", "quality")
     keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     base = docs.select("doc_id", "lang").join(scored, "doc_id").join(keep, "doc_id")

@@ -284,14 +284,17 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     voting uniformly, ADVICE r1); each bit contributes ±1, bit set when the
     signed sum is strictly positive (deterministic ties).
     """
-    # NOTE deliberately NOT widen_narrow_scan'd: per-token work here is one
-    # md5 + bit tests (no gram-window construction), light enough that the
-    # widening shuffle costs more than the serial scan it fixes (interleaved
-    # min-of-3 A/B: 0.94 s serial vs 1.37 s widened at sf0.1).
+    # widen_narrow_scan'd since r6: the r2-era A/B (0.94 s serial vs
+    # 1.37 s widened, sf0.1) no longer holds — the driver's single-row-
+    # group documents.parquet serializes the whole md5+32-sum stage on one
+    # core, and at sf1.0 the interleaved A/B is 3.64 s serial vs 2.26 s
+    # widened (sf0.1: 1.20 vs 1.15 — neutral where it used to lose).
+    from granulate_char_ocr_spark.operators.skew import widen_narrow_scan
+
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60], got {bits}")
     hex_digits = (bits + 3) // 4
-    tok = docs.select(
+    tok = widen_narrow_scan(docs).select(
         "doc_id", F.explode(TOKENS()).alias("tok")
     ).withColumn(
         "th",
