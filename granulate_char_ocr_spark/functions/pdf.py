@@ -824,7 +824,10 @@ def _parse_cmap(payload: bytes) -> tuple[int, dict[int, str]] | None:
                 break
             base = int.from_bytes(_hex_string_bytes(d_m.group(1)), "big")
             n_dst = max(len(_hex_string_bytes(d_m.group(1))), 2)
+            ceil = 1 << (8 * n_dst)  # destination-byte-width ceiling:
             for k in range(hi - lo + 1):
+                if base + k >= ceil:  # buggy generators emit ranges whose
+                    break  # increment crosses it — clamp, don't raise
                 mapping[lo + k] = (
                     (base + k).to_bytes(n_dst, "big").decode(
                         "utf-16-be", errors="replace"
@@ -857,11 +860,21 @@ def _tounicode_fontmap(
     a font this cannot resolve simply falls back to the §7.9.2 default
     string decode (the pre-r5 behavior, correct for unencoded fonts)."""
     out: dict[bytes, tuple[int, dict[int, str]]] = {}
+    bound: dict[bytes, int] = {}  # name -> font object it resolved to
     for res in re.finditer(rb"/Font\s*<<(.*?)>>", data, re.S):
         for b in re.finditer(rb"/(\w+)\s+(\d+)\s+0\s+R", res.group(1)):
             name, fnum = b.group(1), int(b.group(2))
-            if name in out:
+            if name in bound:
+                # Real multi-page PDFs reuse /F1, /F2 across pages for
+                # DIFFERENT fonts. A name is only reusable when it resolves
+                # to the same font object; a conflicting rebinding makes the
+                # name ambiguous document-wide, so its CMap is dropped and
+                # shows through that name fall back to the §7.9.2 default
+                # decode (the pre-CMap behavior — never another font's map).
+                if bound[name] != fnum:
+                    out.pop(name, None)
                 continue
+            bound[name] = fnum
             font = _object_body(data, fnum, objmap)
             if font is None:
                 continue
@@ -878,7 +891,7 @@ def _tounicode_fontmap(
                 d = sm.group("dict")
                 payload = _inflate(d, _stream_body(sm, obj, _direct_length(d)))
                 cmap = _parse_cmap(payload)
-            except (ValueError, zlib.error):
+            except (ValueError, OverflowError, zlib.error):
                 continue
             if cmap is not None:
                 out[name] = cmap

@@ -286,27 +286,6 @@ def _duck_docs(sf):
     return con
 
 
-def test_crawl_diff_docs_parity(spark):
-    from granulate_char_ocr_spark import driver_queries
-
-    sf = "/root/testdata/sf0.001"
-    got = {
-        tuple(r)
-        for r in driver_queries.crawl_diff_docs(
-            spark, sf
-        ).collect()
-    }
-    want = {
-        tuple(r)
-        for r in _duck_docs(sf)
-        .execute(driver_queries.ORACLES["crawl_diff_docs"])
-        .fetchall()
-    }
-    assert got == want
-    statuses = {s for _, s, _, _ in got}
-    assert statuses == {"added", "removed", "changed", "unchanged"}
-
-
 def test_robots_filter_docs_parity(spark):
     from granulate_char_ocr_spark import driver_queries
 

@@ -77,32 +77,6 @@ def test_expr_equals_twin(spark):
         assert got[i] == to_markdown_python(html), CASES[i][0]
 
 
-def test_markdown_convert_docs_parity(spark):
-    """Gate query vs the independent oracle construction at sf0.001."""
-    import duckdb
-
-    from granulate_char_ocr_spark import driver_queries
-
-    sf = "/root/testdata/sf0.001"
-    got = {
-        (r.doc_id, r.markdown)
-        for r in driver_queries.markdown_convert_docs(
-            spark, sf
-        ).collect()
-    }
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
-    )
-    want = {
-        tuple(r)
-        for r in con.execute(
-            driver_queries.ORACLES["markdown_convert_docs"]
-        ).fetchall()
-    }
-    assert got == want
-
-
 def test_cascade_case_lineitem(spark):
     """P4/A11 when-ladder (left the 50-entry gate for
     markdown_convert_docs in r4; the cascade stays gate-visible via

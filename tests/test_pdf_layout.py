@@ -224,6 +224,60 @@ def test_one_byte_codespace_and_unmapped_replacement():
     assert pdf.decode_pdf_text(blob) == "ab�"
 
 
+def test_bfrange_destination_overflow_clamps_not_raises():
+    """ADVICE r5: a bfrange whose destination increments past the
+    n_dst-byte ceiling (<FF00> <FFFF> <FFFE> — emitted by buggy wild
+    generators) must clamp at the boundary, not crash the document's
+    decode with OverflowError."""
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+        b"endcodespacerange\n1 beginbfrange\n"
+        b"<FF00> <FFFF> <FFFE>\n"  # dst overflows 2 bytes after +1
+        b"endbfrange\nendcmap"
+    )
+    # FF00 -> U+FFFE, FF01 -> U+FFFF; FF02 crosses the ceiling -> unmapped
+    blob = _cid_pdf_with_cmap(cmap, b"FF00FF02")
+    assert pdf.decode_pdf_text(blob) == "￾�"
+
+
+def test_font_name_rebound_to_different_object_drops_cmap():
+    """ADVICE r5: /F1 bound to a CID font on page 1 and a DIFFERENT
+    (plain) font object on page 2 makes the name ambiguous — its CMap
+    must not be applied to either page's shows (default decode, the
+    pre-CMap behavior), rather than page 1's map corrupting page 2."""
+    import zlib
+
+    cmap_body = (
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+        b"endcodespacerange\n1 beginbfchar\n<4142> <005A>\nendbfchar\n"
+        b"endcmap"
+    )
+    c1 = zlib.compress(b"BT\n/F1 12 Tf\n72 720 Td\n<4142> Tj\nET")
+    c2 = zlib.compress(b"BT\n/F1 12 Tf\n72 720 Td\n(AB) Tj\nET")
+    cmap = zlib.compress(cmap_body)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R 8 0 R] /Count 2 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/BaseFont /X+F /DescendantFonts [10 0 R] /ToUnicode 7 0 R >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c1)
+        + c1 + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap)
+        + cmap + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 6 0 R >> >> /Contents 9 0 R >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c2)
+        + c2 + b"\nendstream",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X+F >>",
+    ]
+    blob = pdf._assemble_classic(objs)
+    # default decode on both pages: 0x41 0x42 read as PDFDocEncoding
+    assert pdf.decode_pdf_text(blob) == "AB\nAB"
+
+
 def test_malformed_cmap_falls_back_to_default_decode():
     # an empty/broken CMap must not raise — the font falls back to the
     # pre-r5 §7.9.2 decode (glyph bytes read as PDFDocEncoding)
