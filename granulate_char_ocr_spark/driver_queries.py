@@ -145,13 +145,21 @@ def q1_pricing_summary(spark, sf_dir):
 )
 def q3_top_revenue_orders(spark, sf_dir):
     """Broadcast dim join + top-k (SURVEY §2.3 J2, §2.6 O3). customer is the
-    small side → explicit broadcast; lineitem-orders is the fact join."""
+    small side → explicit broadcast; lineitem-orders is the fact join.
+
+    r6 (guide §3.2 "reduce the big side before shuffling it"): the join
+    order is rotated so the selective dimension filter reaches the fact
+    scan FIRST — orders is semi-reduced by the BUILDING customers (~1/5
+    of orderkeys survive) and only that orderkey set meets lineitem, so
+    the broadcast carries ~20% of orders instead of all of them and 80%
+    of lineitem rows die at the probe instead of flowing into the
+    aggregate. Inner equi-joins commute: same rows, same oracle."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    bo = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(F.broadcast(bo), li.l_orderkey == bo.o_orderkey)
         .groupBy(F.col("o_orderkey").alias("orderkey"))
         .agg(
             F.round(

@@ -25,14 +25,15 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 VOCAB = None  # filled from sf0.1 documents
 
-ROW_GROUP = 1024 * 8  # multiple row groups so scans parallelize like real data
-
-
+# The driver's testdata files are each ONE parquet row group (observed at
+# every retained tier) — scans of them serialize into one task unless the
+# query widens. The replica must reproduce that layout or measurements
+# overstate scan parallelism.
 def _write(out_dir, name, table, row_group_size=None):
     pq.write_table(
         table,
         os.path.join(out_dir, f"{name}.parquet"),
-        row_group_size=row_group_size or ROW_GROUP,
+        row_group_size=row_group_size or max(table.num_rows, 1),
     )
     print(f"  {name}: {table.num_rows} rows")
 
@@ -75,9 +76,12 @@ def gen_embeddings(rng, n, dim=64, k=10):
     centers = rng.normal(size=(k, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     labels = rng.integers(0, k, size=n)
-    # cluster spread matched to sf0.1 (cos-sim q99 ~ 0.29 overall; in-cluster
-    # near-pairs quadratic in cluster occupancy)
-    v = centers[labels] * 0.55 + rng.normal(size=(n, dim)) * 0.55 / np.sqrt(dim)
+    # cluster spread calibrated to the driver's near-pair density: sf0.1
+    # (2000 vecs) emits 783 pairs at threshold 0.4 / rings 2 -> pair
+    # fraction ~4e-4; center weight 0.12 reproduces ~5e-4 (the 0.55 of
+    # the first replica gave 9e-2 -> 16.8M pairs at sf1.0, 200x the
+    # driver's 83k, drowning the timing in survivor handling)
+    v = centers[labels] * 0.12 + rng.normal(size=(n, dim)) * 0.55 / np.sqrt(dim)
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     return pa.table(
         {
@@ -276,7 +280,7 @@ def main():
     _write(out_dir, "part", gen_part(rng, n_part))
     o, li = gen_orders_lineitem(rng, n_orders, n_cust, n_part, n_supp)
     _write(out_dir, "orders", o)
-    _write(out_dir, "lineitem", li, row_group_size=ROW_GROUP * 4)
+    _write(out_dir, "lineitem", li)
     print("done")
 
 
