@@ -793,9 +793,9 @@ def vocab_kmv_docs(spark, sf_dir):
     )
 
     grams = (
-        _t(spark, sf_dir, "documents")
-        .withColumn("_toks", TOKENS())
-        .select(
+        _tw(spark, sf_dir, "documents")  # r6: single-row-group scan would
+        .withColumn("_toks", TOKENS())   # serialize the whole gram build +
+        .select(                         # map-side partial agg on one core
             "lang",
             F.explode(
                 F.expr(_gram_windows_expr(2, with_pos=False, distinct=False))

@@ -73,7 +73,83 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): MinHash signature as the lexicographic min of
-    seeded md5 over the doc's shingle set — engine-portable by construction."""
+    seeded md5 over the doc's shingle set — engine-portable by construction.
+
+    r6 execution (guide §4.2): the former pure-expression plan exploded
+    every distinct shingle (~2.6M rows at sf1.0) and evaluated k seeded
+    md5+concat expressions per row before re-aggregating on doc_id — a
+    full exchange plus ~21M tiny-string hashes for a k-value-per-doc
+    result. The Arrow kernel computes each document's signature in-row
+    (tokenize → n-gram windows → in-row distinct → per-seed min), with
+    shingle→k-hashes memoized per task (the shingle vocabulary is tiny
+    next to its occurrence stream), so the signature stage now has ZERO
+    shuffle and each distinct shingle is hashed once per task. Hash
+    definition unchanged (md5 hex of f"{seed}:{shingle}", lexicographic
+    min), so signatures are identical to the retained expression twin
+    (_minhash_signatures_expr) — pinned by tests/test_dedup_ops.py.
+    Tokenization mirrors Catalyst split(text, ' ') exactly (Java split
+    limit -1 == str.split(' '): empty tokens kept everywhere)."""
+    import pandas as pd
+
+    from granulate_char_ocr_spark.operators.skew import widen_narrow_scan
+
+    seeds = [f"{s}:" for s in range(k)]
+    cols = [f"mh_{s}" for s in range(k)]
+
+    def fn(batches):
+        from hashlib import md5
+
+        memo: dict = {}
+
+        def hashes(g: str):
+            v = memo.get(g)
+            if v is None:
+                v = tuple(
+                    md5((p + g).encode("utf-8")).hexdigest() for p in seeds
+                )
+                memo[g] = v
+            return v
+
+        for pdf in batches:
+            out = {"doc_id": []}
+            for c in cols:
+                out[c] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                if len(toks) < n:
+                    continue  # expression twin: no shingles -> no row
+                if len(memo) > 4_000_000:  # bound per-task memo growth
+                    memo.clear()
+                grams = {
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                }
+                mins = [min(col) for col in zip(*map(hashes, grams))]
+                out["doc_id"].append(doc_id)
+                for c, m in zip(cols, mins):
+                    out[c].append(m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    **{c: pd.Series(out[c], dtype="object") for c in cols},
+                }
+            )
+
+    schema = "doc_id bigint, " + ", ".join(f"{c} string" for c in cols)
+    return widen_narrow_scan(docs.select("doc_id", "text")).mapInPandas(
+        fn, schema=schema
+    )
+
+
+def _minhash_signatures_expr(
+    docs: DataFrame, k: int = 8, n: int = 3
+) -> DataFrame:
+    """Reference formulation of :func:`minhash_signatures` (the r1-r5
+    pure-expression explode + k seeded-md5 min aggregate), kept as the
+    cross-check twin the Arrow kernel is pinned against
+    (tests/test_dedup_ops.py) and as the DuckDB-oracle-shaped build."""
     sh = shingles(docs, n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh_{s}")
@@ -100,9 +176,14 @@ def lsh_candidate_pairs(
     ).select("doc_id", "b.band", "b.bh")
     left = banded.alias("l")
     right = banded.alias("r")
+    # shuffle_hash (not broadcast): both sides then plan the IDENTICAL
+    # exchange over the same banded-signature subtree and ReusedExchange
+    # computes the signature kernel once — a broadcast build would run
+    # the whole upstream MapInPandas a second time for the build side
+    # (the d961793 simhash fix, same shape).
     return (
         left.join(
-            right,
+            right.hint("shuffle_hash"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),

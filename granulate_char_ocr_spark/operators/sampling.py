@@ -106,8 +106,90 @@ def _hashed_grams(
     carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(key, bucket): one row per unigram/bigram OCCURRENCE (counts matter
-    for DSIR's bag model), each hashed into ``buckets`` via _draw32. The
-    gram windows come from dedup's shared builder so DSIR's gram space can
+    for DSIR's bag model), each hashed into ``buckets`` via the _draw32
+    definition (first 8 md5 hex digits mod buckets).
+
+    r6 execution (guide §4.2): the former pure-expression plan built the
+    gram windows with per-token transform/slice/concat_ws expressions and
+    evaluated one md5+hex-conv per OCCURRENCE (~5.5M at sf1.0, 2.4 s of
+    the stream's cost) although the gram vocabulary is tiny next to the
+    stream. The Arrow kernel tokenizes each document once and memoizes
+    gram→bucket per task, emitting occurrences in the IDENTICAL per-doc
+    order as the expression's explode (unigrams in token order, then
+    bigrams) — order matters because per-doc float summation downstream
+    accumulates in row order. Row set and order pinned against the
+    retained expression twin (_hashed_grams_expr) by tests/test_dsir.py.
+    Tokenization mirrors Catalyst split(text, ' ') (Java split limit -1
+    == str.split(' ')); empty UNIGRAMS are dropped (the length(_g) > 0
+    filter) while bigrams containing empty tokens survive, exactly as in
+    the expression form."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from granulate_char_ocr_spark.operators.skew import widen_narrow_scan
+
+    src = widen_narrow_scan(df).select(key_col, *carry_cols, text_col)
+    in_schema = {f.name: f for f in src.schema.fields}
+    out_schema = StructType(
+        [in_schema[key_col]]
+        + [in_schema[c] for c in carry_cols]
+        + [StructField("bucket", LongType())]
+    )
+    carries = list(carry_cols)
+
+    def fn(batches):
+        from hashlib import md5
+
+        memo: dict = {}
+
+        def b(g: str) -> int:
+            v = memo.get(g)
+            if v is None:
+                v = int(md5(g.encode("utf-8")).hexdigest()[:8], 16) % buckets
+                memo[g] = v
+            return v
+
+        for pdf in batches:
+            keys, bks = [], []
+            carry_out = {c: [] for c in carries}
+            for row in zip(
+                pdf[key_col], pdf[text_col], *(pdf[c] for c in carries)
+            ):
+                key, text, cvals = row[0], row[1], row[2:]
+                if text is None:
+                    continue
+                if len(memo) > 4_000_000:  # bound per-task memo growth
+                    memo.clear()
+                toks = text.split(" ")
+                gs = [b(t) for t in toks if t != ""]
+                gs += [
+                    b(toks[i] + " " + toks[i + 1])
+                    for i in range(len(toks) - 1)
+                ]
+                keys.extend([key] * len(gs))
+                bks.extend(gs)
+                for c, v in zip(carries, cvals):
+                    carry_out[c].extend([v] * len(gs))
+            out = {key_col: keys}
+            out.update(carry_out)
+            out["bucket"] = bks
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(fn, schema=out_schema)
+
+
+def _hashed_grams_expr(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    buckets: int,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Reference formulation of :func:`_hashed_grams` (the r1-r5 pure
+    expression gram-window explode + per-occurrence md5), kept as the
+    cross-check twin the Arrow kernel is pinned against
+    (tests/test_dsir.py) and as the DuckDB-oracle-shaped build. The gram
+    windows come from dedup's shared builder so DSIR's gram space can
     never silently diverge from the dedup/decontamination one."""
     from granulate_char_ocr_spark.operators.dedup import _gram_windows_expr
     from granulate_char_ocr_spark.operators.skew import widen_narrow_scan

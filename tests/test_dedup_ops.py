@@ -593,3 +593,37 @@ def test_ngram_jaccard_kernel_equals_joined(spark):
         )
         assert new == ref, f"thr={thr}: kernel diverged from join twin"
         assert len(new) > 0, f"thr={thr}: vacuous comparison"
+
+
+def test_minhash_signatures_kernel_equals_expr(spark):
+    """The r6 memoized Arrow signature kernel must emit the IDENTICAL
+    (doc_id, mh_0..mh_7) rows as the retained explode + seeded-md5 min
+    aggregate (_minhash_signatures_expr) — same hash definition, same
+    short-doc drop semantics — including edge rows with consecutive /
+    leading / trailing spaces (empty tokens are part of the shingle
+    space in both formulations)."""
+    from granulate_char_ocr_spark.operators import dedup
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [
+            (100001, "a  b c  d"),      # consecutive spaces -> empty tokens
+            (100002, " lead trail "),   # leading/trailing space
+            (100003, "one two"),        # < n tokens -> no signature row
+            (100004, ""),               # empty text
+            (100005, "x y z"),          # exactly n tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = base.unionAll(edges)
+    for k, n in ((8, 3), (4, 2)):
+        new = {
+            tuple(r) for r in dedup.minhash_signatures(docs, k, n).collect()
+        }
+        ref = {
+            tuple(r)
+            for r in dedup._minhash_signatures_expr(docs, k, n).collect()
+        }
+        assert new == ref, f"k={k},n={n}: kernel diverged from expr twin"

@@ -142,3 +142,46 @@ def test_dsir_predicate_path_equals_generic_path(spark):
         .collect()
     )
     assert pred == generic and len(pred) == 100
+
+
+def test_hashed_grams_kernel_equals_expr(spark):
+    """The r6 memoized Arrow gram kernel must emit the IDENTICAL
+    occurrence multiset as the retained expression twin
+    (_hashed_grams_expr) — same tokenization, same empty-unigram drop,
+    same bigram survival for empty-token pairs, same bucket hash —
+    including carry columns."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from granulate_char_ocr_spark.operators import sampling
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    edges = spark.createDataFrame(
+        [
+            (200001, "a  b c  d", "en"),   # consecutive spaces
+            (200002, " lead trail ", "de"),
+            (200003, "solo", "en"),        # 1 token -> 1 unigram, 0 bigrams
+            (200004, "", "fr"),            # empty text -> no grams
+            (200005, None, "es"),          # null text -> no grams
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    docs = edges.unionAll(base).withColumn(
+        "_is_tgt", F.coalesce(F.col("lang") == "en", F.lit(False))
+    )
+    new = Counter(
+        tuple(r)
+        for r in sampling._hashed_grams(
+            docs, "doc_id", "text", 64, carry_cols=("_is_tgt",)
+        ).collect()
+    )
+    ref = Counter(
+        tuple(r)
+        for r in sampling._hashed_grams_expr(
+            docs, "doc_id", "text", 64, carry_cols=("_is_tgt",)
+        ).collect()
+    )
+    assert new == ref
