@@ -71,6 +71,46 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _shingles_kernel(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Arrow-kernel formulation of :func:`shingles` — identical row set
+    (per-doc in-row-distinct n-token windows, first-occurrence order),
+    with the window build and dedup done in Python per document instead
+    of per-token Catalyst transform/slice/concat_ws/array_distinct
+    expressions (guide §4.2). Used by the gram-heavy consumers whose
+    cost is dominated by the window build; :func:`shingles` stays the
+    expression-shaped reference (and the oracle-shaped build). Pinned
+    equal by tests/test_dedup_ops.py."""
+    import pandas as pd
+
+    from granulate_char_ocr_spark.operators.skew import widen_narrow_scan
+
+    def fn(batches):
+        for pdf in batches:
+            ids, grams = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                if len(toks) < n:
+                    continue
+                gs = dict.fromkeys(
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+                ids.extend([doc_id] * len(gs))
+                grams.extend(gs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "shingle": pd.Series(grams, dtype="object"),
+                }
+            )
+
+    return widen_narrow_scan(docs.select("doc_id", "text")).mapInPandas(
+        fn, schema="doc_id bigint, shingle string"
+    )
+
+
 def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): MinHash signature as the lexicographic min of
     seeded md5 over the doc's shingle set — engine-portable by construction.
@@ -232,8 +272,11 @@ def ngram_jaccard_pairs(
     import pandas as pd
 
     spark = docs.sparkSession
-    P = n_slices or max(16, spark.sparkContext.defaultParallelism * 2)
-    sh = shingles(docs, n)
+    # P = cores measured best (A/B P in {16,32,64} at sf1.0: the index
+    # payload ships once per slice, so transfer grows linearly in P while
+    # the vectorized kernel splits fine at one slice per core)
+    P = n_slices or max(16, spark.sparkContext.defaultParallelism)
+    sh = _shingles_kernel(docs, n)
     by = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -243,16 +286,24 @@ def ngram_jaccard_pairs(
     # single-row index replicated to every slice via a hash equi-join whose
     # key is DERIVED FROM COLUMNS (always 0, but not foldable): a literal
     # key would be constant-folded and the join planned as a nested-loop
-    # cross (the forbidden operator) instead of a 1-build-row hash join
-    idx = by.agg(F.collect_list("ds").alias("all_ds")).withColumn(
-        "k", F.least(F.size("all_ds"), F.lit(0))
+    # cross (the forbidden operator) instead of a 1-build-row hash join.
+    # Packed FLAT (one concatenated posting array + per-list lengths, r6):
+    # the JVM->Arrow conversion of a 30k-way nested list per slice row was
+    # the stage's dominant cost; a flat list has one offsets array.
+    idx = (
+        by.agg(F.collect_list("ds").alias("nested"))
+        .select(
+            F.flatten("nested").alias("flat"),
+            F.expr("transform(nested, x -> size(x))").alias("lens"),
+        )
+        .withColumn("k", F.least(F.size("flat"), F.lit(0)))
     )
     parts = (
         spark.range(0, P, 1, P)
         .select(F.col("id").cast("int").alias("pid"))
         .withColumn("k", F.least(F.col("pid"), F.lit(0)))
     )
-    joined = parts.join(F.broadcast(idx), "k").select("pid", "all_ds")
+    joined = parts.join(F.broadcast(idx), "k").select("pid", "flat", "lens")
     thr = float(threshold)
 
     def kernel(batches):
@@ -261,24 +312,36 @@ def ngram_jaccard_pairs(
         q6 = Decimal(1).scaleb(-6)
         for pdf in batches:
             out_a, out_b, out_j = [], [], []
-            for pid, all_ds in zip(pdf["pid"], pdf["all_ds"]):
-                lists = [np.asarray(d, dtype=np.int64) for d in all_ds]
-                if not lists:
+            for pid, flat, lens in zip(pdf["pid"], pdf["flat"], pdf["lens"]):
+                flat = np.asarray(flat, dtype=np.int64)
+                lens = np.asarray(lens, dtype=np.int64)
+                if not len(flat):
                     continue
-                ids, cnts = np.unique(np.concatenate(lists), return_counts=True)
+                ids, cnts = np.unique(flat, return_counts=True)
                 mx = int(ids[-1]) + 1
                 if ids[0] < 0 or mx >= (1 << 31):
                     raise ValueError(
                         "packed pair keys need doc_id in [0, 2^31)"
                     )
-                keys = []
-                for d in lists:
-                    for i in np.nonzero(d % P == pid)[0]:
-                        if i + 1 < len(d):
-                            keys.append(d[i] * mx + d[i + 1 :])
-                if not keys:
+                # vectorized ragged pair enumeration (replaces the former
+                # per-list Python loop): every index position whose doc is
+                # in this slice pairs with the rest of its (sorted) list —
+                # tails expanded with repeat + exclusive-cumsum arithmetic
+                ends = np.cumsum(lens)  # list end offset per flat position
+                pos_end = np.repeat(ends, lens)
+                sel = np.nonzero(flat % P == pid)[0]
+                tails = pos_end[sel] - sel - 1  # partners after position
+                sel = sel[tails > 0]
+                tails = tails[tails > 0]
+                if not len(sel):
                     continue
-                pk, inter = np.unique(np.concatenate(keys), return_counts=True)
+                cum = np.concatenate(([0], np.cumsum(tails[:-1])))
+                partner = (
+                    np.repeat(sel + 1 - cum, tails)
+                    + np.arange(tails.sum(), dtype=np.int64)
+                )
+                keys = np.repeat(flat[sel] * mx, tails) + flat[partner]
+                pk, inter = np.unique(keys, return_counts=True)
                 a, b = pk // mx, pk % mx
                 na = cnts[np.searchsorted(ids, a)]
                 nb = cnts[np.searchsorted(ids, b)]
@@ -771,13 +834,82 @@ def hamming_near_pairs(
     )
 
 
+def _simhash_kernel(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Arrow-kernel formulation of :func:`simhash` — identical values
+    (token hash = first ceil(bits/4) md5 hex digits, ±1 votes over token
+    OCCURRENCES including empty tokens, bit set when the signed sum is
+    strictly positive; integer arithmetic, so order-free). The former
+    expression plan evaluated ``bits`` conditional-sum expressions per
+    exploded token row (~86M when-branches at sf1.0 for bits=32); the
+    kernel computes each doc's signature in-row from its token Counter
+    with token→hash memoized per task (guide §4.2). Pinned equal to the
+    expression-shaped :func:`simhash` by tests/test_dedup_ops.py."""
+    import pandas as pd
+
+    from granulate_char_ocr_spark.operators.skew import widen_narrow_scan
+
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    hex_digits = (bits + 3) // 4
+
+    def fn(batches):
+        from collections import Counter
+        from hashlib import md5
+
+        import numpy as np
+
+        shifts = np.arange(bits, dtype=np.int64)
+        pows = (np.int64(1) << shifts).astype(np.int64)
+        memo: dict = {}
+
+        def h(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int(
+                    md5(tok.encode("utf-8")).hexdigest()[:hex_digits], 16
+                )
+                memo[tok] = v
+            return v
+
+        for pdf in batches:
+            ids, sims = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                if len(memo) > 4_000_000:
+                    memo.clear()
+                c = Counter(text.split(" "))
+                ths = np.fromiter(
+                    (h(t) for t in c), dtype=np.int64, count=len(c)
+                )
+                cnts = np.fromiter(
+                    c.values(), dtype=np.int64, count=len(c)
+                )
+                votes = (
+                    cnts[:, None] * (2 * ((ths[:, None] >> shifts) & 1) - 1)
+                ).sum(axis=0)
+                ids.append(doc_id)
+                sims.append(int(pows[votes > 0].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(sims, dtype="int64"),
+                }
+            )
+
+    return widen_narrow_scan(docs.select("doc_id", "text")).mapInPandas(
+        fn, schema="doc_id bigint, simhash bigint"
+    )
+
+
 def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hd: int = 2) -> DataFrame:
     """(doc_a, doc_b, hd): SimHash pairs within Hamming distance
     ``max_hd`` — exact via the pigeonhole equi-join
     (``hamming_near_pairs``); the DuckDB oracle stays the brute-force
-    quadratic, uncapped."""
+    quadratic, uncapped. Signatures come from the r6 Arrow kernel
+    (_simhash_kernel, value-identical to :func:`simhash`)."""
     return hamming_near_pairs(
-        simhash(docs, bits), "doc_id", "simhash", bits, max_hd
+        _simhash_kernel(docs, bits), "doc_id", "simhash", bits, max_hd
     ).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hd"
     )

@@ -627,3 +627,67 @@ def test_minhash_signatures_kernel_equals_expr(spark):
             for r in dedup._minhash_signatures_expr(docs, k, n).collect()
         }
         assert new == ref, f"k={k},n={n}: kernel diverged from expr twin"
+
+
+def test_shingles_kernel_equals_expr(spark):
+    """_shingles_kernel must emit the IDENTICAL (doc_id, shingle) row set
+    as the expression-shaped shingles() — in-row distinct, short-doc
+    drop, empty-token windows included."""
+    from collections import Counter
+
+    from granulate_char_ocr_spark.operators import dedup
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [
+            (300001, "a  b c  d a  b c"),  # repeated windows -> distinct
+            (300002, " x y z "),
+            (300003, "one two"),
+            (300004, ""),
+            (300005, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = base.unionAll(edges)
+    for n in (2, 3):
+        new = Counter(
+            tuple(r) for r in dedup._shingles_kernel(docs, n).collect()
+        )
+        ref = Counter(tuple(r) for r in dedup.shingles(docs, n).collect())
+        assert new == ref, f"n={n}"
+
+
+def test_simhash_kernel_equals_expr(spark):
+    """_simhash_kernel must emit IDENTICAL (doc_id, simhash) values as
+    the expression-shaped simhash() at both the legacy 16-bit and the
+    graded 32-bit width — including empty-token votes (split(' ') keeps
+    them) and tie behavior (bit set only when the signed sum is
+    STRICTLY positive)."""
+    from granulate_char_ocr_spark.operators import dedup
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [
+            (400001, "a  b c  d"),  # empty tokens vote too
+            (400002, " x "),
+            (400003, ""),           # one empty token
+            (400004, None),         # null text -> no row
+            (400005, "tie tie"),    # even counts exercise ties
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = base.unionAll(edges)
+    for bits in (16, 32):
+        new = {
+            (r.doc_id, r.simhash)
+            for r in dedup._simhash_kernel(docs, bits).collect()
+        }
+        ref = {
+            (r.doc_id, r.simhash)
+            for r in dedup.simhash(docs, bits).collect()
+        }
+        assert new == ref, f"bits={bits}"
