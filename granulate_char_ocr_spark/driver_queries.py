@@ -2204,7 +2204,15 @@ def web_corpus_manifest(spark, sf_dir):
     # 0.9 s over a materialized frontier at sf1.0). Materialize the
     # frontier once per invocation; at scale the frontier is a read table
     # and this barrier is the scan itself.
-    allr = base.unionByName(mirror).localCheckpoint(eager=True)
+    # widen BEFORE the checkpoint: the union of two single-row-group scans
+    # is 2 partitions, so the checkpoint write AND every stage up to the
+    # dedup window exchange (url rules, robots apply, canonicalization)
+    # would otherwise run on 2 cores
+    from granulate_char_ocr_spark.operators.skew import widen_narrow_scan
+
+    allr = widen_narrow_scan(base.unionByName(mirror)).localCheckpoint(
+        eager=True
+    )
     kept = url_quality(allr, keep_cols=("doc_id", "text")).filter("keep")
     rules = robots_rules(
         spark.createDataFrame(

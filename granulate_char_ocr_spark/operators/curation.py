@@ -369,6 +369,50 @@ def quality_filter(
     )
 
 
+def _tf_kernel(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf): per-document term counts computed in-row
+    (Counter per doc; empty terms dropped, mirroring the explode's
+    ``term != ''`` filter). Integer counts — identical rows to the
+    explode + groupBy formulation (_tf_expr)."""
+    import pandas as pd
+
+    from granulate_char_ocr_spark.operators.skew import widen_narrow_scan
+
+    def fn(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, terms, tfs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                c = Counter(text.split(" "))
+                c.pop("", None)
+                ids.extend([doc_id] * len(c))
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "term": pd.Series(terms, dtype="object"),
+                    "tf": pd.Series(tfs, dtype="int64"),
+                }
+            )
+
+    return widen_narrow_scan(docs.select("doc_id", "text")).mapInPandas(
+        fn, schema="doc_id bigint, term string, tf bigint"
+    )
+
+
+def _tf_expr(docs: DataFrame) -> DataFrame:
+    """Reference formulation of :func:`_tf_kernel` (explode + aggregate),
+    kept as the cross-check twin and the oracle-shaped build."""
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    return words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, term, tf, df, score, rnk): each document's top-k keyword
     terms by tf/df — rank-equivalent to tf-idf for ANY strictly
@@ -381,11 +425,18 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     Scale shape: one explode, a (doc_id, term) partial-aggregated count,
     a document-frequency rollup whose output is vocabulary-sized (small
     -> broadcast back), and a per-doc top-k window. The corpus never
-    self-joins."""
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).where(F.col("term") != "")
-    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    self-joins.
+
+    r6 execution (guide §4.2 / §2.3 "aggregate before you shuffle"): the
+    (doc_id, term, tf) table is computed IN-ROW by an Arrow kernel (one
+    Counter per document) instead of exploding every token occurrence
+    (~2.7M rows at sf1.0) through a hash-aggregate exchange — term
+    counts are integers, so the rows are identical to the explode+agg
+    formulation (retained as _tf_expr, parity-pinned by
+    tests/test_curation.py). The one in-query eager checkpoint stops
+    the df branch from re-running the kernel (recomputed from parquet
+    every invocation; nothing persists across runs)."""
+    tf = _tf_kernel(docs).localCheckpoint(eager=True)
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc(F.col("tf") / F.col("df")), F.asc("term")

@@ -204,6 +204,11 @@ def lsh_candidate_pairs(
     """(doc_a, doc_b): unordered candidate near-dup pairs sharing at least one
     LSH band (k/bands rows per band, hashed together)."""
     rows = k // bands
+    # NOTE (r6): MapInPandas subtrees defeat exchange-reuse
+    # canonicalization, so the self-join below runs the signature kernel
+    # once per side. An eager checkpoint was A/B'd to compute it once —
+    # and LOST (1.9 s vs 1.3 s at sf1.0): the in-row kernel is cheap
+    # enough that two spread runs beat a materialization job + barrier.
     sig = minhash_signatures(docs, k, n)
     band_cols = []
     for b in range(bands):
@@ -907,7 +912,10 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hd: int = 2) -> Data
     ``max_hd`` — exact via the pigeonhole equi-join
     (``hamming_near_pairs``); the DuckDB oracle stays the brute-force
     quadratic, uncapped. Signatures come from the r6 Arrow kernel
-    (_simhash_kernel, value-identical to :func:`simhash`)."""
+    (_simhash_kernel, value-identical to :func:`simhash`); the pigeonhole
+    self-join runs it once per side (MapInPandas defeats exchange-reuse
+    canonicalization) — a checkpoint barrier was A/B'd and lost, the
+    spread kernel being cheaper than a materialization job."""
     return hamming_near_pairs(
         _simhash_kernel(docs, bits), "doc_id", "simhash", bits, max_hd
     ).select(

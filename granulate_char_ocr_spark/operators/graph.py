@@ -187,7 +187,15 @@ def pagerank(
     (bounded: one row per host) so every superstep compiles and runs
     as its own shallow job.
     """
-    e = edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed")).distinct()
+    # r6: e is referenced three times below (both node legs + adjacency);
+    # without a barrier each reference re-runs the upstream edge build +
+    # distinct exchange. One eager checkpoint of the (bounded, host-level)
+    # distinct edge table computes it once.
+    e = (
+        edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("_es").alias("_node"))
         .unionAll(e.select(F.col("_ed").alias("_node")))
@@ -219,6 +227,21 @@ def pagerank(
     )
     node_adj = node_adj.localCheckpoint(eager=True)  # one row per host
     n = node_adj.count()  # bounded action: hosts, not documents
+    # r6 (guide §2.4 "remove shuffles outright"): size the rank/adjacency
+    # partitioning from the HOST count, not the session default. At host
+    # counts below ~20k/partition this collapses to ONE hash partition,
+    # which satisfies every downstream distribution requirement (the
+    # rank join's clustering, the dangling window's AllTuples, the
+    # target aggregate's clustering), so each superstep runs as a single
+    # exchange-free stage instead of 3 stages with 2 exchanges — 8x
+    # fewer shuffles over the iteration loop. Larger graphs keep more
+    # partitions and degrade to the previous plan shape.
+    sc = edges.sparkSession.sparkContext
+    p = max(1, min(sc.defaultParallelism, -(-n // 20000)))
+    if p < node_adj.rdd.getNumPartitions():
+        node_adj = node_adj.repartition(p, "_node").localCheckpoint(
+            eager=True
+        )
     ranks = node_adj.select("_node", F.lit(1.0 / n).alias("_rank"))
     everything = Window.partitionBy()  # dangling_via_window (see module doc)
     dangling_mass = F.sum(

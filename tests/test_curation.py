@@ -362,3 +362,27 @@ def test_pack_sequences_docs_parity(spark):
         driver_queries.pack_sequences_docs,
         driver_queries.PACK_SEQUENCES_ORACLE,
     )
+
+
+def test_tf_kernel_equals_expr(spark):
+    """The r6 in-row Counter kernel must emit the IDENTICAL
+    (doc_id, term, tf) rows as the explode + groupBy formulation —
+    empty terms dropped, null/empty texts contribute nothing."""
+    from granulate_char_ocr_spark.operators import curation
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [
+            (500001, "a  b a  b a"),
+            (500002, " x "),
+            (500003, ""),
+            (500004, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = base.unionAll(edges)
+    new = {tuple(r) for r in curation._tf_kernel(docs).collect()}
+    ref = {tuple(r) for r in curation._tf_expr(docs).collect()}
+    assert new == ref
